@@ -1,0 +1,227 @@
+"""Unified model configuration.
+
+Analog of the reference's ``srt/configs/model_config.py`` (``ModelConfig:95``):
+parse a HuggingFace ``config.json`` into one normalized struct, detect the
+attention architecture (MHA vs MLA, ``model_config.py:63-92`` in the
+reference), MoE structure, and derive KV-cache cell sizes. No network access —
+configs come from a local directory or an inline dict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+
+class AttentionArch(str, enum.Enum):
+    MHA = "MHA"   # multi-head / grouped-query attention
+    MLA = "MLA"   # multi-head latent attention (DeepSeek-class)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    architectures: List[str]
+    model_type: str
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    intermediate_size: int
+    vocab_size: int
+    max_position_embeddings: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    hidden_act: str = "silu"
+    partial_rotary_factor: float = 1.0
+
+    # --- context override ---
+    context_length: Optional[int] = None
+
+    # --- MLA (DeepSeek V2/V3, LongCat Flash) ---
+    attention_arch: AttentionArch = AttentionArch.MHA
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+
+    # --- MoE ---
+    num_experts: int = 0                 # routed experts (0 = dense model)
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    num_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    moe_layer_freq: int = 1
+    routed_scaling_factor: float = 1.0
+    topk_method: str = "greedy"          # greedy | group_limited_greedy | noaux_tc
+    n_group: int = 1
+    topk_group: int = 1
+    norm_topk_prob: bool = True
+    scoring_func: str = "softmax"        # softmax | sigmoid
+    num_zero_experts: int = 0            # LongCat ScMoE zero (identity) experts
+
+    # --- sliding window ---
+    sliding_window: Optional[int] = None
+
+    # --- quantization from checkpoint ---
+    quantization: Optional[str] = None
+    weight_block_size: Optional[List[int]] = None
+
+    # --- speculative (NEXTN/MTP draft layers present in ckpt) ---
+    num_nextn_predict_layers: int = 0
+
+    # raw HF dict for model-specific extras
+    hf_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @property
+    def is_mla(self) -> bool:
+        return self.attention_arch == AttentionArch.MLA
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    def is_moe_layer(self, layer_id: int) -> bool:
+        if not self.is_moe:
+            return False
+        if layer_id < self.first_k_dense_replace:
+            return False
+        return (layer_id % self.moe_layer_freq) == 0
+
+    @property
+    def qk_head_dim(self) -> int:
+        if self.is_mla:
+            return self.qk_nope_head_dim + self.qk_rope_head_dim
+        return self.head_dim
+
+    def kv_cell_dims(self) -> int:
+        """Per-token-per-layer KV dims (unit count, not bytes).
+
+        MLA stores the compressed kv_lora + rope vector once per token
+        (reference ``memory_pool.py:591`` MLATokenToKVPool); MHA stores
+        K and V per kv-head.
+        """
+        if self.is_mla:
+            return self.kv_lora_rank + self.qk_rope_head_dim
+        return 2 * self.num_key_value_heads * self.head_dim
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_hf_dict(
+        cls,
+        cfg: Dict[str, Any],
+        context_length: Optional[int] = None,
+        model_override_args: Optional[Dict[str, Any]] = None,
+    ) -> "ModelConfig":
+        cfg = dict(cfg)
+        if model_override_args:
+            cfg.update(model_override_args)
+        # Nested text_config (multimodal wrappers)
+        if "text_config" in cfg and isinstance(cfg["text_config"], dict):
+            inner = dict(cfg["text_config"])
+            inner.setdefault("architectures", cfg.get("architectures", []))
+            cfg = inner
+
+        n_heads = cfg.get("num_attention_heads", cfg.get("n_head", 32))
+        hidden = cfg.get("hidden_size", cfg.get("n_embd", 4096))
+        head_dim = cfg.get("head_dim") or hidden // n_heads
+
+        kv_lora_rank = cfg.get("kv_lora_rank")
+        attention_arch = (
+            AttentionArch.MLA if kv_lora_rank else AttentionArch.MHA
+        )
+
+        num_experts = (
+            cfg.get("n_routed_experts")
+            or cfg.get("num_experts")
+            or cfg.get("num_local_experts")
+            or 0
+        )
+
+        mc = cls(
+            architectures=cfg.get("architectures", []),
+            model_type=cfg.get("model_type", "llama"),
+            hidden_size=hidden,
+            num_hidden_layers=cfg.get("num_hidden_layers", cfg.get("n_layer", 32)),
+            num_attention_heads=n_heads,
+            num_key_value_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=head_dim,
+            intermediate_size=cfg.get("intermediate_size", 4 * hidden),
+            vocab_size=cfg.get("vocab_size", 32000),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", cfg.get("qkv_bias", False)),
+            mlp_bias=cfg.get("mlp_bias", False),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
+            attention_arch=attention_arch,
+            q_lora_rank=cfg.get("q_lora_rank"),
+            kv_lora_rank=kv_lora_rank,
+            qk_nope_head_dim=cfg.get("qk_nope_head_dim", 0),
+            qk_rope_head_dim=cfg.get("qk_rope_head_dim", 0),
+            v_head_dim=cfg.get("v_head_dim", 0),
+            num_experts=num_experts,
+            num_experts_per_tok=cfg.get("num_experts_per_tok", cfg.get("moe_topk", 0) or 0),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
+            num_shared_experts=cfg.get("n_shared_experts", 0) or 0,
+            first_k_dense_replace=cfg.get("first_k_dense_replace", 0),
+            moe_layer_freq=cfg.get("moe_layer_freq", 1),
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+            topk_method=cfg.get("topk_method", "greedy"),
+            n_group=cfg.get("n_group", 1) or 1,
+            topk_group=cfg.get("topk_group", 1) or 1,
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
+            scoring_func=cfg.get("scoring_func", "softmax"),
+            num_zero_experts=cfg.get("zero_expert_num", 0) or 0,
+            sliding_window=cfg.get("sliding_window")
+            if cfg.get("use_sliding_window", True)
+            else None,
+            num_nextn_predict_layers=cfg.get("num_nextn_predict_layers", 0),
+            hf_config=cfg,
+        )
+
+        qc = cfg.get("quantization_config")
+        if qc:
+            mc.quantization = qc.get("quant_method")
+            mc.weight_block_size = qc.get("weight_block_size")
+
+        mc.context_length = context_length or cfg.get(
+            "max_position_embeddings", 4096
+        )
+        if mc.is_mla and mc.head_dim == hidden // n_heads:
+            # MLA head dim is qk_nope+rope, not hidden/heads
+            mc.head_dim = mc.qk_nope_head_dim + mc.qk_rope_head_dim
+        return mc
+
+    @classmethod
+    def from_model_path(
+        cls,
+        model_path: str,
+        context_length: Optional[int] = None,
+        model_override_args: Optional[str] = None,
+    ) -> "ModelConfig":
+        override = json.loads(model_override_args) if model_override_args else None
+        cfg_file = os.path.join(model_path, "config.json")
+        with open(cfg_file) as fp:
+            cfg = json.load(fp)
+        return cls.from_hf_dict(cfg, context_length, override)
+
+    @classmethod
+    def from_server_args(cls, server_args) -> "ModelConfig":
+        return cls.from_model_path(
+            server_args.model_path,
+            context_length=server_args.context_length,
+            model_override_args=server_args.json_model_override_args,
+        )

@@ -1,0 +1,142 @@
+"""Device-side KV cache pools (JAX arrays).
+
+TPU-native analog of the reference's ``mem_cache/memory_pool.py``
+(``MHATokenToKVPool:223``, ``MLATokenToKVPool:591``). Instead of raw device
+tensors mutated by CUDA kernels, pools are immutable-by-convention JAX pytrees
+threaded through jit-compiled step functions with buffer donation, so XLA
+performs the writes in place.
+
+Layouts:
+- MHA: ``k/v: [num_layers, num_slots, num_kv_heads, head_dim]``
+- MLA (bf16): ``ckv: [L, slots, kv_lora_rank]``, ``krope: [L, slots, rope_dim]``
+- MLA (FP8 per-token): the reference's triple layout contract
+  (``memory_pool.py:635-649``): fp8 ckv + f32 per-token scale + bf16 rope.
+
+``num_slots = (num_pages + 1) * page_size``; page 0 / slot 0 are padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sglang_fluentllm_tpu.config.model_config import ModelConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MHAKVCache:
+    k: jax.Array  # [L, slots, H_kv, D]
+    v: jax.Array  # [L, slots, H_kv, D]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MLAKVCache:
+    ckv: jax.Array    # [L, slots, kv_lora_rank]
+    krope: jax.Array  # [L, slots, qk_rope_head_dim]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MLAKVCacheFP8:
+    ckv: jax.Array    # [L, slots, kv_lora_rank] float8_e4m3fn
+    scale: jax.Array  # [L, slots, 1] float32 (per-token dequant scale)
+    krope: jax.Array  # [L, slots, qk_rope_head_dim] bfloat16
+
+
+KVCache = MHAKVCache | MLAKVCache | MLAKVCacheFP8
+
+
+def create_kv_cache(
+    config: ModelConfig,
+    num_slots: int,
+    dtype=jnp.bfloat16,
+    kv_cache_dtype: str = "auto",
+    num_kv_heads_override: Optional[int] = None,
+) -> KVCache:
+    L = config.num_hidden_layers
+    if config.is_mla:
+        if kv_cache_dtype in ("fp8_e4m3", "fp8"):
+            return MLAKVCacheFP8(
+                ckv=jnp.zeros((L, num_slots, config.kv_lora_rank),
+                              dtype=jnp.float8_e4m3fn),
+                scale=jnp.ones((L, num_slots, 1), dtype=jnp.float32),
+                krope=jnp.zeros((L, num_slots, config.qk_rope_head_dim),
+                                dtype=jnp.bfloat16),
+            )
+        return MLAKVCache(
+            ckv=jnp.zeros((L, num_slots, config.kv_lora_rank), dtype=dtype),
+            krope=jnp.zeros((L, num_slots, config.qk_rope_head_dim),
+                            dtype=dtype),
+        )
+    h_kv = num_kv_heads_override or config.num_key_value_heads
+    shape = (L, num_slots, h_kv, config.head_dim)
+    return MHAKVCache(k=jnp.zeros(shape, dtype=dtype),
+                      v=jnp.zeros(shape, dtype=dtype))
+
+
+# ----------------------------------------------------------------------
+# Functional writes (used inside jitted model forward; XLA scatters in place
+# thanks to donation).
+# ----------------------------------------------------------------------
+
+def mha_write(cache: MHAKVCache, layer_id: int, loc: jax.Array,
+              k: jax.Array, v: jax.Array) -> MHAKVCache:
+    """loc: [T] int32 slots; k/v: [T, H_kv, D]."""
+    return MHAKVCache(
+        k=cache.k.at[layer_id, loc].set(k.astype(cache.k.dtype)),
+        v=cache.v.at[layer_id, loc].set(v.astype(cache.v.dtype)),
+    )
+
+
+def mla_write(cache: MLAKVCache, layer_id: int, loc: jax.Array,
+              ckv: jax.Array, krope: jax.Array) -> MLAKVCache:
+    return MLAKVCache(
+        ckv=cache.ckv.at[layer_id, loc].set(ckv.astype(cache.ckv.dtype)),
+        krope=cache.krope.at[layer_id, loc].set(
+            krope.astype(cache.krope.dtype)),
+    )
+
+
+FP8_MAX = 448.0  # float8_e4m3fn max
+
+
+def mla_write_fp8(cache: MLAKVCacheFP8, layer_id: int, loc: jax.Array,
+                  ckv: jax.Array, krope: jax.Array) -> MLAKVCacheFP8:
+    """Per-token quantize-on-write (SnapMLA-style, reference
+    flashmla fp8 per-token KV — ``flashmla_backend.py:127``)."""
+    amax = jnp.max(jnp.abs(ckv.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / FP8_MAX, 1e-8)
+    q = (ckv.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return MLAKVCacheFP8(
+        ckv=cache.ckv.at[layer_id, loc].set(q),
+        scale=cache.scale.at[layer_id, loc].set(scale),
+        krope=cache.krope.at[layer_id, loc].set(
+            krope.astype(cache.krope.dtype)),
+    )
+
+
+# ----------------------------------------------------------------------
+# Sizing helpers (analog of AttnInitializer.profile_max_num_token math,
+# reference attn_initializer.py:439-477).
+# ----------------------------------------------------------------------
+
+def kv_cell_bytes_per_token(
+    config: ModelConfig,
+    dtype_bytes: int = 2,
+    kv_cache_dtype: str = "auto",
+    attn_tp_size: int = 1,
+) -> int:
+    L = config.num_hidden_layers
+    if config.is_mla:
+        if kv_cache_dtype in ("fp8_e4m3", "fp8"):
+            return L * (config.kv_lora_rank * 1
+                        + 4
+                        + config.qk_rope_head_dim * 2)
+        return L * (config.kv_lora_rank + config.qk_rope_head_dim) * dtype_bytes
+    h_kv = max(1, config.num_key_value_heads // attn_tp_size)
+    return L * 2 * h_kv * config.head_dim * dtype_bytes
