@@ -1,0 +1,189 @@
+"""In-process Engine — offline generation API.
+
+Analog of the reference's ``srt/entrypoints/engine.py`` (``Engine:92``,
+``generate:172``). Single-host TPU design: no subprocess-per-GPU — the
+scheduler + runner live in this process (JAX owns all local chips); the HTTP
+server drives the same scheduler from a background thread.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import uuid
+from typing import Any, Dict, List, Optional, Union
+
+from sglang_fluentllm_tpu.config import ModelConfig, ServerArgs
+from sglang_fluentllm_tpu.runtime.model_runner import ModelRunner
+from sglang_fluentllm_tpu.sched.detokenizer import Detokenizer
+from sglang_fluentllm_tpu.sched.req import Req
+from sglang_fluentllm_tpu.sched.sampling_params import SamplingParams
+from sglang_fluentllm_tpu.sched.scheduler import Scheduler
+from sglang_fluentllm_tpu.utils import configure_logger
+
+logger = logging.getLogger(__name__)
+
+
+def load_tokenizer(tokenizer_path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(
+        tokenizer_path, trust_remote_code=True, local_files_only=True
+    )
+
+
+def load_eos_ids(model_path: str, tokenizer) -> set:
+    eos = set()
+    if tokenizer is not None and tokenizer.eos_token_id is not None:
+        eos.add(int(tokenizer.eos_token_id))
+    gen_cfg = os.path.join(model_path, "generation_config.json")
+    if os.path.exists(gen_cfg):
+        try:
+            with open(gen_cfg) as fp:
+                cfg = json.load(fp)
+            e = cfg.get("eos_token_id")
+            if isinstance(e, int):
+                eos.add(e)
+            elif isinstance(e, list):
+                eos.update(int(x) for x in e)
+        except Exception:
+            pass
+    return eos
+
+
+class Engine:
+    def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        self.server_args = server_args
+        configure_logger(server_args.log_level)
+
+        self.tokenizer = None
+        if not server_args.skip_tokenizer_init:
+            self.tokenizer = load_tokenizer(server_args.tokenizer_path)
+        self.eos_token_ids = load_eos_ids(
+            server_args.model_path, self.tokenizer
+        )
+
+        self.model_config = ModelConfig.from_server_args(server_args)
+        self.runner = ModelRunner(server_args, self.model_config)
+        self.scheduler = Scheduler(server_args, self.runner)
+        self.detokenizer = (
+            Detokenizer(self.tokenizer) if self.tokenizer else None
+        )
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        return_logprob: bool = False,
+    ) -> Union[Dict, List[Dict]]:
+        """Synchronous offline generation (batch ok)."""
+        single, prompts, ids_list = self._normalize_inputs(prompt, input_ids)
+        n = len(ids_list)
+        if isinstance(sampling_params, list):
+            sps = [SamplingParams.from_dict(s) for s in sampling_params]
+        else:
+            sps = [SamplingParams.from_dict(sampling_params) for _ in range(n)]
+        if return_logprob:
+            for sp in sps:
+                sp.return_logprob = True
+
+        reqs = []
+        for ids, sp in zip(ids_list, sps):
+            req = Req(
+                rid=uuid.uuid4().hex,
+                input_ids=ids,
+                sampling_params=sp,
+                eos_token_ids=self.eos_token_ids,
+            )
+            reqs.append(req)
+            self.scheduler.add_request(req)
+
+        results = {r.rid: r for r in reqs}
+        texts = {r.rid: "" for r in reqs}
+        while any(not r.finished() for r in reqs):
+            outputs = self.scheduler.step()
+            if not outputs and not self.scheduler.has_work():
+                break
+            for out in outputs:
+                req = results[out.rid]
+                if self.detokenizer is not None and out.new_token_ids:
+                    text, stop = self.detokenizer.detokenize_incremental(
+                        out.rid,
+                        out.new_token_ids,
+                        out.finished,
+                        req.sampling_params.skip_special_tokens,
+                        req.sampling_params.stop,
+                    )
+                    texts[out.rid] += text
+                    if stop is not None and not req.finished():
+                        req.set_finished_by_stop_str(stop)
+                        self.scheduler.running_batch = [
+                            r for r in self.scheduler.running_batch
+                            if r.rid != req.rid
+                        ]
+                        self.scheduler._cache_computed_prefix(
+                            req, unfinished=False
+                        )
+
+        out_dicts = [
+            self._make_result(r, texts[r.rid]) for r in reqs
+        ]
+        return out_dicts[0] if single else out_dicts
+
+    def _normalize_inputs(self, prompt, input_ids):
+        if input_ids is not None:
+            if not input_ids:
+                raise ValueError("input_ids must be non-empty")
+            single = isinstance(input_ids[0], int)
+            ids_list = [input_ids] if single else list(input_ids)
+            if any(not ids for ids in ids_list):
+                raise ValueError("input_ids must be non-empty")
+            return single, None, ids_list
+        assert prompt is not None, "prompt or input_ids required"
+        single = isinstance(prompt, str)
+        prompts = [prompt] if single else list(prompt)
+        assert self.tokenizer is not None
+        ids_list = [self.tokenizer.encode(p) for p in prompts]
+        return single, prompts, ids_list
+
+    def _make_result(self, req: Req, text: str) -> Dict[str, Any]:
+        meta: Dict[str, Any] = {
+            "id": req.rid,
+            "finish_reason": (
+                req.finish_reason.to_dict() if req.finish_reason else None
+            ),
+            "prompt_tokens": len(req.origin_input_ids),
+            "completion_tokens": len(req.output_ids),
+            "cached_tokens": req.prefix_len,
+        }
+        if req.sampling_params.return_logprob:
+            meta["output_token_logprobs"] = [
+                (lp, tid) for lp, tid in zip(
+                    req.output_token_logprobs, req.output_ids
+                )
+            ]
+        return {
+            "text": text,
+            "output_ids": list(req.output_ids),
+            "meta_info": meta,
+        }
+
+    # ------------------------------------------------------------------
+    def flush_cache(self) -> bool:
+        return self.scheduler.flush_cache()
+
+    def get_server_info(self) -> Dict[str, Any]:
+        return {
+            "model_path": self.server_args.model_path,
+            "max_total_num_tokens": self.runner.max_total_tokens,
+            "max_running_requests": self.runner.max_reqs,
+            "version": __import__("sglang_fluentllm_tpu").__version__,
+        }
+
+    def shutdown(self):
+        pass

@@ -1,0 +1,107 @@
+"""Qwen3 dense model (reference srt/models/qwen3.py parity).
+
+Qwen3 = Llama body with per-head q/k RMSNorm before RoPE, explicit head_dim,
+and no qkv bias.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_fluentllm_tpu.models.llama import LlamaForCausalLM
+from sglang_fluentllm_tpu.models.registry import register
+from sglang_fluentllm_tpu.ops.layernorm import rms_norm
+from sglang_fluentllm_tpu.ops.rotary import apply_rope
+from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+
+
+@register("Qwen3ForCausalLM")
+class Qwen3ForCausalLM(LlamaForCausalLM):
+    has_qkv_bias = False
+
+    def param_shapes(self):
+        shapes = super().param_shapes()
+        c = self.config
+        shapes["layers"]["q_norm"] = (c.num_hidden_layers, c.head_dim)
+        shapes["layers"]["k_norm"] = (c.num_hidden_layers, c.head_dim)
+        return shapes
+
+    def param_specs(self):
+        specs = super().param_specs()
+        specs["layers"]["q_norm"] = P()
+        specs["layers"]["k_norm"] = P()
+        return specs
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        params = super().init_dummy_params(seed, dtype)
+        params["layers"]["q_norm"] = jnp.ones_like(params["layers"]["q_norm"])
+        params["layers"]["k_norm"] = jnp.ones_like(params["layers"]["k_norm"])
+        return params
+
+    def forward(self, params, kv_cache, batch: ForwardBatch):
+        c = self.config
+        B, S = batch.input_ids.shape
+        Hq, Hk, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        eps = c.rms_norm_eps
+
+        h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+
+        def layer_fn(carry, xs):
+            h, kv_cache = carry
+            lp, layer_id = xs
+            normed = rms_norm(h, lp["input_layernorm"], eps)
+            q = (normed @ lp["q_proj"]).reshape(B, S, Hq, D)
+            k = (normed @ lp["k_proj"]).reshape(B, S, Hk, D)
+            v = (normed @ lp["v_proj"]).reshape(B, S, Hk, D)
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            attn_out, kv_cache = self.attn(
+                kv_cache, layer_id, q, k, v, batch, self.sm_scale
+            )
+            h = h + attn_out.reshape(B, S, Hq * D) @ lp["o_proj"]
+            normed2 = rms_norm(h, lp["post_attention_layernorm"], eps)
+            mlp = (jax.nn.silu(normed2 @ lp["gate_proj"])
+                   * (normed2 @ lp["up_proj"])) @ lp["down_proj"]
+            h = h + mlp
+            return (h, kv_cache), None
+
+        (h, kv_cache), _ = jax.lax.scan(
+            layer_fn,
+            (h, kv_cache),
+            (params["layers"],
+             jnp.arange(c.num_hidden_layers, dtype=jnp.int32)),
+        )
+        h = rms_norm(h, params["norm"], eps)
+        return kv_cache, h
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        import numpy as np
+
+        extras = {"q_norm": {}, "k_norm": {}}
+
+        def wrapped():
+            for name, w in named_tensors:
+                short = name[len("model."):] if name.startswith("model.") else name
+                if short.startswith("layers.") and (
+                    ".q_norm.weight" in short or ".k_norm.weight" in short
+                ):
+                    parts = short.split(".")
+                    li = int(parts[1])
+                    key = "q_norm" if "q_norm" in short else "k_norm"
+                    extras[key][li] = w
+                    continue
+                yield name, w
+
+        params = super().load_weights(wrapped(), dtype)
+        L = self.config.num_hidden_layers
+        for key in ("q_norm", "k_norm"):
+            params["layers"][key] = jnp.asarray(
+                np.stack([extras[key][i] for i in range(L)]), dtype=dtype
+            )
+        return params

@@ -1,0 +1,30 @@
+"""Model registry (analog of reference srt/models/registry.py:17,70)."""
+
+from __future__ import annotations
+
+from typing import Dict, Type
+
+_REGISTRY: Dict[str, type] = {}
+
+
+def register(*names):
+    def deco(cls):
+        for n in names:
+            _REGISTRY[n] = cls
+        return cls
+
+    return deco
+
+
+def get_model_class(architectures):
+    from sglang_fluentllm_tpu.models import llama  # noqa: F401 (populates)
+    from sglang_fluentllm_tpu.models import qwen3  # noqa: F401
+    from sglang_fluentllm_tpu.models import deepseek_v2  # noqa: F401
+
+    for arch in architectures:
+        if arch in _REGISTRY:
+            return _REGISTRY[arch]
+    raise ValueError(
+        f"No model class for architectures {architectures}; "
+        f"registered: {sorted(_REGISTRY)}"
+    )

@@ -1,0 +1,231 @@
+"""Reference (pure-jnp) paged attention backend.
+
+Analog of the reference's ``layers/attention/torch_native_backend.py`` /
+``torch_native_mla_backend.py``: a numerically trustworthy implementation that
+runs anywhere jnp runs (CPU tests, TPU fallback) and serves as the baseline
+the Pallas kernels are validated against (mirroring how the reference
+validates flashinfer/flashmla against torch natives).
+
+All functions are pure and shape-static: the paged KV cache is gathered by
+page table into dense ``[B, T, ...]`` tensors and masked by sequence lengths.
+The Pallas backends implement the same contracts without materializing the
+gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sglang_fluentllm_tpu.mem.kv_cache import (
+    MHAKVCache,
+    MLAKVCache,
+    MLAKVCacheFP8,
+    mha_write,
+    mla_write,
+    mla_write_fp8,
+)
+from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+
+NEG_INF = -1e30
+
+
+def page_gather(
+    cache_layer: jax.Array,  # [slots, ...]
+    page_tables: jax.Array,  # [B, P]
+    page_size: int,
+) -> jax.Array:
+    """Gather pages into dense [B, P*page_size, ...]."""
+    B, P = page_tables.shape
+    slots = (
+        page_tables[:, :, None] * page_size
+        + jnp.arange(page_size, dtype=page_tables.dtype)[None, None, :]
+    ).reshape(B, P * page_size)
+    return cache_layer[slots]
+
+
+def _causal_mask(
+    seq_lens: jax.Array,  # [B]
+    q_lens: jax.Array,    # [B]
+    S: int,
+    T: int,
+    custom_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """[B, S, T] bool: new token s (global pos seq_len - q_len + s) may
+    attend kv position t iff t <= pos(s) and t < seq_len and s < q_len."""
+    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :, None]       # [1,S,1]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, None, :]       # [1,1,T]
+    prefix = (seq_lens - q_lens)[:, None, None]                  # [B,1,1]
+    mask = (t_idx <= prefix + s_idx) & (t_idx < seq_lens[:, None, None])
+    mask &= s_idx < q_lens[:, None, None]
+    if custom_mask is not None:
+        # custom mask over the new-token block (spec-decode tree mask):
+        # kv position prefix + j corresponds to draft token j.
+        j = t_idx - prefix  # [B,1,T] index into the draft block
+        in_block = (j >= 0) & (j < q_lens[:, None, None])
+        Sm = custom_mask.shape[-1]
+        jj = jnp.clip(j, 0, Sm - 1)
+        cm = jnp.take_along_axis(
+            custom_mask, jnp.broadcast_to(jj, custom_mask.shape[:2] + (T,)),
+            axis=2,
+        )
+        mask &= jnp.where(in_block, cm, True)
+    return mask
+
+
+def mha_attend(
+    q: jax.Array,        # [B, S, Hq, D]
+    k: jax.Array,        # [B, T, Hk, D]
+    v: jax.Array,        # [B, T, Hk, Dv]
+    seq_lens: jax.Array,
+    q_lens: jax.Array,
+    sm_scale: float,
+    custom_mask: Optional[jax.Array] = None,
+    logit_cap: float = 0.0,
+) -> jax.Array:
+    B, S, Hq, D = q.shape
+    Hk = k.shape[2]
+    G = Hq // Hk
+    qf = q.astype(jnp.float32).reshape(B, S, Hk, G, D)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bskgd,btkd->bkgst", qf, kf) * sm_scale
+    if logit_cap > 0:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    mask = _causal_mask(seq_lens, q_lens, S, k.shape[1], custom_mask)
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, S, Hq, v.shape[-1]).astype(q.dtype)
+
+
+class RefAttentionBackend:
+    """MHA/GQA paged attention via gather + dense einsum."""
+
+    name = "ref"
+
+    def __call__(
+        self,
+        kv_cache: MHAKVCache,
+        layer_id: int,
+        q: jax.Array,       # [B, S, Hq, D]
+        k_new: jax.Array,   # [B, S, Hk, D]
+        v_new: jax.Array,   # [B, S, Hk, D]
+        batch: ForwardBatch,
+        sm_scale: float,
+        logit_cap: float = 0.0,
+    ) -> Tuple[jax.Array, MHAKVCache]:
+        B, S, Hk, D = k_new.shape
+        loc = batch.out_cache_loc.reshape(-1)
+        kv_cache = mha_write(
+            kv_cache, layer_id, loc,
+            k_new.reshape(B * S, Hk, D), v_new.reshape(B * S, Hk, D),
+        )
+        k = page_gather(kv_cache.k[layer_id], batch.page_tables,
+                        batch.page_size)
+        v = page_gather(kv_cache.v[layer_id], batch.page_tables,
+                        batch.page_size)
+        out = mha_attend(
+            q, k, v, batch.seq_lens, batch.q_lens, sm_scale,
+            batch.custom_mask, logit_cap,
+        )
+        return out, kv_cache
+
+
+class RefMLABackend:
+    """MLA paged attention over compressed KV (reference
+    ``deepseek_v2.py:622-1087`` forward_normal / forward_absorb semantics).
+
+    Extend uses the "normal" path (decompress gathered latent KV through the
+    kv_b projection); decode uses the "absorbed" path (query absorbed into
+    latent space, scores/context computed on the 512-d latents directly).
+    FP8 caches are dequantized per token on gather (SnapMLA layout).
+    """
+
+    name = "ref_mla"
+
+    def __call__(
+        self,
+        kv_cache,
+        layer_id: int,
+        q_nope: jax.Array,   # [B, S, H, dn]
+        q_pe: jax.Array,     # [B, S, H, dr] (rope applied)
+        ckv_new: jax.Array,  # [B, S, r]
+        kpe_new: jax.Array,  # [B, S, dr] (rope applied)
+        batch: ForwardBatch,
+        w_kc: jax.Array,     # [H, r, dn] (kv_b up-proj, K half)
+        w_vc: jax.Array,     # [H, r, dv] (kv_b up-proj, V half)
+        sm_scale: float,
+    ) -> Tuple[jax.Array, object]:
+        B, S, H, dn = q_nope.shape
+        r = ckv_new.shape[-1]
+        loc = batch.out_cache_loc.reshape(-1)
+        fp8 = isinstance(kv_cache, MLAKVCacheFP8)
+        if fp8:
+            kv_cache = mla_write_fp8(
+                kv_cache, layer_id, loc,
+                ckv_new.reshape(B * S, r),
+                kpe_new.reshape(B * S, -1),
+            )
+        else:
+            kv_cache = mla_write(
+                kv_cache, layer_id, loc,
+                ckv_new.reshape(B * S, r),
+                kpe_new.reshape(B * S, -1),
+            )
+
+        ckv = page_gather(kv_cache.ckv[layer_id], batch.page_tables,
+                          batch.page_size)          # [B, T, r]
+        kpe = page_gather(kv_cache.krope[layer_id], batch.page_tables,
+                          batch.page_size)          # [B, T, dr]
+        if fp8:
+            scale = page_gather(kv_cache.scale[layer_id], batch.page_tables,
+                                batch.page_size)    # [B, T, 1]
+            ckv = ckv.astype(jnp.float32) * scale
+        ckv = ckv.astype(jnp.float32)
+        kpe = kpe.astype(jnp.float32)
+
+        # absorbed path wins when the query block is short (decode/verify);
+        # normal path amortizes the latent decompression over long prefills
+        if batch.mode.is_decode() or S <= 4:
+            out = self._absorbed(
+                q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale
+            )
+        else:
+            out = self._normal(
+                q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale
+            )
+        return out, kv_cache
+
+    def _absorbed(self, q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale):
+        qf = q_nope.astype(jnp.float32)
+        q_abs = jnp.einsum("bshd,hdr->bshr", qf, w_kc.astype(jnp.float32))
+        scores = jnp.einsum("bshr,btr->bhst", q_abs, ckv)
+        scores += jnp.einsum("bshd,btd->bhst", q_pe.astype(jnp.float32), kpe)
+        scores *= sm_scale
+        S, T = q_nope.shape[1], ckv.shape[1]
+        mask = _causal_mask(batch.seq_lens, batch.q_lens, S, T,
+                            batch.custom_mask)
+        scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhst,btr->bshr", probs, ckv)
+        out = jnp.einsum("bshr,hrd->bshd", ctx, w_vc.astype(jnp.float32))
+        return out.astype(q_nope.dtype)
+
+    def _normal(self, q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale):
+        # decompress latents to per-head K/V then run dense attention
+        k_nope = jnp.einsum("btr,hrd->bthd", ckv, w_kc.astype(jnp.float32))
+        v = jnp.einsum("btr,hrd->bthd", ckv, w_vc.astype(jnp.float32))
+        H = q_nope.shape[2]
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(
+                kpe[:, :, None, :], kpe.shape[:2] + (H, kpe.shape[-1])
+            )],
+            axis=-1,
+        )
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+        return mha_attend(
+            q, k.astype(q.dtype), v.astype(q.dtype),
+            batch.seq_lens, batch.q_lens, sm_scale, batch.custom_mask,
+        )

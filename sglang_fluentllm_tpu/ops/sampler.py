@@ -1,0 +1,126 @@
+"""Token sampling inside the jitted step.
+
+Analog of the reference's ``layers/sampler.py`` (``Sampler:27``) +
+``sampling/sampling_batch_info.py`` (``SamplingBatchInfo:22``): per-request
+temperature / top-k / top-p / min-p live in padded device tensors; greedy
+requests short-circuit via a mask. Penalties (frequency/presence/repetition)
+are applied as additive/multiplicative logit adjustments computed by the
+scheduler-side penalizer orchestrator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e10
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplingMetadata:
+    """Padded per-request sampling tensors ([B] each)."""
+
+    temperature: jax.Array    # [B] f32 (>0; greedy rows use 1.0)
+    top_p: jax.Array          # [B] f32 in (0, 1]
+    top_k: jax.Array          # [B] i32 (<=0 means disabled)
+    min_p: jax.Array          # [B] f32
+    is_greedy: jax.Array      # [B] bool
+    # cumulative penalties, shape [B, V] or dummy [B, 1] when unused
+    linear_penalty: Optional[jax.Array] = None
+
+    @staticmethod
+    def from_lists(temps, top_ps, top_ks, min_ps, pad_to: int):
+        import numpy as np
+
+        n = len(temps)
+        pad = pad_to - n
+
+        def arr(xs, fill, dtype):
+            return jnp.asarray(
+                np.asarray(list(xs) + [fill] * pad, dtype=dtype)
+            )
+
+        greedy = [t <= 1e-5 or k == 1 for t, k in zip(temps, top_ks)]
+        return SamplingMetadata(
+            temperature=arr(
+                [max(t, 1e-5) for t in temps], 1.0, "float32"
+            ),
+            top_p=arr(top_ps, 1.0, "float32"),
+            top_k=arr(top_ks, -1, "int32"),
+            min_p=arr(min_ps, 0.0, "float32"),
+            is_greedy=arr(greedy, True, "bool"),
+        )
+
+
+def apply_top_k_top_p_min_p(
+    logits: jax.Array, meta: SamplingMetadata
+) -> jax.Array:
+    """Mask logits outside the top-k / nucleus / min-p sets. [B, V] -> [B, V]."""
+    B, V = logits.shape
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+
+    # top-k: threshold = k-th largest logit
+    k = jnp.where(meta.top_k > 0, meta.top_k, V)
+    k = jnp.clip(k, 1, V)
+    kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)
+    mask = logits < kth
+
+    # top-p: smallest set whose cumprob >= top_p. Keep tokens whose
+    # prefix-exclusive cumulative probability < top_p.
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    cum_exclusive = cum - probs_sorted
+    keep_sorted = cum_exclusive < meta.top_p[:, None]
+    # threshold logit: smallest kept logit
+    kept_count = jnp.sum(keep_sorted, axis=-1)
+    pth = jnp.take_along_axis(
+        sorted_logits, jnp.maximum(kept_count - 1, 0)[:, None], axis=-1
+    )
+    mask |= logits < pth
+
+    # min-p: drop tokens with prob < min_p * max_prob
+    max_logit = sorted_logits[:, :1]
+    probs = jnp.exp(
+        (logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True))
+    )
+    max_prob = jnp.take_along_axis(
+        probs, jnp.argmax(logits, axis=-1)[:, None], axis=-1
+    )
+    mask |= probs < (meta.min_p[:, None] * max_prob)
+
+    return jnp.where(mask, NEG_INF, logits)
+
+
+def sample(
+    logits: jax.Array,          # [B, V] f32
+    meta: SamplingMetadata,
+    key: jax.Array,
+) -> jax.Array:
+    """Returns sampled token ids [B] i32."""
+    logits = logits.astype(jnp.float32)
+    if meta.linear_penalty is not None and meta.linear_penalty.shape[-1] == logits.shape[-1]:
+        logits = logits + meta.linear_penalty
+    greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    scaled = logits / meta.temperature[:, None]
+    masked = apply_top_k_top_p_min_p(scaled, meta)
+    # Gumbel-max sampling (no per-row categorical loop)
+    gumbel = -jnp.log(
+        -jnp.log(
+            jax.random.uniform(
+                key, masked.shape, minval=1e-10, maxval=1.0
+            )
+        )
+    )
+    sampled = jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
+    return jnp.where(meta.is_greedy, greedy_ids, sampled)
+
+
+def compute_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
+    """Log P(token) per row; logits [B, V], token_ids [B] -> [B]."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, token_ids[:, None], axis=-1)[:, 0]

@@ -1,0 +1,121 @@
+"""Host-side batch construction: ragged request state -> padded ForwardBatch.
+
+This is the narrowing stage of the reference's
+ScheduleBatch -> ModelWorkerBatch -> ForwardBatch pipeline (SURVEY A.3),
+with the TPU twist that every tensor is padded to a bucket shape so the jit
+cache stays small (the role CUDA-graph padding plays in the reference,
+``cuda_graph_runner.py:460-525``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch, ForwardMode
+from sglang_fluentllm_tpu.utils import next_power_of_2, pick_bucket
+
+
+@dataclasses.dataclass
+class ExtendItem:
+    """Per-request host data for one extend (prefill/chunk) forward."""
+
+    input_ids: np.ndarray   # [extend_len] new token ids
+    prefix_len: int         # tokens already cached
+    slots: np.ndarray       # [extend_len] kv slots for the new tokens
+    pages: np.ndarray       # pages covering prefix+extend
+
+
+@dataclasses.dataclass
+class DecodeItem:
+    input_id: int           # last sampled token
+    seq_len: int            # total length including this token
+    slot: int               # kv slot for this token
+    pages: np.ndarray
+
+
+class BatchBuilder:
+    def __init__(self, page_size: int, decode_bs_buckets: Sequence[int],
+                 prefill_token_buckets: Sequence[int],
+                 min_pages_bucket: int = 8):
+        self.page_size = page_size
+        self.decode_bs_buckets = list(decode_bs_buckets)
+        self.prefill_token_buckets = list(prefill_token_buckets)
+        self.min_pages_bucket = min_pages_bucket
+
+    def _pages_bucket(self, max_pages: int) -> int:
+        return max(self.min_pages_bucket, next_power_of_2(max_pages))
+
+    def build_extend(self, items: List[ExtendItem],
+                     mode: ForwardMode = ForwardMode.EXTEND,
+                     custom_mask: Optional[np.ndarray] = None) -> ForwardBatch:
+        B = len(items)
+        Bp = pick_bucket([1, 2, 4, 8, 16, 32], B)
+        S = pick_bucket(
+            self.prefill_token_buckets, max(len(it.input_ids) for it in items)
+        )
+        P = self._pages_bucket(max(len(it.pages) for it in items))
+
+        input_ids = np.zeros((Bp, S), dtype=np.int32)
+        positions = np.zeros((Bp, S), dtype=np.int32)
+        out_loc = np.zeros((Bp, S), dtype=np.int32)
+        pages = np.zeros((Bp, P), dtype=np.int32)
+        seq_lens = np.zeros((Bp,), dtype=np.int32)
+        q_lens = np.zeros((Bp,), dtype=np.int32)
+        for i, it in enumerate(items):
+            e = len(it.input_ids)
+            input_ids[i, :e] = it.input_ids
+            positions[i, :e] = np.arange(it.prefix_len, it.prefix_len + e)
+            out_loc[i, :e] = it.slots
+            pages[i, : len(it.pages)] = it.pages
+            seq_lens[i] = it.prefix_len + e
+            q_lens[i] = e
+        cm = None
+        if custom_mask is not None:
+            cm = np.zeros((Bp, S, S), dtype=bool)
+            cm[: custom_mask.shape[0], : custom_mask.shape[1],
+               : custom_mask.shape[2]] = custom_mask
+            cm = jnp.asarray(cm)
+        return ForwardBatch(
+            input_ids=jnp.asarray(input_ids),
+            positions=jnp.asarray(positions),
+            out_cache_loc=jnp.asarray(out_loc),
+            page_tables=jnp.asarray(pages),
+            seq_lens=jnp.asarray(seq_lens),
+            q_lens=jnp.asarray(q_lens),
+            custom_mask=cm,
+            mode=mode,
+            page_size=self.page_size,
+        )
+
+    def build_decode(self, items: List[DecodeItem]) -> ForwardBatch:
+        B = len(items)
+        Bp = pick_bucket(self.decode_bs_buckets, B)
+        P = self._pages_bucket(max(len(it.pages) for it in items))
+
+        input_ids = np.zeros((Bp, 1), dtype=np.int32)
+        positions = np.zeros((Bp, 1), dtype=np.int32)
+        out_loc = np.zeros((Bp, 1), dtype=np.int32)
+        pages = np.zeros((Bp, P), dtype=np.int32)
+        seq_lens = np.zeros((Bp,), dtype=np.int32)
+        q_lens = np.zeros((Bp,), dtype=np.int32)
+        for i, it in enumerate(items):
+            input_ids[i, 0] = it.input_id
+            positions[i, 0] = it.seq_len - 1
+            out_loc[i, 0] = it.slot
+            pages[i, : len(it.pages)] = it.pages
+            seq_lens[i] = it.seq_len
+            q_lens[i] = 1
+        return ForwardBatch(
+            input_ids=jnp.asarray(input_ids),
+            positions=jnp.asarray(positions),
+            out_cache_loc=jnp.asarray(out_loc),
+            page_tables=jnp.asarray(pages),
+            seq_lens=jnp.asarray(seq_lens),
+            q_lens=jnp.asarray(q_lens),
+            mode=ForwardMode.DECODE,
+            page_size=self.page_size,
+        )

@@ -1,0 +1,241 @@
+"""ModelRunner — owns the device(s): params, KV pool, jitted step programs.
+
+Analog of the reference's ``model_executor/model_runner.py``
+(``ModelRunner:70``). Key translations (SURVEY §7 / B.2):
+- NCCL process groups        -> a ``jax.sharding.Mesh`` with axes (dp, tp)
+- CUDA-graph capture/replay  -> jit-compiled programs cached per bucket shape
+  (padding discipline lives in BatchBuilder)
+- per-GPU scheduler process  -> one runner per host process; all local chips
+  participate through sharding annotations.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from sglang_fluentllm_tpu.config import ModelConfig, ServerArgs
+from sglang_fluentllm_tpu.mem import (
+    KVAllocator,
+    ReqPool,
+    create_kv_cache,
+    kv_cell_bytes_per_token,
+)
+from sglang_fluentllm_tpu.models import get_model_class
+from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+    RefAttentionBackend,
+    RefMLABackend,
+)
+from sglang_fluentllm_tpu.ops.sampler import (
+    SamplingMetadata,
+    compute_logprobs,
+    sample,
+)
+from sglang_fluentllm_tpu.runtime.batch_builder import BatchBuilder
+from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+from sglang_fluentllm_tpu.runtime.weight_loader import load_model_params
+
+logger = logging.getLogger(__name__)
+
+DTYPE_MAP = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
+def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
+    """AttnInitializer analog (reference attn_initializer.py:48-105):
+    pick the attention kernel family from model properties."""
+    name = server_args.attention_backend
+    if name in (None, "auto"):
+        name = "ref_mla" if config.is_mla else "ref"
+    if name in ("ref", "paged"):
+        return RefAttentionBackend()
+    if name in ("ref_mla", "mla"):
+        return RefMLABackend()
+    raise ValueError(f"unknown attention backend {name}")
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: Optional[ModelConfig] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.server_args = server_args
+        self.model_config = model_config or ModelConfig.from_server_args(
+            server_args
+        )
+        self.dtype = DTYPE_MAP[server_args.dtype]
+
+        devices = jax.devices()
+        if mesh is None:
+            n = server_args.tp_size * server_args.dp_size
+            assert n <= len(devices), (
+                f"need {n} devices, have {len(devices)}"
+            )
+            mesh = Mesh(
+                np.asarray(devices[:n]).reshape(
+                    server_args.dp_size, server_args.tp_size
+                ),
+                ("dp", "tp"),
+            )
+        self.mesh = mesh
+
+        self.attn_backend = select_attn_backend(server_args, self.model_config)
+        model_cls = get_model_class(self.model_config.architectures)
+        self.model = model_cls(self.model_config, self.attn_backend)
+
+        self._load_params()
+        self._init_memory_pool()
+        self._init_jit()
+
+        self.rng_base = jax.random.PRNGKey(server_args.random_seed or 0)
+        self.step_counter = 0
+
+    # ------------------------------------------------------------------
+    def _shard(self, tree, specs):
+        if math.prod(self.mesh.devices.shape) == 1:
+            return jax.device_put(tree, self.mesh.devices.flatten()[0])
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            tree,
+            specs,
+        )
+
+    def _load_params(self):
+        params = load_model_params(self.model, self.server_args, self.dtype)
+        self.params = self._shard(params, self.model.param_specs())
+        n_params = sum(x.size for x in jax.tree.leaves(self.params))
+        logger.info("loaded %.2fM params", n_params / 1e6)
+
+    def _init_memory_pool(self):
+        sa = self.server_args
+        mc = self.model_config
+        cell = kv_cell_bytes_per_token(
+            mc,
+            dtype_bytes=jnp.dtype(self.dtype).itemsize,
+            kv_cache_dtype=sa.kv_cache_dtype,
+            attn_tp_size=1,  # pool is logically global; sharded over tp
+        )
+        if sa.max_total_tokens:
+            max_tokens = sa.max_total_tokens
+        else:
+            free = self._free_device_memory()
+            if free is None:
+                max_tokens = 1 << 16
+            else:
+                max_tokens = int(free * sa.mem_fraction_static) // cell
+        num_pages = max(1, max_tokens // sa.page_size)
+        self.num_pages = num_pages
+        self.max_total_tokens = num_pages * sa.page_size
+        max_context = min(
+            mc.context_length or 1 << 20, self.max_total_tokens
+        )
+        self.max_context_len = max_context
+
+        # max running reqs clamp (reference attn_initializer.py:127-136)
+        if sa.max_running_requests:
+            self.max_reqs = sa.max_running_requests
+        else:
+            self.max_reqs = int(
+                np.clip(self.max_total_tokens // 2048, 32, 4096)
+            )
+
+        num_slots = (num_pages + 1) * sa.page_size
+        kv_cache = create_kv_cache(
+            mc, num_slots, dtype=self.dtype, kv_cache_dtype=sa.kv_cache_dtype
+        )
+        # Shard MHA pools over kv heads (tp); MLA latents are replicated
+        # across the attn-tp group (per-token shared latent).
+        if hasattr(kv_cache, "k"):
+            spec = type(kv_cache)(
+                k=P(None, None, "tp", None), v=P(None, None, "tp", None)
+            )
+        else:
+            spec = jax.tree.map(lambda _: P(), kv_cache)
+        self.kv_cache = self._shard(kv_cache, spec)
+
+        self.allocator = KVAllocator(
+            num_pages, sa.page_size, self.max_reqs, max_context
+        )
+        self.req_pool = ReqPool(self.max_reqs)
+        self.batch_builder = BatchBuilder(
+            sa.page_size, sa.decode_bs_buckets, sa.prefill_token_buckets
+        )
+        logger.info(
+            "KV pool: %d pages x %d = %d tokens (%.2f GiB), max_reqs=%d",
+            num_pages, sa.page_size, self.max_total_tokens,
+            self.max_total_tokens * cell / (1 << 30), self.max_reqs,
+        )
+
+    def _free_device_memory(self) -> Optional[int]:
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats.get("bytes_limit")
+            used = stats.get("bytes_in_use", 0)
+            if limit:
+                return (limit - used)
+        except Exception:
+            pass
+        return None
+
+    # ------------------------------------------------------------------
+    def _init_jit(self):
+        model = self.model
+
+        def step_fn(params, kv_cache, batch: ForwardBatch,
+                    sampling: SamplingMetadata, key):
+            kv_cache, h = model.forward(params, kv_cache, batch)
+            # last-token hidden per request (LogitsProcessor pruning analog,
+            # reference logits_processor.py:219-290)
+            idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
+            h_last = jnp.take_along_axis(
+                h, idx[:, None, None], axis=1
+            )[:, 0]
+            logits = model.compute_logits(params, h_last)
+            ids = sample(logits, sampling, key)
+            logprobs = compute_logprobs(logits, ids)
+            return kv_cache, ids, logprobs
+
+        self._step = jax.jit(step_fn, donate_argnums=(1,))
+
+        def logits_fn(params, kv_cache, batch: ForwardBatch):
+            """Full per-position logits (for verify / logprob queries)."""
+            kv_cache, h = model.forward(params, kv_cache, batch)
+            logits = model.compute_logits(
+                params, h.reshape(-1, h.shape[-1])
+            ).reshape(h.shape[0], h.shape[1], -1)
+            return kv_cache, logits
+
+        self._logits_step = jax.jit(logits_fn, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def forward_batch_generation(
+        self, batch: ForwardBatch, sampling: SamplingMetadata
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Run one forward+sample step. Returns device arrays (ids [B],
+        logprobs [B]); callers that need host values np.asarray() them —
+        overlap scheduling defers that sync by one step."""
+        self.step_counter += 1
+        key = jax.random.fold_in(self.rng_base, self.step_counter)
+        self.kv_cache, ids, logprobs = self._step(
+            self.params, self.kv_cache, batch, sampling, key
+        )
+        return ids, logprobs
+
+    def forward_logits(self, batch: ForwardBatch) -> jax.Array:
+        self.kv_cache, logits = self._logits_step(
+            self.params, self.kv_cache, batch
+        )
+        return logits
