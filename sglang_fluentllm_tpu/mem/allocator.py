@@ -85,6 +85,7 @@ class KVAllocator:
         (reference ``allocator.py:60-102``). Returns the flat token-slot
         array, or None on OOM (no pages were taken in that case).
         """
+        assert req_idx is not None
         ps = self.page_size
         need_pages = self.pages_needed(alloced_len, extend_len)
         new_pages = self.alloc_pages(need_pages)
