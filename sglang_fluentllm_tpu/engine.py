@@ -122,13 +122,7 @@ class Engine:
                     texts[out.rid] += text
                     if stop is not None and not req.finished():
                         req.set_finished_by_stop_str(stop)
-                        self.scheduler.running_batch = [
-                            r for r in self.scheduler.running_batch
-                            if r.rid != req.rid
-                        ]
-                        self.scheduler._cache_computed_prefix(
-                            req, unfinished=False
-                        )
+                        self.scheduler.finish_request(req)
 
         out_dicts = [
             self._make_result(r, texts[r.rid]) for r in reqs

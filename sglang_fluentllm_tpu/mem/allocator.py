@@ -64,12 +64,23 @@ class KVAllocator:
             self._free_pages.extend(int(p) for p in pages)
 
     def free_group_begin(self):
-        self._free_group = []
+        if self._free_group is None:
+            self._free_group = []
 
     def free_group_end(self):
         group, self._free_group = self._free_group, None
         if group:
             self._free_pages.extend(group)
+
+    def free_group_take(self):
+        """Close the group and hand its pages to the caller (who releases
+        them once the overlap hazard window passes)."""
+        group, self._free_group = self._free_group or [], None
+        return group
+
+    def release_pages(self, pages: Sequence[int]):
+        """Return deferred pages to the free list immediately."""
+        self._free_pages.extend(int(p) for p in pages)
 
     # ------------------------------------------------------------------
     def pages_needed(self, alloced_len: int, extend_len: int) -> int:

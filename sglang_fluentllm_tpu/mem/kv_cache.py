@@ -6,8 +6,10 @@ tensors mutated by CUDA kernels, pools are immutable-by-convention JAX pytrees
 threaded through jit-compiled step functions with buffer donation, so XLA
 performs the writes in place.
 
-Layouts:
-- MHA: ``k/v: [num_layers, num_slots, num_kv_heads, head_dim]``
+Layouts (chosen for TPU DMA friendliness — a page is a contiguous
+``[page_size, dims]`` block per kv head, so the Pallas kernels stream pages
+with single DMAs):
+- MHA: ``k/v: [num_layers, num_kv_heads, num_slots, head_dim]``
 - MLA (bf16): ``ckv: [L, slots, kv_lora_rank]``, ``krope: [L, slots, rope_dim]``
 - MLA (FP8 per-token): the reference's triple layout contract
   (``memory_pool.py:635-649``): fp8 ckv + f32 per-token scale + bf16 rope.
@@ -29,8 +31,8 @@ from sglang_fluentllm_tpu.config.model_config import ModelConfig
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MHAKVCache:
-    k: jax.Array  # [L, slots, H_kv, D]
-    v: jax.Array  # [L, slots, H_kv, D]
+    k: jax.Array  # [L, H_kv, slots, D]
+    v: jax.Array  # [L, H_kv, slots, D]
 
 
 @jax.tree_util.register_dataclass
@@ -49,6 +51,14 @@ class MLAKVCacheFP8:
 
 
 KVCache = MHAKVCache | MLAKVCache | MLAKVCacheFP8
+
+LANE = 128
+
+
+def padded_head_dim(d: int) -> int:
+    """TPU lane alignment: Mosaic DMA/slicing requires the trailing dim to
+    be a multiple of 128, so sub-128 head dims are stored padded."""
+    return ((d + LANE - 1) // LANE) * LANE
 
 
 def create_kv_cache(
@@ -74,7 +84,7 @@ def create_kv_cache(
                             dtype=dtype),
         )
     h_kv = num_kv_heads_override or config.num_key_value_heads
-    shape = (L, num_slots, h_kv, config.head_dim)
+    shape = (L, h_kv, num_slots, padded_head_dim(config.head_dim))
     return MHAKVCache(k=jnp.zeros(shape, dtype=dtype),
                       v=jnp.zeros(shape, dtype=dtype))
 
@@ -86,10 +96,19 @@ def create_kv_cache(
 
 def mha_write(cache: MHAKVCache, layer_id: int, loc: jax.Array,
               k: jax.Array, v: jax.Array) -> MHAKVCache:
-    """loc: [T] int32 slots; k/v: [T, H_kv, D]."""
+    """loc: [T] int32 slots; k/v: [T, H_kv, D].
+
+    Note: with the advanced index ``loc`` separated by a slice, numpy
+    semantics put the T dim first, so the value is passed as [T, H, D].
+    """
+    Dp = cache.k.shape[-1]
+    if k.shape[-1] != Dp:
+        pad = [(0, 0)] * (k.ndim - 1) + [(0, Dp - k.shape[-1])]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
     return MHAKVCache(
-        k=cache.k.at[layer_id, loc].set(k.astype(cache.k.dtype)),
-        v=cache.v.at[layer_id, loc].set(v.astype(cache.v.dtype)),
+        k=cache.k.at[layer_id, :, loc].set(k.astype(cache.k.dtype)),
+        v=cache.v.at[layer_id, :, loc].set(v.astype(cache.v.dtype)),
     )
 
 
@@ -139,4 +158,4 @@ def kv_cell_bytes_per_token(
                         + config.qk_rope_head_dim * 2)
         return L * (config.kv_lora_rank + config.qk_rope_head_dim) * dtype_bytes
     h_kv = max(1, config.num_key_value_heads // attn_tp_size)
-    return L * 2 * h_kv * config.head_dim * dtype_bytes
+    return L * 2 * h_kv * padded_head_dim(config.head_dim) * dtype_bytes

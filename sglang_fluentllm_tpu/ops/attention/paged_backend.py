@@ -1,0 +1,76 @@
+"""Paged attention backend: Pallas decode kernel + jnp extend path.
+
+The production MHA/GQA backend (role of the reference's flashinfer backend,
+``attn_initializer.py:378`` registry): decode steps run the Pallas
+flash-decode kernel over the page table; extend steps use the dense-gather
+reference path (prefill is MXU-bound, where XLA's fused attention is already
+strong — a ragged Pallas prefill kernel can slot in here later).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sglang_fluentllm_tpu.mem.kv_cache import MHAKVCache, mha_write
+from sglang_fluentllm_tpu.ops.attention.pallas_decode import (
+    paged_decode_attention,
+)
+from sglang_fluentllm_tpu.ops.attention.ref_backend import RefAttentionBackend
+from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+
+
+class PagedAttentionBackend(RefAttentionBackend):
+    name = "paged"
+
+    def __call__(
+        self,
+        kv_cache: MHAKVCache,
+        layer_id: int,
+        q: jax.Array,       # [B, S, Hq, D]
+        k_new: jax.Array,   # [B, S, Hk, D]
+        v_new: jax.Array,   # [B, S, Hk, D]
+        batch: ForwardBatch,
+        sm_scale: float,
+        logit_cap: float = 0.0,
+    ) -> Tuple[jax.Array, MHAKVCache]:
+        if not batch.mode.is_decode():
+            return super().__call__(
+                kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
+                logit_cap,
+            )
+        B, S, Hk, D = k_new.shape
+        assert S == 1
+        loc = batch.out_cache_loc.reshape(-1)
+        kv_cache = mha_write(
+            kv_cache, layer_id, loc,
+            k_new.reshape(B, Hk, D), v_new.reshape(B, Hk, D),
+        )
+        Dp = kv_cache.k.shape[-1]
+        q2 = (q[:, 0] * sm_scale).astype(q.dtype)
+        if Dp != D:
+            q2 = jnp.pad(q2, ((0, 0), (0, 0), (0, Dp - D)))
+
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention,
+        )
+
+        ps = batch.page_size
+        k_pages = kv_cache.k[layer_id].reshape(Hk, -1, ps, Dp)
+        v_pages = kv_cache.v[layer_id].reshape(Hk, -1, ps, Dp)
+        # pages_per_sequence must divide pages_per_compute_block
+        ppcb = 8
+        P = batch.page_tables.shape[1]
+        P_pad = -(-P // ppcb) * ppcb
+        pt = batch.page_tables
+        if P_pad != P:
+            pt = jnp.pad(pt, ((0, 0), (0, P_pad - P)))
+        lengths = jnp.maximum(batch.seq_lens, 1)  # padded rows read page 0
+        out = paged_attention(
+            q2, k_pages, v_pages, lengths, pt,
+            pages_per_compute_block=min(ppcb, P_pad),
+            attn_logits_soft_cap=logit_cap if logit_cap > 0 else None,
+        )
+        return out[:, None, :, :D], kv_cache

@@ -32,18 +32,32 @@ from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
 NEG_INF = -1e30
 
 
+def _slot_ids(page_tables: jax.Array, page_size: int) -> jax.Array:
+    B, P = page_tables.shape
+    return (
+        page_tables[:, :, None] * page_size
+        + jnp.arange(page_size, dtype=page_tables.dtype)[None, None, :]
+    ).reshape(B, P * page_size)
+
+
 def page_gather(
-    cache_layer: jax.Array,  # [slots, ...]
+    cache_layer: jax.Array,  # [slots, ...] (MLA latent layout)
     page_tables: jax.Array,  # [B, P]
     page_size: int,
 ) -> jax.Array:
     """Gather pages into dense [B, P*page_size, ...]."""
-    B, P = page_tables.shape
-    slots = (
-        page_tables[:, :, None] * page_size
-        + jnp.arange(page_size, dtype=page_tables.dtype)[None, None, :]
-    ).reshape(B, P * page_size)
-    return cache_layer[slots]
+    return cache_layer[_slot_ids(page_tables, page_size)]
+
+
+def page_gather_mha(
+    cache_layer: jax.Array,  # [H_kv, slots, D]
+    page_tables: jax.Array,  # [B, P]
+    page_size: int,
+) -> jax.Array:
+    """Gather pages into dense [B, T, H_kv, D]."""
+    slots = _slot_ids(page_tables, page_size)        # [B, T]
+    g = cache_layer[:, slots]                        # [H, B, T, D]
+    return jnp.transpose(g, (1, 2, 0, 3))
 
 
 def _causal_mask(
@@ -122,10 +136,10 @@ class RefAttentionBackend:
             kv_cache, layer_id, loc,
             k_new.reshape(B * S, Hk, D), v_new.reshape(B * S, Hk, D),
         )
-        k = page_gather(kv_cache.k[layer_id], batch.page_tables,
-                        batch.page_size)
-        v = page_gather(kv_cache.v[layer_id], batch.page_tables,
-                        batch.page_size)
+        k = page_gather_mha(kv_cache.k[layer_id], batch.page_tables,
+                            batch.page_size)[..., :D]
+        v = page_gather_mha(kv_cache.v[layer_id], batch.page_tables,
+                            batch.page_size)[..., :D]
         out = mha_attend(
             q, k, v, batch.seq_lens, batch.q_lens, sm_scale,
             batch.custom_mask, logit_cap,
@@ -200,7 +214,7 @@ class RefMLABackend:
 
     def _absorbed(self, q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale):
         qf = q_nope.astype(jnp.float32)
-        q_abs = jnp.einsum("bshd,hdr->bshr", qf, w_kc.astype(jnp.float32))
+        q_abs = jnp.einsum("bshd,hrd->bshr", qf, w_kc.astype(jnp.float32))
         scores = jnp.einsum("bshr,btr->bhst", q_abs, ckv)
         scores += jnp.einsum("bshd,btd->bhst", q_pe.astype(jnp.float32), kpe)
         scores *= sm_scale

@@ -31,18 +31,23 @@ class SamplingMetadata:
     is_greedy: jax.Array      # [B] bool
     # cumulative penalties, shape [B, V] or dummy [B, 1] when unused
     linear_penalty: Optional[jax.Array] = None
+    # static fast path: host knows at batch-build time that every request
+    # is greedy -> jit specializes to a pure argmax (no sort, no gumbel)
+    all_greedy: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @staticmethod
     def from_lists(temps, top_ps, top_ks, min_ps, pad_to: int):
+        """Builds NUMPY-backed metadata; device conversion happens in the
+        packed transfer (runtime/packing.py) or implicitly under jit."""
         import numpy as np
 
         n = len(temps)
         pad = pad_to - n
 
         def arr(xs, fill, dtype):
-            return jnp.asarray(
-                np.asarray(list(xs) + [fill] * pad, dtype=dtype)
-            )
+            return np.asarray(list(xs) + [fill] * pad, dtype=dtype)
 
         greedy = [t <= 1e-5 or k == 1 for t, k in zip(temps, top_ks)]
         return SamplingMetadata(
@@ -53,6 +58,7 @@ class SamplingMetadata:
             top_k=arr(top_ks, -1, "int32"),
             min_p=arr(min_ps, 0.0, "float32"),
             is_greedy=arr(greedy, True, "bool"),
+            all_greedy=all(greedy),
         )
 
 
@@ -105,6 +111,8 @@ def sample(
     if meta.linear_penalty is not None and meta.linear_penalty.shape[-1] == logits.shape[-1]:
         logits = logits + meta.linear_penalty
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if meta.all_greedy:
+        return greedy_ids
 
     scaled = logits / meta.temperature[:, None]
     masked = apply_top_k_top_p_min_p(scaled, meta)

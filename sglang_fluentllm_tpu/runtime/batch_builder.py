@@ -1,5 +1,8 @@
 """Host-side batch construction: ragged request state -> padded ForwardBatch.
 
+Fields stay NUMPY here: the runner packs them into a single transfer
+(runtime/packing.py) before dispatch.
+
 This is the narrowing stage of the reference's
 ScheduleBatch -> ModelWorkerBatch -> ForwardBatch pipeline (SURVEY A.3),
 with the TPU twist that every tensor is padded to a bucket shape so the jit
@@ -78,14 +81,13 @@ class BatchBuilder:
             cm = np.zeros((Bp, S, S), dtype=bool)
             cm[: custom_mask.shape[0], : custom_mask.shape[1],
                : custom_mask.shape[2]] = custom_mask
-            cm = jnp.asarray(cm)
         return ForwardBatch(
-            input_ids=jnp.asarray(input_ids),
-            positions=jnp.asarray(positions),
-            out_cache_loc=jnp.asarray(out_loc),
-            page_tables=jnp.asarray(pages),
-            seq_lens=jnp.asarray(seq_lens),
-            q_lens=jnp.asarray(q_lens),
+            input_ids=input_ids,
+            positions=positions,
+            out_cache_loc=out_loc,
+            page_tables=pages,
+            seq_lens=seq_lens,
+            q_lens=q_lens,
             custom_mask=cm,
             mode=mode,
             page_size=self.page_size,
@@ -110,12 +112,12 @@ class BatchBuilder:
             seq_lens[i] = it.seq_len
             q_lens[i] = 1
         return ForwardBatch(
-            input_ids=jnp.asarray(input_ids),
-            positions=jnp.asarray(positions),
-            out_cache_loc=jnp.asarray(out_loc),
-            page_tables=jnp.asarray(pages),
-            seq_lens=jnp.asarray(seq_lens),
-            q_lens=jnp.asarray(q_lens),
+            input_ids=input_ids,
+            positions=positions,
+            out_cache_loc=out_loc,
+            page_tables=pages,
+            seq_lens=seq_lens,
+            q_lens=q_lens,
             mode=ForwardMode.DECODE,
             page_size=self.page_size,
         )

@@ -11,6 +11,7 @@ Analog of the reference's ``model_executor/model_runner.py``
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import math
 from functools import partial
@@ -41,6 +42,7 @@ from sglang_fluentllm_tpu.ops.sampler import (
 )
 from sglang_fluentllm_tpu.runtime.batch_builder import BatchBuilder
 from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+from sglang_fluentllm_tpu.runtime.packing import pack_batch, unpack_batch
 from sglang_fluentllm_tpu.runtime.weight_loader import load_model_params
 
 logger = logging.getLogger(__name__)
@@ -54,11 +56,23 @@ DTYPE_MAP = {
 
 def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
     """AttnInitializer analog (reference attn_initializer.py:48-105):
-    pick the attention kernel family from model properties."""
+    pick the attention kernel family from model properties. On TPU the
+    Pallas paged kernels are the default; the jnp reference backends serve
+    CPU tests and numerics debugging."""
     name = server_args.attention_backend
+    on_tpu = jax.default_backend() == "tpu"
     if name in (None, "auto"):
-        name = "ref_mla" if config.is_mla else "ref"
-    if name in ("ref", "paged"):
+        if config.is_mla:
+            name = "mla"
+        else:
+            name = "paged" if on_tpu else "ref"
+    if name == "paged":
+        from sglang_fluentllm_tpu.ops.attention.paged_backend import (
+            PagedAttentionBackend,
+        )
+
+        return PagedAttentionBackend()
+    if name == "ref":
         return RefAttentionBackend()
     if name in ("ref_mla", "mla"):
         return RefMLABackend()
@@ -96,12 +110,13 @@ class ModelRunner:
         model_cls = get_model_class(self.model_config.architectures)
         self.model = model_cls(self.model_config, self.attn_backend)
 
+        self.rng_base = jax.random.PRNGKey(server_args.random_seed or 0)
+        self.step_counter = 0
+        self._future_ct = 0
+
         self._load_params()
         self._init_memory_pool()
         self._init_jit()
-
-        self.rng_base = jax.random.PRNGKey(server_args.random_seed or 0)
-        self.step_counter = 0
 
     # ------------------------------------------------------------------
     def _shard(self, tree, specs):
@@ -160,7 +175,7 @@ class ModelRunner:
         # across the attn-tp group (per-token shared latent).
         if hasattr(kv_cache, "k"):
             spec = type(kv_cache)(
-                k=P(None, None, "tp", None), v=P(None, None, "tp", None)
+                k=P(None, "tp", None, None), v=P(None, "tp", None, None)
             )
         else:
             spec = jax.tree.map(lambda _: P(), kv_cache)
@@ -191,11 +206,33 @@ class ModelRunner:
         return None
 
     # ------------------------------------------------------------------
+    FUTURE_CAP = 1 << 14
+
     def _init_jit(self):
         model = self.model
+        cap = self.FUTURE_CAP
+        # Device-resident ring of sampled token ids — the analog of the
+        # reference's future_token_ids_map (tp_worker_overlap_thread.py:44):
+        # negative input ids are placeholders resolved on-device, so decode
+        # steps chain without any host sync (SURVEY A.4 TPU translation).
+        self.future_map = jnp.zeros((cap,), jnp.int32)
 
-        def step_fn(params, kv_cache, batch: ForwardBatch,
-                    sampling: SamplingMetadata, key):
+        base_key = self.rng_base
+
+        def step_fn(params, kv_cache, future_map, ints, floats, meta,
+                    custom_mask):
+            # unpack the single-transfer batch (runtime/packing.py); the
+            # trailing two ints are [future_write_offset, step_counter]
+            batch, sampling = unpack_batch(
+                ints[:-2], floats, meta, custom_mask
+            )
+            write_offset = ints[-2]
+            key = jax.random.fold_in(base_key, ints[-1])
+            ids_in = batch.input_ids
+            resolved = jnp.where(
+                ids_in < 0, future_map[(-ids_in - 1) % cap], ids_in
+            )
+            batch = dataclasses.replace(batch, input_ids=resolved)
             kv_cache, h = model.forward(params, kv_cache, batch)
             # last-token hidden per request (LogitsProcessor pruning analog,
             # reference logits_processor.py:219-290)
@@ -206,9 +243,14 @@ class ModelRunner:
             logits = model.compute_logits(params, h_last)
             ids = sample(logits, sampling, key)
             logprobs = compute_logprobs(logits, ids)
-            return kv_cache, ids, logprobs
+            future_map = jax.lax.dynamic_update_slice(
+                future_map, ids, (write_offset,)
+            )
+            return kv_cache, future_map, ids, logprobs
 
-        self._step = jax.jit(step_fn, donate_argnums=(1,))
+        self._step = jax.jit(
+            step_fn, donate_argnums=(1, 2), static_argnums=(5,)
+        )
 
         def logits_fn(params, kv_cache, batch: ForwardBatch):
             """Full per-position logits (for verify / logprob queries)."""
@@ -222,17 +264,37 @@ class ModelRunner:
 
     # ------------------------------------------------------------------
     def forward_batch_generation(
-        self, batch: ForwardBatch, sampling: SamplingMetadata
+        self,
+        batch: ForwardBatch,
+        sampling: SamplingMetadata,
+        future_offset: int = 0,
     ) -> Tuple[jax.Array, jax.Array]:
         """Run one forward+sample step. Returns device arrays (ids [B],
-        logprobs [B]); callers that need host values np.asarray() them —
-        overlap scheduling defers that sync by one step."""
+        logprobs [B]) WITHOUT syncing — overlap scheduling resolves them one
+        iteration later. Sampled ids are also written into the on-device
+        future map at [future_offset, future_offset + B)."""
         self.step_counter += 1
-        key = jax.random.fold_in(self.rng_base, self.step_counter)
-        self.kv_cache, ids, logprobs = self._step(
-            self.params, self.kv_cache, batch, sampling, key
+        ints, floats, meta = pack_batch(batch, sampling)
+        ints = np.concatenate(
+            [ints, [future_offset, self.step_counter]]
+        ).astype(np.int32)
+        cm = batch.custom_mask
+        if cm is not None:
+            cm = jnp.asarray(cm)
+        self.kv_cache, self.future_map, ids, logprobs = self._step(
+            self.params, self.kv_cache, self.future_map,
+            jnp.asarray(ints), jnp.asarray(floats), meta, cm,
         )
         return ids, logprobs
+
+    def claim_future_slots(self, n: int) -> int:
+        """Reserve n contiguous ring slots; returns the base offset."""
+        cap = self.FUTURE_CAP
+        if self._future_ct + n > cap:
+            self._future_ct = 0
+        base = self._future_ct
+        self._future_ct += n
+        return base
 
     def forward_logits(self, batch: ForwardBatch) -> jax.Array:
         self.kv_cache, logits = self._logits_step(

@@ -66,6 +66,10 @@ class Req:
         self.admitted_extend = 0     # extend granted by PrefillAdder
         self.alloced_len = 0         # KV slots reserved (>= num_computed)
 
+        # --- overlap scheduling (SURVEY A.4) ---
+        self.inflight = 0            # sampled-but-unresolved tokens
+        self.last_future_slot: Optional[int] = None  # ring slot of newest
+
         # --- logprobs ---
         self.output_token_logprobs: List[float] = []
 

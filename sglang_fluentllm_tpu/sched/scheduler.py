@@ -1,13 +1,18 @@
-"""Continuous-batching scheduler.
+"""Continuous-batching scheduler with overlap scheduling.
 
 Analog of the reference's ``managers/scheduler.py`` (``Scheduler:170``,
 ``get_next_batch_to_run:1245``, ``get_new_batch_prefill:1334``,
-``update_running_batch:1491``) + ``scheduler_post_process_mixin.py``.
+``update_running_batch:1491``) + ``scheduler_post_process_mixin.py`` +
+``tp_worker_overlap_thread.py`` (overlap protocol, SURVEY A.4).
 
-Single-host design: the scheduler drives the ModelRunner synchronously via
-``step()``; the serving layer runs this loop in a dedicated thread (overlap
-scheduling exploits JAX async dispatch — device arrays are returned un-synced
-and resolved one iteration later, the analog of tp_worker_overlap_thread).
+Overlap design (TPU translation of the reference's future-token protocol):
+``step()`` first LAUNCHES the next batch — decode inputs are negative
+placeholders resolved on-device from the runner's future-token ring — and
+only then RESOLVES the previous batch's sampled ids (host sync). The device
+therefore always has work queued while the host processes results and builds
+the following batch; a request that finishes at resolve time may have one
+extra speculative decode in flight whose token is discarded (zombie step),
+exactly like the reference.
 """
 
 from __future__ import annotations
@@ -48,6 +53,20 @@ class StepOutput:
     prompt_tokens: int = 0
 
 
+@dataclasses.dataclass
+class InFlightBatch:
+    """A launched-but-unresolved forward (the overlap window)."""
+
+    reqs: List[Req]
+    mode: ForwardMode
+    ids_dev: Any
+    logprobs_dev: Any
+    this_extends: Optional[List[int]] = None  # per-req extend (extend mode)
+    # whether row i sampled a token, captured at LAUNCH time (req.is_chunked
+    # may be mutated by the next admission before this batch resolves)
+    sampled: Optional[List[bool]] = None
+
+
 class Scheduler:
     def __init__(self, server_args: ServerArgs, runner: ModelRunner):
         self.server_args = server_args
@@ -66,10 +85,19 @@ class Scheduler:
         self.waiting_queue: List[Req] = []
         self.running_batch: List[Req] = []
         self.chunked_req: Optional[Req] = None
+        self.pending: Optional[InFlightBatch] = None
+        self.overlap = not server_args.disable_overlap_schedule
         self.new_token_ratio = INIT_NEW_TOKEN_RATIO
         self._ratio_decay = (
             INIT_NEW_TOKEN_RATIO - MIN_NEW_TOKEN_RATIO
         ) / NEW_TOKEN_RATIO_DECAY_STEPS
+
+        # Deferred frees: a page freed while a forward is in flight may
+        # still be read by that forward; it returns to the free list only
+        # after the next resolve sync proves the hazard window closed
+        # (reference allocator free_group semantics, SURVEY A.1).
+        self._deferred_frees: List[int] = []
+        self.allocator.free_group_begin()
 
         # stats
         self.num_generated_tokens = 0
@@ -81,21 +109,33 @@ class Scheduler:
         req.queued_time = time.monotonic()
         self.waiting_queue.append(req)
 
-    def abort_request(self, rid: str):
-        for r in self.waiting_queue:
+    def abort_request(self, rid: str) -> bool:
+        for r in list(self.waiting_queue):
             if r.rid == rid:
                 r.abort()
                 self.waiting_queue.remove(r)
                 return True
         for r in self.running_batch:
             if r.rid == rid:
-                r.abort()
+                self.finish_request(r, abort=True)
                 return True
         return False
 
+    def finish_request(self, req: Req, abort: bool = False):
+        """External finish (stop-string from detokenizer, abort)."""
+        if abort:
+            req.abort()
+        if req in self.running_batch:
+            self.running_batch.remove(req)
+        if req.inflight == 0:
+            self._finalize_req(req)
+
     def has_work(self) -> bool:
         return bool(
-            self.waiting_queue or self.running_batch or self.chunked_req
+            self.waiting_queue
+            or self.running_batch
+            or self.chunked_req
+            or self.pending
         )
 
     # ------------------------------------------------------------------
@@ -103,9 +143,12 @@ class Scheduler:
         slots = self.allocator.alloc_extend(req_idx, alloced, extend)
         if slots is None:
             need = self.allocator.pages_needed(alloced, extend)
+            # evicted pages are unlocked (no scheduled request reads them;
+            # a zombie overlap step may read stale data but its token is
+            # discarded) -> reusable immediately, bypassing the deferral
             self.tree_cache.evict(
                 need - self.allocator.available_pages(),
-                self.allocator.free_pages,
+                self.allocator.release_pages,
             )
             slots = self.allocator.alloc_extend(req_idx, alloced, extend)
         return slots
@@ -120,7 +163,10 @@ class Scheduler:
         if self.chunked_req is not None:
             candidates.append(self.chunked_req)
         self.policy.calc_priority(self.waiting_queue)
-        candidates.extend(self.waiting_queue)
+        # requests with unresolved tokens (just retracted) can't prefill yet
+        candidates.extend(
+            r for r in self.waiting_queue if r.inflight == 0
+        )
 
         adder = PrefillAdder(
             self.page_size,
@@ -131,7 +177,6 @@ class Scheduler:
             self.server_args.max_prefill_tokens,
             self.server_args.chunked_prefill_size,
         )
-        # room for running decode + new prefills
         max_new = self.runner.max_reqs - len(self.running_batch)
         for req in candidates:
             if len(adder.can_run_list) >= max_new:
@@ -148,13 +193,14 @@ class Scheduler:
                 self.waiting_queue.remove(req)
         return adder.can_run_list
 
-    def prepare_extend_items(self, reqs: List[Req]) -> Optional[List[ExtendItem]]:
+    def prepare_extend_items(
+        self, reqs: List[Req]
+    ) -> Optional[List[ExtendItem]]:
         items = []
         for req in list(reqs):
             if req.req_pool_idx is None:
                 req.req_pool_idx = self.req_pool.alloc()
                 assert req.req_pool_idx is not None
-                # fresh request: install radix-matched prefix
                 m = self.tree_cache.match_prefix(req.fill_ids)
                 # never match the *entire* sequence (need >=1 token to
                 # compute logits); back off one page if so
@@ -171,14 +217,12 @@ class Scheduler:
 
             extend = min(req.admitted_extend or req.extend_len,
                          req.extend_len)
-            # sanity: never extend 0 tokens
             assert extend > 0, f"zero extend for {req}"
             req._this_extend = extend  # type: ignore[attr-defined]
             slots = self._evict_and_alloc(
                 req.req_pool_idx, req.num_computed_tokens, extend
             )
             if slots is None:
-                # out of memory mid-preparation: return req to queue
                 logger.warning("prefill OOM; requeueing %s", req.rid)
                 self._release_req_kv(req)
                 self.waiting_queue.insert(0, req)
@@ -203,45 +247,58 @@ class Scheduler:
     # ------------------------------------------------------------------
     # Decode path
     # ------------------------------------------------------------------
-    def prepare_decode_items(self) -> Optional[List[DecodeItem]]:
+    def prepare_decode(self):
+        """Returns (reqs, items) for the next decode step, retracting on
+        OOM. Requests at their token limit (pending resolution) are not
+        stepped again."""
         self.new_token_ratio = max(
             MIN_NEW_TOKEN_RATIO, self.new_token_ratio - self._ratio_decay
         )
+        reqs: List[Req] = []
         items: List[DecodeItem] = []
         i = 0
         while i < len(self.running_batch):
             req = self.running_batch[i]
-            pos = req.seq_len - 1  # position of the token being fed
-            slots = self._evict_and_alloc(req.req_pool_idx, pos, 1)
+            if (
+                len(req.output_ids) + req.inflight
+                >= req.sampling_params.max_new_tokens
+            ):
+                i += 1
+                continue  # will finish at resolve time
+            total = req.seq_len + req.inflight  # incl. token being fed
+            slots = self._evict_and_alloc(
+                req.req_pool_idx, req.alloced_len, 1
+            )
             if slots is None:
-                # retract among reqs not yet in this batch (>= i)
                 self._retract_decode(min_idx=i)
-                continue  # retry (running_batch shrank)
-            req.alloced_len = req.seq_len
+                continue
+            req.alloced_len = total
+            if req.last_future_slot is not None:
+                input_id = -(req.last_future_slot + 1)
+            else:
+                input_id = req.output_ids[-1]
             items.append(
                 DecodeItem(
-                    input_id=req.output_ids[-1],
-                    seq_len=req.seq_len,
+                    input_id=input_id,
+                    seq_len=total,
                     slot=int(slots[0]),
-                    pages=self.allocator.req_pages(
-                        req.req_pool_idx, req.seq_len
-                    ),
+                    pages=self.allocator.req_pages(req.req_pool_idx, total),
                 )
             )
+            reqs.append(req)
             i += 1
-        return items if items else None
+        return reqs, items
 
     def _retract_decode(self, min_idx: int = 0):
         """Evict the newest running request back to the waiting queue
-        (reference schedule_batch.py:533 retract_decode). Only requests at
-        index >= min_idx are candidates (earlier ones are already in the
-        batch being built)."""
+        (reference schedule_batch.py:533 retract_decode)."""
         candidates = self.running_batch[min_idx:]
         assert candidates, "decode OOM with no retractable request"
         req = max(candidates, key=lambda r: r.arrival_time)
         self.running_batch.remove(req)
         self._release_req_kv(req)
         req.is_chunked = False
+        req.admitted_extend = 0
         self.waiting_queue.insert(0, req)
         self.new_token_ratio = INIT_NEW_TOKEN_RATIO
         self.num_retracted += 1
@@ -251,7 +308,7 @@ class Scheduler:
         """Free all device KV held by the request; keep radix-shared pages."""
         if req.req_pool_idx is None:
             return
-        total = max(req.alloced_len, req.num_computed_tokens, 1)
+        total = max(req.alloced_len, 1)
         tree_pages = (
             self.tree_cache.match_prefix(req.fill_ids).page_ids
             if not self.tree_cache.disable
@@ -276,27 +333,31 @@ class Scheduler:
         """Insert the page-aligned computed tokens into the radix tree and
         reconcile page ownership (reference cache_finished_req /
         cache_unfinished_req, radix_cache.py:312-421)."""
+        if req.req_pool_idx is None:
+            return
         if self.tree_cache.disable:
             if not unfinished:
                 self.allocator.free_req_pages(
-                    req.req_pool_idx, req.num_computed_tokens
+                    req.req_pool_idx, max(req.alloced_len, 1)
                 )
+                self.req_pool.free(req.req_pool_idx)
+                req.req_pool_idx = None
             return
         ps = self.page_size
-        n_tok = req.num_computed_tokens
+        # only RESOLVED tokens can be keyed in the tree
+        n_tok = min(req.num_computed_tokens, req.seq_len)
         aligned = (n_tok // ps) * ps
         ids = req.fill_ids[:aligned]
         my_pages = [
-            int(p) for p in self.allocator.req_pages(req.req_pool_idx, aligned)
+            int(p)
+            for p in self.allocator.req_pages(req.req_pool_idx, aligned)
         ]
         self.tree_cache.insert(ids, my_pages)
         m = self.tree_cache.match_prefix(ids)
         tree_pages = m.page_ids
         # free any of our pages the tree didn't adopt (duplicates), and
         # install the tree's pages so our page table matches shared state
-        dup = [
-            p for p, tp in zip(my_pages, tree_pages) if p != tp
-        ]
+        dup = [p for p, tp in zip(my_pages, tree_pages) if p != tp]
         if dup:
             self.allocator.free_pages(dup)
         self.allocator.set_prefix_pages(req.req_pool_idx, tree_pages)
@@ -308,10 +369,10 @@ class Scheduler:
         req.last_node = m.last_node
 
         if not unfinished:
-            # free the unaligned tail + release everything
+            # free the unaligned tail (incl. zombie overlap slots)
             self.allocator.free_req_pages(
                 req.req_pool_idx,
-                total_len=n_tok,
+                total_len=max(req.alloced_len, n_tok),
                 keep_len=aligned,
             )
             self.tree_cache.dec_lock_ref(req.last_node)
@@ -319,21 +380,45 @@ class Scheduler:
             self.req_pool.free(req.req_pool_idx)
             req.req_pool_idx = None
 
+    def _finalize_req(self, req: Req):
+        req.finish_time = time.monotonic()
+        self._cache_computed_prefix(req, unfinished=False)
+
     # ------------------------------------------------------------------
-    # Main iteration
+    # Main iteration: launch next batch, then resolve the previous one.
     # ------------------------------------------------------------------
     def step(self) -> List[StepOutput]:
-        """One scheduling iteration (event_loop_normal body)."""
+        launched = self._launch_next()
+        prev, self.pending = self.pending, launched
+        outputs = self._resolve(prev) if prev is not None else []
+        if not self.overlap and self.pending is not None:
+            outputs.extend(self._resolve(self.pending))
+            self.pending = None
+        # Safe point: resolving prev synced the device, so forwards launched
+        # before the previous step are complete -> release last step's
+        # deferred pages; pages freed this step start their deferral.
+        if prev is not None or self.pending is None:
+            group = self.allocator.free_group_take()
+            self.allocator.release_pages(self._deferred_frees)
+            self._deferred_frees = (
+                group if self.pending is not None else []
+            )
+            if self.pending is None:
+                self.allocator.release_pages(group)
+            self.allocator.free_group_begin()
+        return outputs
+
+    def _launch_next(self) -> Optional[InFlightBatch]:
         prefill_reqs = self.get_new_batch_prefill()
         if prefill_reqs:
             items = self.prepare_extend_items(prefill_reqs)
             if items:
-                return self._run_extend(prefill_reqs, items)
+                return self._launch_extend(prefill_reqs, items)
         if self.running_batch:
-            items = self.prepare_decode_items()
+            reqs, items = self.prepare_decode()
             if items:
-                return self._run_decode(items)
-        return []
+                return self._launch_decode(reqs, items)
+        return None
 
     def _sampling_meta(self, reqs: List[Req], pad_to: int) -> SamplingMetadata:
         sps = [r.sampling_params for r in reqs]
@@ -345,67 +430,97 @@ class Scheduler:
             pad_to,
         )
 
-    def _run_extend(self, reqs: List[Req], items) -> List[StepOutput]:
+    def _launch_extend(self, reqs, items) -> InFlightBatch:
         batch = self.runner.batch_builder.build_extend(items)
         sampling = self._sampling_meta(reqs, batch.batch_size)
-        ids, logprobs = self.runner.forward_batch_generation(batch, sampling)
-        ids = np.asarray(ids)
-        logprobs = np.asarray(logprobs)
-
-        outputs = []
+        offset = self.runner.claim_future_slots(batch.batch_size)
+        ids, logprobs = self.runner.forward_batch_generation(
+            batch, sampling, offset
+        )
+        this_extends = []
+        sampled = []
         for i, req in enumerate(reqs):
+            this_extends.append(req._this_extend)  # type: ignore
             req.num_computed_tokens += req._this_extend  # type: ignore
-            if req.is_chunked:
+            sampled.append(not req.is_chunked)
+            if not req.is_chunked:
+                req.inflight += 1
+                req.last_future_slot = offset + i
+        return InFlightBatch(
+            reqs=list(reqs),
+            mode=ForwardMode.EXTEND,
+            ids_dev=ids,
+            logprobs_dev=logprobs,
+            this_extends=this_extends,
+            sampled=sampled,
+        )
+
+    def _launch_decode(self, reqs, items) -> InFlightBatch:
+        batch = self.runner.batch_builder.build_decode(items)
+        sampling = self._sampling_meta(reqs, batch.batch_size)
+        offset = self.runner.claim_future_slots(batch.batch_size)
+        ids, logprobs = self.runner.forward_batch_generation(
+            batch, sampling, offset
+        )
+        for i, req in enumerate(reqs):
+            req.num_computed_tokens = req.seq_len + req.inflight
+            req.inflight += 1
+            req.last_future_slot = offset + i
+        return InFlightBatch(
+            reqs=list(reqs),
+            mode=ForwardMode.DECODE,
+            ids_dev=ids,
+            logprobs_dev=logprobs,
+        )
+
+    # ------------------------------------------------------------------
+    def _resolve(self, batch: InFlightBatch) -> List[StepOutput]:
+        ids = np.asarray(batch.ids_dev)      # host sync (one step behind)
+        logprobs = np.asarray(batch.logprobs_dev)
+        outputs: List[StepOutput] = []
+        for i, req in enumerate(batch.reqs):
+            if batch.sampled is not None and not batch.sampled[i]:
                 # mid-chunk: no token sampled; publish prefix into the tree
                 self._cache_computed_prefix(req, unfinished=True)
                 continue
-            if req.sampling_params.max_new_tokens == 0:
-                # nothing to generate: prefill-only request (scoring/warmup)
-                req.check_finished()
-            else:
-                token = int(ids[i])
-                req.output_ids.append(token)
-                req.output_token_logprobs.append(float(logprobs[i]))
-                if req.first_token_time is None:
-                    req.first_token_time = time.monotonic()
-                self.num_generated_tokens += 1
-                req.check_finished()
+            req.inflight -= 1
             if req.finished():
-                req.finish_time = time.monotonic()
-                self._cache_computed_prefix(req, unfinished=False)
-            else:
-                # share the prompt KV immediately (reference caches
-                # unfinished prefill so parallel reqs reuse it)
-                self._cache_computed_prefix(req, unfinished=True)
-                req.status = ReqStatus.RUNNING
-                self.running_batch.append(req)
-            outputs.append(self._make_output(req))
-        return outputs
-
-    def _run_decode(self, items) -> List[StepOutput]:
-        reqs = list(self.running_batch)
-        batch = self.runner.batch_builder.build_decode(items)
-        sampling = self._sampling_meta(reqs, batch.batch_size)
-        ids, logprobs = self.runner.forward_batch_generation(batch, sampling)
-        ids = np.asarray(ids)
-        logprobs = np.asarray(logprobs)
-
-        outputs = []
-        still_running = []
-        for i, req in enumerate(reqs):
-            req.num_computed_tokens += 1
+                # zombie overlap step of an already-finished request
+                if req.inflight == 0 and req.req_pool_idx is not None:
+                    self._finalize_req(req)
+                continue
+            if (
+                req.sampling_params.max_new_tokens == 0
+                and batch.mode == ForwardMode.EXTEND
+            ):
+                req.check_finished()
+                if req.inflight == 0:
+                    self._finalize_req(req)
+                outputs.append(self._make_output(req))
+                continue
             token = int(ids[i])
             req.output_ids.append(token)
             req.output_token_logprobs.append(float(logprobs[i]))
+            if req.first_token_time is None:
+                req.first_token_time = time.monotonic()
             self.num_generated_tokens += 1
             req.check_finished()
             if req.finished():
-                req.finish_time = time.monotonic()
-                self._cache_computed_prefix(req, unfinished=False)
+                if req in self.running_batch:
+                    self.running_batch.remove(req)
+                if req in self.waiting_queue:  # finished while retracted
+                    self.waiting_queue.remove(req)
+                if req.inflight == 0:
+                    self._finalize_req(req)
             else:
-                still_running.append(req)
+                if batch.mode == ForwardMode.EXTEND:
+                    # share the prompt KV immediately so parallel requests
+                    # reuse it (reference caches unfinished prefill)
+                    self._cache_computed_prefix(req, unfinished=True)
+                    if req not in self.running_batch:
+                        req.status = ReqStatus.RUNNING
+                        self.running_batch.append(req)
             outputs.append(self._make_output(req))
-        self.running_batch = still_running
         return outputs
 
     def _make_output(self, req: Req) -> StepOutput:
@@ -431,9 +546,16 @@ class Scheduler:
     # ------------------------------------------------------------------
     def flush_cache(self) -> bool:
         """Reference scheduler.py:1793 flush_cache: only when idle."""
-        if self.running_batch or self.waiting_queue or self.chunked_req:
+        if (
+            self.running_batch
+            or self.waiting_queue
+            or self.chunked_req
+            or self.pending
+        ):
             return False
         self.tree_cache.reset()
         self.allocator.clear()
+        self._deferred_frees = []
+        self.allocator.free_group_begin()
         self.req_pool.clear()
         return True

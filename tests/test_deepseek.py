@@ -1,0 +1,76 @@
+"""DeepSeek-V2 MLA+MoE end-to-end on the tiny config (CPU jax).
+
+Covers: MLA normal (prefill) + absorbed (decode) paths over the compressed
+KV cache, dense-replace layer + MoE tower, FP8 per-token KV variant.
+"""
+
+import numpy as np
+import pytest
+
+from tests.utils import TINY_DEEPSEEK_CFG, tiny_engine
+
+PROMPT = [3, 11, 42, 7, 19, 88, 5, 23, 54, 17]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return tiny_engine(TINY_DEEPSEEK_CFG)
+
+
+class TestDeepseekV2:
+    def test_greedy_generation(self, engine):
+        out = engine.generate(
+            input_ids=PROMPT,
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0},
+        )
+        assert len(out["output_ids"]) == 8
+
+    def test_greedy_deterministic(self, engine):
+        sp = {"max_new_tokens": 6, "temperature": 0.0}
+        o1 = engine.generate(input_ids=PROMPT, sampling_params=sp)
+        o2 = engine.generate(input_ids=PROMPT, sampling_params=sp)
+        assert o1["output_ids"] == o2["output_ids"]
+
+    def test_decode_matches_prefill_logits(self, engine):
+        """Absorbed decode continuation == one-shot prefill over the same
+        tokens (normal path): generate 4, then re-prefill prompt+3 and the
+        4th token must match."""
+        sp = {"max_new_tokens": 4, "temperature": 0.0}
+        out = engine.generate(input_ids=PROMPT, sampling_params=sp)
+        toks = out["output_ids"]
+        engine.flush_cache()
+        out2 = engine.generate(
+            input_ids=PROMPT + toks[:3],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        assert out2["output_ids"][0] == toks[3]
+
+    def test_batch(self, engine):
+        outs = engine.generate(
+            input_ids=[PROMPT, PROMPT[:4], list(range(20))],
+            sampling_params={"max_new_tokens": 5, "temperature": 0.0},
+        )
+        assert all(len(o["output_ids"]) == 5 for o in outs)
+
+
+class TestDeepseekFP8KV:
+    def test_fp8_kv_close_to_bf16(self):
+        sp = {"max_new_tokens": 8, "temperature": 0.0}
+        e_ref = tiny_engine(TINY_DEEPSEEK_CFG)
+        ref = e_ref.generate(input_ids=PROMPT, sampling_params=sp,
+                             return_logprob=True)
+        e_fp8 = tiny_engine(TINY_DEEPSEEK_CFG, kv_cache_dtype="fp8_e4m3")
+        got = e_fp8.generate(input_ids=PROMPT, sampling_params=sp,
+                             return_logprob=True)
+        # same greedy tokens for a few steps; logprobs close
+        assert got["output_ids"][:4] == ref["output_ids"][:4]
+
+    def test_fp8_pool_layout(self):
+        from sglang_fluentllm_tpu.mem.kv_cache import MLAKVCacheFP8
+
+        e = tiny_engine(TINY_DEEPSEEK_CFG, kv_cache_dtype="fp8_e4m3")
+        kv = e.runner.kv_cache
+        assert isinstance(kv, MLAKVCacheFP8)
+        assert kv.ckv.dtype.name == "float8_e4m3fn"
+        assert kv.scale.dtype.name == "float32"
+        assert kv.krope.dtype.name == "bfloat16"

@@ -1,0 +1,129 @@
+"""Pallas paged attention kernels vs the jnp reference backend.
+
+Mirrors the reference's kernel-vs-torch-native test pattern
+(test/srt/test_triton_attention_kernels.py). Runs the kernels in TPU
+interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from sglang_fluentllm_tpu.ops.attention.pallas_decode import (
+    paged_decode_attention,
+)
+from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+    mha_attend,
+    page_gather_mha,
+)
+
+
+def make_case(B, Hq, Hk, D, page_size, max_pages, seq_lens, seed=0,
+              dtype=jnp.float32):
+    """Caches are built at the production (lane-padded) head dim: dims
+    [D, Dp) are zero (mem/kv_cache.py padded_head_dim contract)."""
+    from sglang_fluentllm_tpu.mem.kv_cache import padded_head_dim
+
+    rng = np.random.RandomState(seed)
+    num_pages = B * max_pages + 1
+    slots = num_pages * page_size
+    Dp = padded_head_dim(D)
+    k_cache = np.zeros((Hk, slots, Dp), np.float32)
+    v_cache = np.zeros((Hk, slots, Dp), np.float32)
+    k_cache[..., :D] = rng.standard_normal((Hk, slots, D))
+    v_cache[..., :D] = rng.standard_normal((Hk, slots, D))
+    # zero the padding page so masked reads are benign
+    k_cache[:, :page_size] = 0
+    v_cache[:, :page_size] = 0
+    # each request gets its own distinct pages (shuffled, page 0 reserved)
+    perm = rng.permutation(num_pages - 1) + 1
+    page_tables = np.zeros((B, max_pages), np.int32)
+    for i in range(B):
+        n = -(-int(seq_lens[i]) // page_size)
+        page_tables[i, :n] = perm[i * max_pages : i * max_pages + n]
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32)
+    return (
+        jnp.asarray(q, dtype),
+        jnp.asarray(k_cache, dtype),
+        jnp.asarray(v_cache, dtype),
+        jnp.asarray(page_tables),
+        jnp.asarray(np.asarray(seq_lens, np.int32)),
+    )
+
+
+def ref_decode(q, k_cache, v_cache, page_tables, seq_lens, page_size,
+               sm_scale):
+    D = q.shape[-1]
+    k = page_gather_mha(k_cache, page_tables, page_size)[..., :D]
+    v = page_gather_mha(v_cache, page_tables, page_size)[..., :D]
+    q_lens = (seq_lens > 0).astype(jnp.int32)
+    out = mha_attend(q[:, None], k, v, seq_lens, q_lens, sm_scale)
+    return out[:, 0]
+
+
+def pallas_decode(q, k_cache, v_cache, page_tables, seq_lens, page_size,
+                  sm_scale):
+    D = q.shape[-1]
+    Dp = k_cache.shape[-1]
+    q2 = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D))) if Dp != D else q
+    out = paged_decode_attention(
+        q2, k_cache, v_cache, page_tables, seq_lens,
+        page_size=page_size, sm_scale=sm_scale,
+    )
+    return out[..., :D]
+
+
+@pytest.mark.parametrize(
+    "B,Hq,Hk,D,page_size,seqs",
+    [
+        (2, 4, 4, 64, 16, [5, 37]),          # MHA, ragged lens
+        (4, 8, 2, 64, 16, [1, 16, 33, 64]),  # GQA 4:1, page-aligned + not
+        (2, 14, 2, 64, 16, [100, 3]),        # qwen-like 7:1 grouping
+        (1, 4, 4, 128, 16, [257]),           # D=128, multi-chunk
+        (3, 4, 2, 64, 4, [2, 9, 31]),        # tiny pages
+    ],
+)
+def test_paged_decode_matches_ref(B, Hq, Hk, D, page_size, seqs):
+    max_pages = max(-(-s // page_size) for s in seqs) + 1
+    q, kc, vc, pt, sl = make_case(B, Hq, Hk, D, page_size, max_pages, seqs)
+    sm_scale = 1.0 / np.sqrt(D)
+    ref = ref_decode(q, kc, vc, pt, sl, page_size, sm_scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_decode(q, kc, vc, pt, sl, page_size, sm_scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_paged_decode_bf16():
+    seqs = [40, 17]
+    q, kc, vc, pt, sl = make_case(
+        2, 8, 2, 64, 16, 4, seqs, dtype=jnp.bfloat16
+    )
+    sm_scale = 1.0 / np.sqrt(64)
+    ref = ref_decode(q, kc, vc, pt, sl, 16, sm_scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_decode(q, kc, vc, pt, sl, 16, sm_scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_paged_decode_padded_rows():
+    """Rows with seq_len 0 (batch padding) must come out all-zero/finite."""
+    seqs = [32, 0, 7]
+    q, kc, vc, pt, sl = make_case(3, 4, 4, 64, 16, 3, seqs)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_decode(q, kc, vc, pt, sl, 16, 0.125)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert np.abs(out[1]).max() == 0.0
+
+    ref = np.asarray(ref_decode(q, kc, vc, pt, sl, 16, 0.125))
+    np.testing.assert_allclose(out[0], ref[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out[2], ref[2], rtol=2e-5, atol=2e-5)
