@@ -64,6 +64,7 @@ def build_engine():
         page_size=PAGE_SIZE,
         max_total_tokens=BATCH_SIZE * (PREFILL_LEN + LONG_NEW + 64),
         max_running_requests=2 * BATCH_SIZE,
+        decode_steps_per_launch=8,
         random_seed=0,
     )
 
@@ -94,8 +95,10 @@ def main():
             for _ in range(BATCH_SIZE)
         ]
 
-    # warmup: compile prefill + decode buckets
+    # warmup: compile every (prefill, decode-window) shape both phases hit
     run(engine, prompts(99), SHORT_NEW)
+    engine.flush_cache()
+    run(engine, prompts(98), LONG_NEW)
     engine.flush_cache()
 
     t_short = run(engine, prompts(1), SHORT_NEW)

@@ -80,6 +80,10 @@ class ServerArgs:
     decode_bs_buckets: Optional[List[int]] = None
     prefill_token_buckets: Optional[List[int]] = None
     disable_jit_warmup: bool = False
+    # decode steps fused into one device program (host cost amortization —
+    # the analog of the reference fusing multi-step spec decode into a
+    # single CUDA graph). 1 = classic one-step decode.
+    decode_steps_per_launch: int = 1
 
     # ---- quantization ----
     quantization: Optional[str] = None  # fp8 | w8a8_int8

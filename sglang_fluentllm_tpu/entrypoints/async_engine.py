@@ -1,0 +1,278 @@
+"""Async serving engine: scheduler thread + asyncio request hub.
+
+Analog of the reference's ``managers/tokenizer_manager.py`` (``TokenizerManager:139``
+— per-rid ReqState, streaming outputs back to awaiting coroutines) fused with
+``run_scheduler_process`` (``scheduler.py:2078``). Single-host TPU topology:
+instead of one scheduler OS-process per GPU rank wired over ZMQ, ONE
+scheduler thread owns all local chips through the jitted runner; the HTTP
+layer talks to it through thread-safe queues. The ZMQ process split returns
+for multi-host serving (disaggregation / dp router).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+import queue
+import threading
+import time
+import uuid
+from typing import Any, AsyncIterator, Dict, List, Optional, Union
+
+from sglang_fluentllm_tpu.config import ModelConfig, ServerArgs
+from sglang_fluentllm_tpu.engine import load_eos_ids, load_tokenizer
+from sglang_fluentllm_tpu.runtime.model_runner import ModelRunner
+from sglang_fluentllm_tpu.sched.detokenizer import Detokenizer
+from sglang_fluentllm_tpu.sched.req import Req
+from sglang_fluentllm_tpu.sched.sampling_params import SamplingParams
+from sglang_fluentllm_tpu.sched.scheduler import Scheduler, StepOutput
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class _ReqState:
+    req: Req
+    out_queue: asyncio.Queue
+    created: float
+    text: str = ""
+
+
+class AsyncEngine:
+    """Owns tokenizer + scheduler thread; exposes async generate APIs."""
+
+    def __init__(self, server_args: ServerArgs):
+        self.server_args = server_args
+        self.tokenizer = None
+        if not server_args.skip_tokenizer_init:
+            self.tokenizer = load_tokenizer(server_args.tokenizer_path)
+        self.eos_token_ids = load_eos_ids(
+            server_args.model_path, self.tokenizer
+        )
+        self.model_config = ModelConfig.from_server_args(server_args)
+        self.runner = ModelRunner(server_args, self.model_config)
+        self.scheduler = Scheduler(server_args, self.runner)
+        self.detokenizer = (
+            Detokenizer(self.tokenizer) if self.tokenizer else None
+        )
+
+        self._input: "queue.Queue[tuple]" = queue.Queue()
+        self._states: Dict[str, _ReqState] = {}
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._shutdown = threading.Event()
+        self._paused = threading.Event()
+        self._thread = threading.Thread(
+            target=self._scheduler_loop, daemon=True, name="scheduler"
+        )
+        self._thread.start()
+        self.start_time = time.time()
+        self.last_receive_time = time.time()
+
+    # ------------------------------------------------------------------
+    # scheduler thread
+    # ------------------------------------------------------------------
+    def _scheduler_loop(self):
+        while not self._shutdown.is_set():
+            self._drain_input(block=not self.scheduler.has_work())
+            if self._paused.is_set():
+                time.sleep(0.005)
+                continue
+            if not self.scheduler.has_work():
+                continue
+            try:
+                outputs = self.scheduler.step()
+            except Exception:
+                logger.exception("scheduler step failed")
+                self._fail_all()
+                continue
+            if outputs and self._loop is not None:
+                self._loop.call_soon_threadsafe(self._publish, outputs)
+
+    def _drain_input(self, block: bool):
+        try:
+            item = self._input.get(
+                timeout=0.05 if block else 0.0
+            ) if block else self._input.get_nowait()
+        except queue.Empty:
+            return
+        while True:
+            kind, payload = item
+            if kind == "req":
+                self.scheduler.add_request(payload)
+            elif kind == "finish":
+                rid, stop_str = payload
+                st = self._states.get(rid)
+                if st is not None and not st.req.finished():
+                    st.req.set_finished_by_stop_str(stop_str)
+                    self.scheduler.finish_request(st.req)
+            elif kind == "abort":
+                self.scheduler.abort_request(payload)
+                st = self._states.get(payload)
+                if st is not None and self._loop is not None:
+                    self._loop.call_soon_threadsafe(
+                        self._publish,
+                        [self._abort_output(st.req)],
+                    )
+            elif kind == "flush":
+                payload(self.scheduler.flush_cache())
+            try:
+                item = self._input.get_nowait()
+            except queue.Empty:
+                return
+
+    def _abort_output(self, req: Req) -> StepOutput:
+        return StepOutput(
+            rid=req.rid,
+            output_ids=list(req.output_ids),
+            new_token_ids=[],
+            finished=True,
+            finish_reason={"type": "abort"},
+            prompt_tokens=len(req.origin_input_ids),
+        )
+
+    def _fail_all(self):
+        if self._loop is None:
+            return
+        outs = []
+        for st in self._states.values():
+            if not st.req.finished():
+                st.req.abort()
+                outs.append(self._abort_output(st.req))
+        self._loop.call_soon_threadsafe(self._publish, outs)
+
+    def _publish(self, outputs: List[StepOutput]):
+        for out in outputs:
+            st = self._states.get(out.rid)
+            if st is not None:
+                st.out_queue.put_nowait(out)
+
+    # ------------------------------------------------------------------
+    # async API (called from the event loop)
+    # ------------------------------------------------------------------
+    async def generate(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params: Optional[Union[Dict, SamplingParams]] = None,
+        rid: Optional[str] = None,
+        stream: bool = False,
+    ) -> Union[Dict[str, Any], AsyncIterator[Dict[str, Any]]]:
+        gen = self.generate_stream(prompt, input_ids, sampling_params, rid)
+        if stream:
+            return gen
+        final = None
+        async for chunk in gen:
+            final = chunk
+        return final
+
+    async def generate_stream(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params: Optional[Union[Dict, SamplingParams]] = None,
+        rid: Optional[str] = None,
+    ) -> AsyncIterator[Dict[str, Any]]:
+        self._loop = asyncio.get_running_loop()
+        self.last_receive_time = time.time()
+        sp = SamplingParams.from_dict(sampling_params)
+        if input_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            input_ids = self.tokenizer.encode(prompt)
+        if not input_ids:
+            raise ValueError("input_ids must be non-empty")
+        max_ctx = self.runner.max_context_len
+        if len(input_ids) + sp.max_new_tokens >= max_ctx:
+            raise ValueError(
+                f"request length {len(input_ids)}+{sp.max_new_tokens} "
+                f"exceeds context length {max_ctx}"
+            )
+        rid = rid or uuid.uuid4().hex
+        req = Req(rid, input_ids, sp, eos_token_ids=self.eos_token_ids)
+        st = _ReqState(req=req, out_queue=asyncio.Queue(),
+                       created=time.time())
+        self._states[rid] = st
+        self._input.put(("req", req))
+        try:
+            while True:
+                out: StepOutput = await st.out_queue.get()
+                delta_text = ""
+                if self.detokenizer is not None and out.new_token_ids:
+                    delta_text, stop = self.detokenizer.detokenize_incremental(
+                        rid, out.new_token_ids, out.finished,
+                        sp.skip_special_tokens, sp.stop,
+                    )
+                    st.text += delta_text
+                    if stop is not None and not out.finished:
+                        self._input.put(("finish", (rid, stop)))
+                        out = dataclasses.replace(
+                            out, finished=True,
+                            finish_reason={"type": "stop", "matched": stop},
+                        )
+                yield self._format_output(st, out, delta_text)
+                if out.finished:
+                    return
+        finally:
+            self._states.pop(rid, None)
+
+    def _format_output(self, st: _ReqState, out: StepOutput,
+                       delta_text: str) -> Dict[str, Any]:
+        meta: Dict[str, Any] = {
+            "id": out.rid,
+            "finish_reason": out.finish_reason,
+            "prompt_tokens": out.prompt_tokens,
+            "completion_tokens": len(out.output_ids),
+            "cached_tokens": out.cached_tokens,
+            "e2e_latency": time.time() - st.created,
+        }
+        if out.output_token_logprobs is not None:
+            meta["output_token_logprobs"] = [
+                (lp, tid)
+                for lp, tid in zip(out.output_token_logprobs, out.output_ids)
+            ]
+        return {
+            "text": st.text,
+            "delta_text": delta_text,
+            "output_ids": list(out.output_ids),
+            "new_token_ids": list(out.new_token_ids),
+            "meta_info": meta,
+        }
+
+    # ------------------------------------------------------------------
+    def abort_request(self, rid: str):
+        self._input.put(("abort", rid))
+
+    async def flush_cache(self) -> bool:
+        self._loop = asyncio.get_running_loop()
+        loop = self._loop
+        fut: asyncio.Future = loop.create_future()
+        self._input.put(
+            ("flush", lambda v: loop.call_soon_threadsafe(fut.set_result, v))
+        )
+        return await fut
+
+    def pause_generation(self):
+        self._paused.set()
+
+    def continue_generation(self):
+        self._paused.clear()
+
+    def get_server_info(self) -> Dict[str, Any]:
+        return {
+            "model_path": self.server_args.model_path,
+            "tokenizer_path": self.server_args.tokenizer_path,
+            "served_model_name": self.server_args.served_model_name,
+            "max_total_num_tokens": self.runner.max_total_tokens,
+            "max_running_requests": self.runner.max_reqs,
+            "page_size": self.server_args.page_size,
+            "dtype": self.server_args.dtype,
+            "attention_backend": self.runner.attn_backend.name,
+            "num_generated_tokens": self.scheduler.num_generated_tokens,
+            "num_retracted": self.scheduler.num_retracted,
+            "uptime": time.time() - self.start_time,
+            "version": __import__("sglang_fluentllm_tpu").__version__,
+        }
+
+    def shutdown(self):
+        self._shutdown.set()
+        self._thread.join(timeout=5)

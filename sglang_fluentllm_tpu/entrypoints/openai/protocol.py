@@ -1,0 +1,251 @@
+"""OpenAI-compatible API protocol models.
+
+Analog of the reference's ``srt/entrypoints/openai/protocol.py`` (862 LoC
+pydantic protocol). Core request/response surfaces for chat completions,
+completions, models and embeddings; tool-call plumbing arrives with the
+function_call subsystem.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Any, Dict, List, Literal, Optional, Union
+
+from pydantic import BaseModel, Field
+
+
+class ModelCard(BaseModel):
+    id: str
+    object: str = "model"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    owned_by: str = "sglang_fluentllm_tpu"
+
+
+class ModelList(BaseModel):
+    object: str = "list"
+    data: List[ModelCard] = []
+
+
+class UsageInfo(BaseModel):
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+    total_tokens: int = 0
+    prompt_tokens_details: Optional[Dict[str, int]] = None
+
+
+class FunctionCall(BaseModel):
+    name: Optional[str] = None
+    arguments: str = ""
+
+
+class ToolCall(BaseModel):
+    id: str
+    type: str = "function"
+    index: Optional[int] = None
+    function: FunctionCall
+
+
+class Function(BaseModel):
+    name: str
+    description: Optional[str] = None
+    parameters: Optional[Dict[str, Any]] = None
+    strict: bool = False
+
+
+class Tool(BaseModel):
+    type: str = "function"
+    function: Function
+
+
+class ChatMessage(BaseModel):
+    role: Optional[str] = None
+    content: Optional[Union[str, List[Dict[str, Any]]]] = None
+    reasoning_content: Optional[str] = None
+    tool_calls: Optional[List[ToolCall]] = None
+    tool_call_id: Optional[str] = None
+    name: Optional[str] = None
+
+
+class ChatCompletionRequest(BaseModel):
+    model: str = ""
+    messages: List[ChatMessage]
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    min_p: float = 0.0
+    n: int = 1
+    max_tokens: Optional[int] = None
+    max_completion_tokens: Optional[int] = None
+    stop: Optional[Union[str, List[str]]] = None
+    stream: bool = False
+    stream_options: Optional[Dict[str, Any]] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    logprobs: bool = False
+    top_logprobs: Optional[int] = None
+    response_format: Optional[Dict[str, Any]] = None
+    tools: Optional[List[Tool]] = None
+    tool_choice: Optional[Union[str, Dict[str, Any]]] = "auto"
+    ignore_eos: bool = False
+    skip_special_tokens: bool = True
+    seed: Optional[int] = None
+
+    def to_sampling_params(self) -> Dict[str, Any]:
+        max_new = (
+            self.max_completion_tokens or self.max_tokens or 1024
+        )
+        sp: Dict[str, Any] = dict(
+            max_new_tokens=max_new,
+            temperature=self.temperature,
+            top_p=self.top_p,
+            top_k=self.top_k,
+            min_p=self.min_p,
+            stop=self.stop,
+            presence_penalty=self.presence_penalty,
+            frequency_penalty=self.frequency_penalty,
+            repetition_penalty=self.repetition_penalty,
+            ignore_eos=self.ignore_eos,
+            skip_special_tokens=self.skip_special_tokens,
+            return_logprob=self.logprobs,
+            top_logprobs_num=self.top_logprobs or 0,
+        )
+        rf = self.response_format
+        if rf:
+            if rf.get("type") == "json_schema":
+                import json as _json
+
+                schema = rf.get("json_schema", {}).get("schema")
+                if schema is not None:
+                    sp["json_schema"] = _json.dumps(schema)
+            elif rf.get("type") == "json_object":
+                sp["json_schema"] = '{"type": "object"}'
+        return sp
+
+
+class ChatCompletionChoice(BaseModel):
+    index: int
+    message: ChatMessage
+    logprobs: Optional[Dict[str, Any]] = None
+    finish_reason: Optional[str] = None
+
+
+class ChatCompletionResponse(BaseModel):
+    id: str = Field(default_factory=lambda: f"chatcmpl-{uuid.uuid4().hex}")
+    object: str = "chat.completion"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    choices: List[ChatCompletionChoice] = []
+    usage: Optional[UsageInfo] = None
+
+
+class DeltaMessage(BaseModel):
+    role: Optional[str] = None
+    content: Optional[str] = None
+    reasoning_content: Optional[str] = None
+    tool_calls: Optional[List[ToolCall]] = None
+
+
+class ChatCompletionStreamChoice(BaseModel):
+    index: int
+    delta: DeltaMessage
+    logprobs: Optional[Dict[str, Any]] = None
+    finish_reason: Optional[str] = None
+
+
+class ChatCompletionStreamResponse(BaseModel):
+    id: str
+    object: str = "chat.completion.chunk"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    choices: List[ChatCompletionStreamChoice] = []
+    usage: Optional[UsageInfo] = None
+
+
+class CompletionRequest(BaseModel):
+    model: str = ""
+    prompt: Union[str, List[str], List[int], List[List[int]]] = ""
+    suffix: Optional[str] = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    min_p: float = 0.0
+    n: int = 1
+    max_tokens: int = 16
+    stop: Optional[Union[str, List[str]]] = None
+    stream: bool = False
+    stream_options: Optional[Dict[str, Any]] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    logprobs: Optional[int] = None
+    echo: bool = False
+    ignore_eos: bool = False
+    skip_special_tokens: bool = True
+    json_schema: Optional[str] = None
+    regex: Optional[str] = None
+    ebnf: Optional[str] = None
+    seed: Optional[int] = None
+
+    def to_sampling_params(self) -> Dict[str, Any]:
+        return dict(
+            max_new_tokens=self.max_tokens,
+            temperature=self.temperature,
+            top_p=self.top_p,
+            top_k=self.top_k,
+            min_p=self.min_p,
+            stop=self.stop,
+            presence_penalty=self.presence_penalty,
+            frequency_penalty=self.frequency_penalty,
+            repetition_penalty=self.repetition_penalty,
+            ignore_eos=self.ignore_eos,
+            skip_special_tokens=self.skip_special_tokens,
+            return_logprob=self.logprobs is not None,
+            top_logprobs_num=self.logprobs or 0,
+            json_schema=self.json_schema,
+            regex=self.regex,
+            ebnf=self.ebnf,
+        )
+
+
+class CompletionChoice(BaseModel):
+    index: int
+    text: str
+    logprobs: Optional[Dict[str, Any]] = None
+    finish_reason: Optional[str] = None
+
+
+class CompletionResponse(BaseModel):
+    id: str = Field(default_factory=lambda: f"cmpl-{uuid.uuid4().hex}")
+    object: str = "text_completion"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    choices: List[CompletionChoice] = []
+    usage: Optional[UsageInfo] = None
+
+
+class EmbeddingRequest(BaseModel):
+    model: str = ""
+    input: Union[str, List[str], List[int], List[List[int]]]
+    encoding_format: str = "float"
+
+
+class ErrorResponse(BaseModel):
+    object: str = "error"
+    message: str
+    type: str = "invalid_request_error"
+    code: int = 400
+
+
+def finish_reason_to_openai(fr: Optional[Dict[str, Any]]) -> Optional[str]:
+    if fr is None:
+        return None
+    kind = fr.get("type")
+    if kind in ("eos", "stop"):
+        return "stop"
+    if kind == "length":
+        return "length"
+    if kind == "abort":
+        return "abort"
+    return kind

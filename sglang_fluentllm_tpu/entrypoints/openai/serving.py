@@ -1,0 +1,227 @@
+"""OpenAI-compatible serving handlers (chat + completions).
+
+Analog of the reference's ``entrypoints/openai/serving_chat.py``
+(``OpenAIServingChat:52`` — template application, sampling-param build,
+streaming deltas) and ``serving_completions.py``, built on AsyncEngine.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from typing import Any, AsyncIterator, Dict, List, Optional
+
+from sglang_fluentllm_tpu.entrypoints.async_engine import AsyncEngine
+from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+    ChatCompletionChoice,
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatCompletionStreamChoice,
+    ChatCompletionStreamResponse,
+    ChatMessage,
+    CompletionChoice,
+    CompletionRequest,
+    CompletionResponse,
+    DeltaMessage,
+    UsageInfo,
+    finish_reason_to_openai,
+)
+
+
+def _usage(meta: Dict[str, Any]) -> UsageInfo:
+    pt = meta.get("prompt_tokens", 0)
+    ct = meta.get("completion_tokens", 0)
+    u = UsageInfo(prompt_tokens=pt, completion_tokens=ct,
+                  total_tokens=pt + ct)
+    cached = meta.get("cached_tokens", 0)
+    if cached:
+        u.prompt_tokens_details = {"cached_tokens": cached}
+    return u
+
+
+class OpenAIServing:
+    def __init__(self, engine: AsyncEngine):
+        self.engine = engine
+        self.model_name = engine.server_args.served_model_name
+
+    # ------------------------------------------------------------------
+    def _apply_chat_template(self, request: ChatCompletionRequest) -> List[int]:
+        tok = self.engine.tokenizer
+        assert tok is not None, "chat API requires a tokenizer"
+        messages = []
+        for m in request.messages:
+            d: Dict[str, Any] = {"role": m.role, "content": m.content}
+            if m.tool_calls:
+                d["tool_calls"] = [tc.model_dump() for tc in m.tool_calls]
+            if m.tool_call_id:
+                d["tool_call_id"] = m.tool_call_id
+            if m.name:
+                d["name"] = m.name
+            messages.append(d)
+        kwargs: Dict[str, Any] = {}
+        if request.tools:
+            kwargs["tools"] = [t.model_dump() for t in request.tools]
+        try:
+            return tok.apply_chat_template(
+                messages, add_generation_prompt=True, tokenize=True, **kwargs
+            )
+        except Exception:
+            # no chat template: simple role-prefixed fallback
+            text = "".join(
+                f"{m['role']}: {m['content']}\n" for m in messages
+            ) + "assistant:"
+            return tok.encode(text)
+
+    # ------------------------------------------------------------------
+    async def chat_completion(self, request: ChatCompletionRequest):
+        input_ids = self._apply_chat_template(request)
+        sp = request.to_sampling_params()
+        out = await self.engine.generate(
+            input_ids=input_ids, sampling_params=sp
+        )
+        meta = out["meta_info"]
+        choice = ChatCompletionChoice(
+            index=0,
+            message=ChatMessage(role="assistant", content=out["text"]),
+            finish_reason=finish_reason_to_openai(meta["finish_reason"]),
+            logprobs=self._logprobs_dict(meta) if request.logprobs else None,
+        )
+        return ChatCompletionResponse(
+            model=request.model or self.model_name,
+            choices=[choice],
+            usage=_usage(meta),
+        )
+
+    async def chat_completion_stream(
+        self, request: ChatCompletionRequest
+    ) -> AsyncIterator[str]:
+        input_ids = self._apply_chat_template(request)
+        sp = request.to_sampling_params()
+        rid = f"chatcmpl-{uuid.uuid4().hex}"
+        first = True
+        last_meta = None
+        async for chunk in self.engine.generate_stream(
+            input_ids=input_ids, sampling_params=sp, rid=rid
+        ):
+            last_meta = chunk["meta_info"]
+            delta = DeltaMessage(content=chunk["delta_text"])
+            if first:
+                delta.role = "assistant"
+                first = False
+            fr = (
+                finish_reason_to_openai(last_meta["finish_reason"])
+                if chunk["meta_info"]["finish_reason"]
+                else None
+            )
+            resp = ChatCompletionStreamResponse(
+                id=rid,
+                model=request.model or self.model_name,
+                choices=[ChatCompletionStreamChoice(
+                    index=0, delta=delta, finish_reason=fr,
+                )],
+            )
+            yield f"data: {resp.model_dump_json(exclude_none=True)}\n\n"
+        if (request.stream_options or {}).get("include_usage") and last_meta:
+            usage_resp = ChatCompletionStreamResponse(
+                id=rid, model=request.model or self.model_name, choices=[],
+                usage=_usage(last_meta),
+            )
+            yield f"data: {usage_resp.model_dump_json(exclude_none=True)}\n\n"
+        yield "data: [DONE]\n\n"
+
+    # ------------------------------------------------------------------
+    def _normalize_prompts(self, request: CompletionRequest):
+        p = request.prompt
+        if isinstance(p, str):
+            return [("text", p)]
+        if isinstance(p, list) and p and isinstance(p[0], int):
+            return [("ids", p)]
+        if isinstance(p, list) and p and isinstance(p[0], str):
+            return [("text", x) for x in p]
+        if isinstance(p, list) and p and isinstance(p[0], list):
+            return [("ids", x) for x in p]
+        return [("text", str(p))]
+
+    async def completion(self, request: CompletionRequest):
+        prompts = self._normalize_prompts(request)
+        sp = request.to_sampling_params()
+        choices = []
+        total = UsageInfo()
+        import asyncio
+
+        async def one(i, kind, p):
+            kwargs = {"prompt": p} if kind == "text" else {"input_ids": p}
+            return i, await self.engine.generate(
+                sampling_params=sp, **kwargs
+            )
+
+        results = await asyncio.gather(*[
+            one(i, k, p) for i, (k, p) in enumerate(prompts)
+        ])
+        for i, out in sorted(results):
+            meta = out["meta_info"]
+            text = out["text"]
+            if request.echo and prompts[i][0] == "text":
+                text = prompts[i][1] + text
+            choices.append(CompletionChoice(
+                index=i,
+                text=text,
+                finish_reason=finish_reason_to_openai(meta["finish_reason"]),
+                logprobs=self._logprobs_dict(meta)
+                if request.logprobs is not None else None,
+            ))
+            total.prompt_tokens += meta["prompt_tokens"]
+            total.completion_tokens += meta["completion_tokens"]
+        total.total_tokens = total.prompt_tokens + total.completion_tokens
+        return CompletionResponse(
+            model=request.model or self.model_name,
+            choices=choices,
+            usage=total,
+        )
+
+    async def completion_stream(
+        self, request: CompletionRequest
+    ) -> AsyncIterator[str]:
+        prompts = self._normalize_prompts(request)
+        kind, p = prompts[0]
+        sp = request.to_sampling_params()
+        rid = f"cmpl-{uuid.uuid4().hex}"
+        kwargs = {"prompt": p} if kind == "text" else {"input_ids": p}
+        last_meta = None
+        async for chunk in self.engine.generate_stream(
+            sampling_params=sp, rid=rid, **kwargs
+        ):
+            last_meta = chunk["meta_info"]
+            fr = finish_reason_to_openai(last_meta["finish_reason"]) \
+                if last_meta["finish_reason"] else None
+            resp = CompletionResponse(
+                id=rid,
+                object="text_completion",
+                model=request.model or self.model_name,
+                choices=[CompletionChoice(
+                    index=0, text=chunk["delta_text"], finish_reason=fr
+                )],
+            )
+            yield f"data: {resp.model_dump_json(exclude_none=True)}\n\n"
+        if (request.stream_options or {}).get("include_usage") and last_meta:
+            resp = CompletionResponse(
+                id=rid, model=request.model or self.model_name, choices=[],
+                usage=_usage(last_meta),
+            )
+            yield f"data: {resp.model_dump_json(exclude_none=True)}\n\n"
+        yield "data: [DONE]\n\n"
+
+    def _logprobs_dict(self, meta) -> Optional[Dict[str, Any]]:
+        lps = meta.get("output_token_logprobs")
+        if lps is None:
+            return None
+        tok = self.engine.tokenizer
+        return {
+            "content": [
+                {
+                    "token": tok.decode([tid]) if tok else str(tid),
+                    "logprob": lp,
+                }
+                for lp, tid in lps
+            ]
+        }

@@ -34,9 +34,9 @@ class ExtendItem:
 
 @dataclasses.dataclass
 class DecodeItem:
-    input_id: int           # last sampled token
+    input_id: int           # last sampled token (or negative future slot)
     seq_len: int            # total length including this token
-    slot: int               # kv slot for this token
+    slots: np.ndarray       # [k] kv slots for steps 0..k-1
     pages: np.ndarray
 
 
@@ -94,20 +94,23 @@ class BatchBuilder:
         )
 
     def build_decode(self, items: List[DecodeItem]) -> ForwardBatch:
+        """[B, k]-shaped decode batch: column j holds step j's kv slot
+        (k > 1 = fused multi-step decode, one device dispatch)."""
         B = len(items)
+        k = len(items[0].slots)
         Bp = pick_bucket(self.decode_bs_buckets, B)
         P = self._pages_bucket(max(len(it.pages) for it in items))
 
-        input_ids = np.zeros((Bp, 1), dtype=np.int32)
-        positions = np.zeros((Bp, 1), dtype=np.int32)
-        out_loc = np.zeros((Bp, 1), dtype=np.int32)
+        input_ids = np.zeros((Bp, k), dtype=np.int32)
+        positions = np.zeros((Bp, k), dtype=np.int32)
+        out_loc = np.zeros((Bp, k), dtype=np.int32)
         pages = np.zeros((Bp, P), dtype=np.int32)
         seq_lens = np.zeros((Bp,), dtype=np.int32)
         q_lens = np.zeros((Bp,), dtype=np.int32)
         for i, it in enumerate(items):
             input_ids[i, 0] = it.input_id
             positions[i, 0] = it.seq_len - 1
-            out_loc[i, 0] = it.slot
+            out_loc[i, :] = it.slots
             pages[i, : len(it.pages)] = it.pages
             seq_lens[i] = it.seq_len
             q_lens[i] = 1

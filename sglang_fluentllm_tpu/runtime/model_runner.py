@@ -252,6 +252,53 @@ class ModelRunner:
             step_fn, donate_argnums=(1, 2), static_argnums=(5,)
         )
 
+        def multi_step_fn(params, kv_cache, future_map, ints, floats, meta):
+            """k fused decode steps (meta.S == k): one dispatch, one
+            transfer, k sampled tokens per row. The [B, k] batch fields
+            carry per-step slots; positions/seq_lens advance on-device."""
+            batch, sampling = unpack_batch(ints[:-2], floats, meta, None)
+            write_offset = ints[-2]
+            key0 = jax.random.fold_in(base_key, ints[-1])
+            k_steps = meta.S
+            first_ids = jnp.where(
+                batch.input_ids[:, 0] < 0,
+                future_map[(-batch.input_ids[:, 0] - 1) % cap],
+                batch.input_ids[:, 0],
+            )
+
+            def one_step(carry, j):
+                kv_cache, ids = carry
+                sub = dataclasses.replace(
+                    batch,
+                    input_ids=ids[:, None],
+                    positions=(batch.seq_lens - 1 + j)[:, None],
+                    out_cache_loc=jax.lax.dynamic_slice_in_dim(
+                        batch.out_cache_loc, j, 1, axis=1
+                    ),
+                    seq_lens=batch.seq_lens + j,
+                    q_lens=batch.q_lens,
+                )
+                kv_cache, h = model.forward(params, kv_cache, sub)
+                logits = model.compute_logits(params, h[:, 0])
+                new_ids = sample(
+                    logits, sampling, jax.random.fold_in(key0, j)
+                )
+                logprobs = compute_logprobs(logits, new_ids)
+                return (kv_cache, new_ids), (new_ids, logprobs)
+
+            (kv_cache, last_ids), (all_ids, all_logprobs) = jax.lax.scan(
+                one_step, (kv_cache, first_ids),
+                jnp.arange(k_steps, dtype=jnp.int32),
+            )
+            future_map = jax.lax.dynamic_update_slice(
+                future_map, last_ids, (write_offset,)
+            )
+            return kv_cache, future_map, all_ids, all_logprobs
+
+        self._multi_step = jax.jit(
+            multi_step_fn, donate_argnums=(1, 2), static_argnums=(5,)
+        )
+
         def logits_fn(params, kv_cache, batch: ForwardBatch):
             """Full per-position logits (for verify / logprob queries)."""
             kv_cache, h = model.forward(params, kv_cache, batch)
@@ -278,6 +325,17 @@ class ModelRunner:
         ints = np.concatenate(
             [ints, [future_offset, self.step_counter]]
         ).astype(np.int32)
+        from sglang_fluentllm_tpu.runtime.forward_batch import ForwardMode
+
+        if meta.mode == ForwardMode.DECODE and meta.S > 1:
+            # fused multi-step decode: ids/logprobs come back [k, B]
+            self.kv_cache, self.future_map, ids, logprobs = (
+                self._multi_step(
+                    self.params, self.kv_cache, self.future_map,
+                    jnp.asarray(ints), jnp.asarray(floats), meta,
+                )
+            )
+            return ids, logprobs
         cm = batch.custom_mask
         if cm is not None:
             cm = jnp.asarray(cm)

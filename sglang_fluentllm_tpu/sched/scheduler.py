@@ -22,6 +22,7 @@ import logging
 import time
 from typing import Any, Dict, List, Optional
 
+import jax
 import numpy as np
 
 from sglang_fluentllm_tpu.config import ServerArgs
@@ -65,6 +66,13 @@ class InFlightBatch:
     # whether row i sampled a token, captured at LAUNCH time (req.is_chunked
     # may be mutated by the next admission before this batch resolves)
     sampled: Optional[List[bool]] = None
+    seq: int = 0                     # launch sequence number
+
+
+# Max launched-but-unresolved batches. Depth 1 would idle the device during
+# host batch-prep + tunnel dispatch latency; deeper pipelining keeps the
+# device queue non-empty (tokens still stream out with ~depth steps of lag).
+MAX_INFLIGHT_BATCHES = 4
 
 
 class Scheduler:
@@ -85,8 +93,10 @@ class Scheduler:
         self.waiting_queue: List[Req] = []
         self.running_batch: List[Req] = []
         self.chunked_req: Optional[Req] = None
-        self.pending: Optional[InFlightBatch] = None
+        self.pending: List[InFlightBatch] = []  # FIFO, oldest first
         self.overlap = not server_args.disable_overlap_schedule
+        self.max_inflight = MAX_INFLIGHT_BATCHES if self.overlap else 1
+        self._launch_seq = 0
         self.new_token_ratio = INIT_NEW_TOKEN_RATIO
         self._ratio_decay = (
             INIT_NEW_TOKEN_RATIO - MIN_NEW_TOKEN_RATIO
@@ -94,9 +104,10 @@ class Scheduler:
 
         # Deferred frees: a page freed while a forward is in flight may
         # still be read by that forward; it returns to the free list only
-        # after the next resolve sync proves the hazard window closed
-        # (reference allocator free_group semantics, SURVEY A.1).
-        self._deferred_frees: List[int] = []
+        # once every forward launched before the free has resolved
+        # (reference allocator free_group semantics, SURVEY A.1). Groups are
+        # tagged with the newest launch seq at free time.
+        self._deferred_frees: List[tuple] = []  # (tag_seq, pages)
         self.allocator.free_group_begin()
 
         # stats
@@ -254,6 +265,7 @@ class Scheduler:
         self.new_token_ratio = max(
             MIN_NEW_TOKEN_RATIO, self.new_token_ratio - self._ratio_decay
         )
+        k = max(1, self.server_args.decode_steps_per_launch)
         reqs: List[Req] = []
         items: List[DecodeItem] = []
         i = 0
@@ -266,13 +278,14 @@ class Scheduler:
                 i += 1
                 continue  # will finish at resolve time
             total = req.seq_len + req.inflight  # incl. token being fed
+            # k slots: step j writes KV for position total-1+j
             slots = self._evict_and_alloc(
-                req.req_pool_idx, req.alloced_len, 1
+                req.req_pool_idx, req.alloced_len, k
             )
             if slots is None:
                 self._retract_decode(min_idx=i)
                 continue
-            req.alloced_len = total
+            req.alloced_len = total - 1 + k
             if req.last_future_slot is not None:
                 input_id = -(req.last_future_slot + 1)
             else:
@@ -281,8 +294,10 @@ class Scheduler:
                 DecodeItem(
                     input_id=input_id,
                     seq_len=total,
-                    slot=int(slots[0]),
-                    pages=self.allocator.req_pages(req.req_pool_idx, total),
+                    slots=slots,
+                    pages=self.allocator.req_pages(
+                        req.req_pool_idx, total - 1 + k
+                    ),
                 )
             )
             reqs.append(req)
@@ -388,25 +403,56 @@ class Scheduler:
     # Main iteration: launch next batch, then resolve the previous one.
     # ------------------------------------------------------------------
     def step(self) -> List[StepOutput]:
-        launched = self._launch_next()
-        prev, self.pending = self.pending, launched
-        outputs = self._resolve(prev) if prev is not None else []
-        if not self.overlap and self.pending is not None:
-            outputs.extend(self._resolve(self.pending))
-            self.pending = None
-        # Safe point: resolving prev synced the device, so forwards launched
-        # before the previous step are complete -> release last step's
-        # deferred pages; pages freed this step start their deferral.
-        if prev is not None or self.pending is None:
-            group = self.allocator.free_group_take()
-            self.allocator.release_pages(self._deferred_frees)
-            self._deferred_frees = (
-                group if self.pending is not None else []
-            )
-            if self.pending is None:
-                self.allocator.release_pages(group)
-            self.allocator.free_group_begin()
+        if len(self.pending) < self.max_inflight:
+            launched = self._launch_next()
+            if launched is not None:
+                self._launch_seq += 1
+                launched.seq = self._launch_seq
+                self.pending.append(launched)
+
+        outputs: List[StepOutput] = []
+        # Resolve every batch whose results are already on host, and force-
+        # resolve the oldest when the pipeline is full (or draining).
+        while self.pending:
+            head = self.pending[0]
+            full = len(self.pending) >= self.max_inflight
+            draining = not self._has_launchable_work()
+            try:
+                ready = bool(head.ids_dev.is_ready())
+            except Exception:
+                ready = True
+            if not (ready or full or draining):
+                break
+            self.pending.pop(0)
+            outputs.extend(self._resolve(head))
+            self._drain_deferred_frees(head.seq)
+        self._collect_free_group()
         return outputs
+
+    def _has_launchable_work(self) -> bool:
+        return bool(
+            self.waiting_queue or self.running_batch or self.chunked_req
+        )
+
+    def _collect_free_group(self):
+        group = self.allocator.free_group_take()
+        if group:
+            if self.pending:
+                self._deferred_frees.append((self._launch_seq, group))
+            else:
+                self.allocator.release_pages(group)
+        self.allocator.free_group_begin()
+
+    def _drain_deferred_frees(self, resolved_seq: int):
+        """Release page groups whose hazard window (forwards launched up to
+        their tag) has fully resolved."""
+        keep = []
+        for tag, pages in self._deferred_frees:
+            if tag <= resolved_seq:
+                self.allocator.release_pages(pages)
+            else:
+                keep.append((tag, pages))
+        self._deferred_frees = keep
 
     def _launch_next(self) -> Optional[InFlightBatch]:
         prefill_reqs = self.get_new_batch_prefill()
@@ -456,6 +502,7 @@ class Scheduler:
         )
 
     def _launch_decode(self, reqs, items) -> InFlightBatch:
+        k = len(items[0].slots)
         batch = self.runner.batch_builder.build_decode(items)
         sampling = self._sampling_meta(reqs, batch.batch_size)
         offset = self.runner.claim_future_slots(batch.batch_size)
@@ -463,29 +510,38 @@ class Scheduler:
             batch, sampling, offset
         )
         for i, req in enumerate(reqs):
-            req.num_computed_tokens = req.seq_len + req.inflight
-            req.inflight += 1
+            # after this launch, KV is computed for positions < total-1+k
+            req.num_computed_tokens = req.seq_len + req.inflight - 1 + k
+            req.inflight += k
             req.last_future_slot = offset + i
         return InFlightBatch(
             reqs=list(reqs),
             mode=ForwardMode.DECODE,
             ids_dev=ids,
             logprobs_dev=logprobs,
+            this_extends=[k] * len(reqs),
         )
 
     # ------------------------------------------------------------------
     def _resolve(self, batch: InFlightBatch) -> List[StepOutput]:
-        ids = np.asarray(batch.ids_dev)      # host sync (one step behind)
-        logprobs = np.asarray(batch.logprobs_dev)
+        # host sync (behind by pipeline depth). jax.device_get, NOT
+        # np.asarray: the buffer-protocol path costs ~24ms/array on
+        # tunneled TPU backends.
+        ids, logprobs = jax.device_get(
+            (batch.ids_dev, batch.logprobs_dev)
+        )
+        is_decode = batch.mode == ForwardMode.DECODE
+        multi = is_decode and ids.ndim == 2  # [k, B] fused decode window
         outputs: List[StepOutput] = []
         for i, req in enumerate(batch.reqs):
             if batch.sampled is not None and not batch.sampled[i]:
                 # mid-chunk: no token sampled; publish prefix into the tree
                 self._cache_computed_prefix(req, unfinished=True)
                 continue
-            req.inflight -= 1
+            n_inflight = batch.this_extends[i] if is_decode else 1
+            req.inflight -= n_inflight
             if req.finished():
-                # zombie overlap step of an already-finished request
+                # zombie overlap window of an already-finished request
                 if req.inflight == 0 and req.req_pool_idx is not None:
                     self._finalize_req(req)
                 continue
@@ -498,13 +554,23 @@ class Scheduler:
                     self._finalize_req(req)
                 outputs.append(self._make_output(req))
                 continue
-            token = int(ids[i])
-            req.output_ids.append(token)
-            req.output_token_logprobs.append(float(logprobs[i]))
+            tokens = (
+                [(int(ids[j, i]), float(logprobs[j, i]))
+                 for j in range(ids.shape[0])]
+                if multi
+                else [(int(ids[i]), float(logprobs[i]))]
+            )
+            for token, lp in tokens:
+                if len(req.output_ids) >= req.sampling_params.max_new_tokens:
+                    break
+                req.output_ids.append(token)
+                req.output_token_logprobs.append(lp)
+                self.num_generated_tokens += 1
+                req.check_finished()
+                if req.finished():
+                    break
             if req.first_token_time is None:
                 req.first_token_time = time.monotonic()
-            self.num_generated_tokens += 1
-            req.check_finished()
             if req.finished():
                 if req in self.running_batch:
                     self.running_batch.remove(req)
@@ -513,7 +579,13 @@ class Scheduler:
                 if req.inflight == 0:
                     self._finalize_req(req)
             else:
-                if batch.mode == ForwardMode.EXTEND:
+                req.check_finished()  # length cap reached without EOS
+                if req.finished():
+                    if req in self.running_batch:
+                        self.running_batch.remove(req)
+                    if req.inflight == 0:
+                        self._finalize_req(req)
+                elif batch.mode == ForwardMode.EXTEND:
                     # share the prompt KV immediately so parallel requests
                     # reuse it (reference caches unfinished prefill)
                     self._cache_computed_prefix(req, unfinished=True)

@@ -153,3 +153,42 @@ class TestOtherArchitectures:
         o2 = e.generate(input_ids=PROMPT, sampling_params=sp)
         assert o1["output_ids"] == o2["output_ids"]
         assert o2["meta_info"]["cached_tokens"] == 0
+
+
+class TestMultiStepDecode:
+    def test_multi_step_matches_single(self):
+        """Fused k-step decode must equal classic 1-step decode greedily."""
+        sp = {"max_new_tokens": 11, "temperature": 0.0}
+        prompt = [3, 11, 42, 7, 19, 88, 5]
+        e1 = tiny_engine()
+        ref = e1.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+        e2 = tiny_engine(decode_steps_per_launch=4)
+        got = e2.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+        assert got == ref
+
+    def test_multi_step_eos_discard(self):
+        """Finishing mid-window discards overshoot tokens."""
+        sp = {"max_new_tokens": 32, "temperature": 0.0}
+        e1 = tiny_engine()
+        base = e1.generate(input_ids=[9, 8, 7], sampling_params=sp)
+        stop_tok = base["output_ids"][1]
+        e2 = tiny_engine(decode_steps_per_launch=4)
+        out = e2.generate(
+            input_ids=[9, 8, 7],
+            sampling_params={**sp, "stop_token_ids": [stop_tok]},
+        )
+        assert out["output_ids"][-1] == stop_tok
+        assert len(out["output_ids"]) == 2
+
+    def test_multi_step_batch_pressure(self):
+        e = tiny_engine(decode_steps_per_launch=4, max_total_tokens=512,
+                        max_running_requests=8)
+        prompts = [
+            [int(x) for x in np.random.RandomState(i).randint(0, 128, 9)]
+            for i in range(8)
+        ]
+        outs = e.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 7, "temperature": 0.0},
+        )
+        assert all(len(o["output_ids"]) == 7 for o in outs)
