@@ -62,12 +62,33 @@ class AsyncEngine:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._shutdown = threading.Event()
         self._paused = threading.Event()
+        if not server_args.disable_jit_warmup:
+            self._warmup()
         self._thread = threading.Thread(
             target=self._scheduler_loop, daemon=True, name="scheduler"
         )
         self._thread.start()
         self.start_time = time.time()
         self.last_receive_time = time.time()
+
+    def _warmup(self):
+        """Compile the smallest prefill + decode buckets before serving
+        (reference srt/warmup.py role)."""
+        logger.info("warmup: compiling smallest prefill/decode buckets")
+        t0 = time.time()
+        req = Req(
+            rid="warmup",
+            input_ids=[1, 2, 3],
+            sampling_params=SamplingParams(
+                max_new_tokens=4, temperature=0.0
+            ),
+            eos_token_ids=set(),
+        )
+        self.scheduler.add_request(req)
+        while not req.finished():
+            self.scheduler.step()
+        self.scheduler.flush_cache()
+        logger.info("warmup done in %.1fs", time.time() - t0)
 
     # ------------------------------------------------------------------
     # scheduler thread

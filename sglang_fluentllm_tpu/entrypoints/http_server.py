@@ -1,0 +1,274 @@
+"""HTTP server (aiohttp).
+
+Analog of the reference's ``srt/entrypoints/http_server.py`` (FastAPI app,
+``/generate:382``, ``/health_generate:271``, ``/flush_cache:519``, OpenAI
+routes, admin endpoints). aiohttp replaces FastAPI (not available in the
+image); SSE streaming semantics match.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Any, Dict
+
+from aiohttp import web
+
+from sglang_fluentllm_tpu.config import ServerArgs
+from sglang_fluentllm_tpu.entrypoints.async_engine import AsyncEngine
+from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    ErrorResponse,
+    ModelCard,
+    ModelList,
+)
+from sglang_fluentllm_tpu.entrypoints.openai.serving import OpenAIServing
+
+logger = logging.getLogger(__name__)
+
+
+def _error(msg: str, status: int = 400) -> web.Response:
+    return web.json_response(
+        ErrorResponse(message=msg, code=status).model_dump(), status=status
+    )
+
+
+def _sse_response() -> web.StreamResponse:
+    return web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        },
+    )
+
+
+class HttpServer:
+    def __init__(self, engine: AsyncEngine):
+        self.engine = engine
+        self.openai = OpenAIServing(engine)
+        self.app = web.Application(client_max_size=128 * 1024 * 1024)
+        self._add_routes()
+
+    def _add_routes(self):
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/get_server_info", self.get_server_info)
+        r.add_get("/get_model_info", self.get_model_info)
+        r.add_post("/generate", self.generate)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        r.add_post("/pause_generation", self.pause_generation)
+        r.add_post("/continue_generation", self.continue_generation)
+        r.add_get("/v1/models", self.list_models)
+        r.add_post("/v1/completions", self.v1_completions)
+        r.add_post("/v1/chat/completions", self.v1_chat_completions)
+        r.add_get("/metrics", self.metrics)
+
+    # ------------------------------------------------------------------
+    async def health(self, request: web.Request) -> web.Response:
+        return web.Response(text="ok")
+
+    async def health_generate(self, request: web.Request) -> web.Response:
+        """Actually generate one token (reference http_server.py:270-341)."""
+        try:
+            ids = [1, 2, 3]
+            out = await asyncio.wait_for(
+                self.engine.generate(
+                    input_ids=ids,
+                    sampling_params={"max_new_tokens": 1,
+                                     "temperature": 0.0},
+                ),
+                timeout=180.0,  # first call may pay jit compile
+            )
+            assert out is not None
+            return web.Response(text="ok")
+        except Exception as e:  # noqa: BLE001
+            return web.Response(status=503, text=f"unhealthy: {e}")
+
+    async def get_server_info(self, request: web.Request) -> web.Response:
+        return web.json_response(self.engine.get_server_info())
+
+    async def get_model_info(self, request: web.Request) -> web.Response:
+        sa = self.engine.server_args
+        return web.json_response({
+            "model_path": sa.model_path,
+            "tokenizer_path": sa.tokenizer_path,
+            "served_model_name": sa.served_model_name,
+            "is_generation": True,
+        })
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        try:
+            from sglang_fluentllm_tpu.metrics.collector import render_metrics
+
+            return web.Response(
+                text=render_metrics(), content_type="text/plain"
+            )
+        except Exception:
+            return web.Response(text="", content_type="text/plain")
+
+    # ------------------------------------------------------------------
+    async def generate(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+        except Exception:
+            return _error("invalid JSON body")
+        prompt = body.get("text")
+        input_ids = body.get("input_ids")
+        sp = body.get("sampling_params") or {}
+        if body.get("return_logprob"):
+            sp["return_logprob"] = True
+        stream = bool(body.get("stream", False))
+        rid = body.get("rid")
+        if prompt is None and input_ids is None:
+            return _error("one of text/input_ids is required")
+
+        # batch input
+        if (isinstance(prompt, list) and prompt
+                and isinstance(prompt[0], str)) or (
+            isinstance(input_ids, list) and input_ids
+            and isinstance(input_ids[0], list)
+        ):
+            items = prompt if prompt is not None else input_ids
+            sps = sp if isinstance(sp, list) else [sp] * len(items)
+            kw = "prompt" if prompt is not None else "input_ids"
+            try:
+                outs = await asyncio.gather(*[
+                    self.engine.generate(
+                        sampling_params=s, **{kw: it}
+                    )
+                    for it, s in zip(items, sps)
+                ])
+            except ValueError as e:
+                return _error(str(e))
+            return web.json_response([self._strip(o) for o in outs])
+
+        try:
+            if stream:
+                resp = _sse_response()
+                await resp.prepare(request)
+                async for chunk in self.engine.generate_stream(
+                    prompt=prompt, input_ids=input_ids,
+                    sampling_params=sp, rid=rid,
+                ):
+                    payload = json.dumps(self._strip(chunk))
+                    await resp.write(f"data: {payload}\n\n".encode())
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+                return resp
+            out = await self.engine.generate(
+                prompt=prompt, input_ids=input_ids, sampling_params=sp,
+                rid=rid,
+            )
+            return web.json_response(self._strip(out))
+        except ValueError as e:
+            return _error(str(e))
+
+    @staticmethod
+    def _strip(out: Dict[str, Any]) -> Dict[str, Any]:
+        out = dict(out)
+        out.pop("new_token_ids", None)
+        return out
+
+    async def flush_cache(self, request: web.Request) -> web.Response:
+        ok = await self.engine.flush_cache()
+        return web.json_response(
+            {"success": ok,
+             "message": "Cache flushed" if ok else "Cache not flushed: "
+             "requests in flight"},
+            status=200 if ok else 503,
+        )
+
+    async def abort_request(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        rid = body.get("rid")
+        if not rid:
+            return _error("rid required")
+        self.engine.abort_request(rid)
+        return web.json_response({"success": True})
+
+    async def pause_generation(self, request: web.Request) -> web.Response:
+        self.engine.pause_generation()
+        return web.json_response({"success": True})
+
+    async def continue_generation(self, request: web.Request) -> web.Response:
+        self.engine.continue_generation()
+        return web.json_response({"success": True})
+
+    # ------------------------------------------------------------------
+    async def list_models(self, request: web.Request) -> web.Response:
+        ml = ModelList(data=[
+            ModelCard(id=self.engine.server_args.served_model_name)
+        ])
+        return web.json_response(ml.model_dump())
+
+    async def v1_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            req = CompletionRequest(**(await request.json()))
+        except Exception as e:  # noqa: BLE001
+            return _error(f"invalid request: {e}")
+        try:
+            if req.stream:
+                resp = _sse_response()
+                await resp.prepare(request)
+                async for chunk in self.openai.completion_stream(req):
+                    await resp.write(chunk.encode())
+                await resp.write_eof()
+                return resp
+            out = await self.openai.completion(req)
+            return web.json_response(out.model_dump(exclude_none=True))
+        except ValueError as e:
+            return _error(str(e))
+
+    async def v1_chat_completions(
+        self, request: web.Request
+    ) -> web.StreamResponse:
+        try:
+            req = ChatCompletionRequest(**(await request.json()))
+        except Exception as e:  # noqa: BLE001
+            return _error(f"invalid request: {e}")
+        try:
+            if req.stream:
+                resp = _sse_response()
+                await resp.prepare(request)
+                async for chunk in self.openai.chat_completion_stream(req):
+                    await resp.write(chunk.encode())
+                await resp.write_eof()
+                return resp
+            out = await self.openai.chat_completion(req)
+            return web.json_response(out.model_dump(exclude_none=True))
+        except ValueError as e:
+            return _error(str(e))
+
+
+def launch_server(server_args: ServerArgs):
+    """Build the engine, warm it up, serve until interrupted
+    (reference http_server.py:998 launch_server)."""
+    from sglang_fluentllm_tpu.utils import configure_logger
+
+    configure_logger(server_args.log_level)
+    engine = AsyncEngine(server_args)
+    server = HttpServer(engine)
+
+    async def _on_startup(app):
+        logger.info(
+            "server ready on http://%s:%d", server_args.host,
+            server_args.port,
+        )
+
+    server.app.on_startup.append(_on_startup)
+    try:
+        web.run_app(
+            server.app,
+            host=server_args.host,
+            port=server_args.port,
+            print=None,
+            handle_signals=True,
+        )
+    finally:
+        engine.shutdown()

@@ -48,6 +48,8 @@ class OpenAIServing:
     def _apply_chat_template(self, request: ChatCompletionRequest) -> List[int]:
         tok = self.engine.tokenizer
         assert tok is not None, "chat API requires a tokenizer"
+        if not request.messages:
+            raise ValueError("messages must be non-empty")
         messages = []
         for m in request.messages:
             d: Dict[str, Any] = {"role": m.role, "content": m.content}

@@ -1,0 +1,192 @@
+"""E2E HTTP server tests (real subprocess, CPU jax).
+
+Parity targets: reference test/srt/test_srt_endpoint.py +
+test_openai_server.py (SURVEY §4 tier 1).
+"""
+
+import json
+
+import httpx
+import pytest
+
+from tests.server_utils import kill_server, popen_launch_server, write_tiny_tokenizer
+from tests.utils import TINY_LLAMA_CFG, write_model_dir
+
+PROMPT_IDS = [3, 11, 42, 7, 19, 88]
+PROMPT_TEXT = "<3> <11> <42> <7> <19> <88>"
+
+
+@pytest.fixture(scope="module")
+def server():
+    model_dir = write_model_dir(TINY_LLAMA_CFG)
+    write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+    proc, base_url = popen_launch_server(model_dir)
+    yield base_url
+    kill_server(proc)
+
+
+class TestBasicEndpoints:
+    def test_health(self, server):
+        assert httpx.get(server + "/health").status_code == 200
+
+    def test_health_generate(self, server):
+        r = httpx.get(server + "/health_generate", timeout=300)
+        assert r.status_code == 200
+
+    def test_server_info(self, server):
+        info = httpx.get(server + "/get_server_info").json()
+        assert info["max_total_num_tokens"] == 4096
+        assert "version" in info
+
+    def test_model_info(self, server):
+        info = httpx.get(server + "/get_model_info").json()
+        assert info["is_generation"] is True
+
+    def test_generate_input_ids(self, server):
+        r = httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS,
+            "sampling_params": {"max_new_tokens": 6, "temperature": 0.0},
+        }, timeout=300)
+        assert r.status_code == 200
+        out = r.json()
+        assert len(out["output_ids"]) == 6
+        assert out["meta_info"]["prompt_tokens"] == len(PROMPT_IDS)
+
+    def test_generate_text(self, server):
+        r = httpx.post(server + "/generate", json={
+            "text": PROMPT_TEXT,
+            "sampling_params": {"max_new_tokens": 4, "temperature": 0.0},
+        }, timeout=300)
+        out = r.json()
+        assert len(out["output_ids"]) == 4
+        assert isinstance(out["text"], str) and out["text"]
+
+    def test_generate_batch(self, server):
+        r = httpx.post(server + "/generate", json={
+            "input_ids": [PROMPT_IDS, [1, 2, 3]],
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
+        }, timeout=300)
+        outs = r.json()
+        assert len(outs) == 2
+        assert all(len(o["output_ids"]) == 3 for o in outs)
+
+    def test_generate_streaming(self, server):
+        chunks = []
+        with httpx.stream("POST", server + "/generate", json={
+            "input_ids": PROMPT_IDS,
+            "sampling_params": {"max_new_tokens": 5, "temperature": 0.0},
+            "stream": True,
+        }, timeout=300) as r:
+            assert r.status_code == 200
+            assert "text/event-stream" in r.headers["content-type"]
+            for line in r.iter_lines():
+                if line.startswith("data: ") and line != "data: [DONE]":
+                    chunks.append(json.loads(line[len("data: "):]))
+        assert chunks
+        assert chunks[-1]["meta_info"]["finish_reason"] is not None
+        assert len(chunks[-1]["output_ids"]) == 5
+
+    def test_generate_logprobs(self, server):
+        r = httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS,
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
+            "return_logprob": True,
+        }, timeout=300)
+        lps = r.json()["meta_info"]["output_token_logprobs"]
+        assert len(lps) == 3
+        assert all(lp <= 0 for lp, _tid in lps)
+
+    def test_error_on_bad_params(self, server):
+        r = httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS,
+            "sampling_params": {"top_p": 0.0},
+        }, timeout=60)
+        assert r.status_code == 400
+
+    def test_error_on_missing_input(self, server):
+        r = httpx.post(server + "/generate", json={
+            "sampling_params": {}}, timeout=60)
+        assert r.status_code == 400
+
+    def test_error_on_too_long(self, server):
+        r = httpx.post(server + "/generate", json={
+            "input_ids": list(range(100)) * 50,
+            "sampling_params": {"max_new_tokens": 4},
+        }, timeout=60)
+        assert r.status_code == 400
+
+    def test_flush_cache(self, server):
+        r = httpx.post(server + "/flush_cache", timeout=60)
+        assert r.status_code in (200, 503)
+
+    def test_pause_continue(self, server):
+        assert httpx.post(server + "/pause_generation").json()["success"]
+        assert httpx.post(server + "/continue_generation").json()["success"]
+
+
+class TestOpenAIEndpoints:
+    def test_models(self, server):
+        models = httpx.get(server + "/v1/models").json()
+        assert models["data"][0]["id"]
+
+    def test_completions(self, server):
+        r = httpx.post(server + "/v1/completions", json={
+            "model": "test", "prompt": PROMPT_TEXT, "max_tokens": 5,
+            "temperature": 0,
+        }, timeout=300)
+        out = r.json()
+        assert out["object"] == "text_completion"
+        assert out["choices"][0]["text"]
+        assert out["usage"]["completion_tokens"] == 5
+
+    def test_completions_echo(self, server):
+        r = httpx.post(server + "/v1/completions", json={
+            "model": "test", "prompt": PROMPT_TEXT, "max_tokens": 2,
+            "temperature": 0, "echo": True,
+        }, timeout=300)
+        assert r.json()["choices"][0]["text"].startswith(PROMPT_TEXT)
+
+    def test_completions_stream(self, server):
+        texts, saw_done = [], False
+        with httpx.stream("POST", server + "/v1/completions", json={
+            "model": "test", "prompt": PROMPT_TEXT, "max_tokens": 4,
+            "temperature": 0, "stream": True,
+            "stream_options": {"include_usage": True},
+        }, timeout=300) as r:
+            for line in r.iter_lines():
+                if line == "data: [DONE]":
+                    saw_done = True
+                elif line.startswith("data: "):
+                    texts.append(json.loads(line[6:]))
+        assert saw_done
+        usages = [t for t in texts if t.get("usage")]
+        assert usages and usages[-1]["usage"]["completion_tokens"] == 4
+
+    def test_chat_completions(self, server):
+        r = httpx.post(server + "/v1/chat/completions", json={
+            "model": "test",
+            "messages": [{"role": "user", "content": PROMPT_TEXT}],
+            "max_tokens": 5, "temperature": 0,
+        }, timeout=300)
+        out = r.json()
+        assert out["object"] == "chat.completion"
+        assert out["choices"][0]["message"]["role"] == "assistant"
+        assert out["usage"]["completion_tokens"] == 5
+
+    def test_chat_completions_stream(self, server):
+        roles, contents = [], []
+        with httpx.stream("POST", server + "/v1/chat/completions", json={
+            "model": "test",
+            "messages": [{"role": "user", "content": PROMPT_TEXT}],
+            "max_tokens": 4, "temperature": 0, "stream": True,
+        }, timeout=300) as r:
+            for line in r.iter_lines():
+                if line.startswith("data: ") and line != "data: [DONE]":
+                    c = json.loads(line[6:])
+                    for ch in c["choices"]:
+                        if ch["delta"].get("role"):
+                            roles.append(ch["delta"]["role"])
+                        if ch["delta"].get("content"):
+                            contents.append(ch["delta"]["content"])
+        assert roles == ["assistant"]
+        assert contents
