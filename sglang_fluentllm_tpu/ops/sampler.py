@@ -31,6 +31,14 @@ class SamplingMetadata:
     is_greedy: jax.Array      # [B] bool
     # cumulative penalties, shape [B, V] or dummy [B, 1] when unused
     linear_penalty: Optional[jax.Array] = None
+    # --- penalties (penaltylib analog); None when no request needs them ---
+    frequency_penalty: Optional[jax.Array] = None   # [B] f32
+    presence_penalty: Optional[jax.Array] = None    # [B] f32
+    repetition_penalty: Optional[jax.Array] = None  # [B] f32 (1.0 = off)
+    penalized_ids: Optional[jax.Array] = None       # [B, L] i32 (-1 = pad)
+    # min-new-tokens: eos ids masked while remaining > 0
+    eos_mask_ids: Optional[jax.Array] = None        # [B, E] i32 (-1 = pad)
+    min_new_remaining: Optional[jax.Array] = None   # [B] i32
     # static fast path: host knows at batch-build time that every request
     # is greedy -> jit specializes to a pure argmax (no sort, no gumbel)
     all_greedy: bool = dataclasses.field(
@@ -101,6 +109,42 @@ def apply_top_k_top_p_min_p(
     return jnp.where(mask, NEG_INF, logits)
 
 
+def apply_penalties(logits: jax.Array, meta: SamplingMetadata) -> jax.Array:
+    """Frequency/presence/repetition penalties + min-new-tokens EOS mask,
+    computed on device from the generated-token list (reference
+    sampling/penaltylib orchestrator semantics)."""
+    B, V = logits.shape
+    if meta.penalized_ids is not None:
+        ids = meta.penalized_ids
+        valid = ids >= 0
+        safe = jnp.where(valid, ids, 0)
+        counts = jnp.zeros((B, V), jnp.float32)
+        counts = counts.at[
+            jnp.arange(B)[:, None], safe
+        ].add(valid.astype(jnp.float32))
+        if meta.frequency_penalty is not None:
+            logits = logits - meta.frequency_penalty[:, None] * counts
+        if meta.presence_penalty is not None:
+            logits = logits - meta.presence_penalty[:, None] * (counts > 0)
+        if meta.repetition_penalty is not None:
+            rep = meta.repetition_penalty[:, None]
+            seen = counts > 0
+            penalized = jnp.where(
+                logits > 0, logits / rep, logits * rep
+            )
+            logits = jnp.where(seen, penalized, logits)
+    if meta.eos_mask_ids is not None and meta.min_new_remaining is not None:
+        # while min_new_tokens not reached, forbid stop/eos tokens
+        active = (meta.min_new_remaining > 0)[:, None]       # [B, 1]
+        eos = meta.eos_mask_ids                               # [B, E]
+        evalid = (eos >= 0) & active
+        esafe = jnp.where(eos >= 0, eos, 0)
+        mask = jnp.zeros((B, V), bool)
+        mask = mask.at[jnp.arange(B)[:, None], esafe].max(evalid)
+        logits = jnp.where(mask, NEG_INF, logits)
+    return logits
+
+
 def sample(
     logits: jax.Array,          # [B, V] f32
     meta: SamplingMetadata,
@@ -110,6 +154,7 @@ def sample(
     logits = logits.astype(jnp.float32)
     if meta.linear_penalty is not None and meta.linear_penalty.shape[-1] == logits.shape[-1]:
         logits = logits + meta.linear_penalty
+    logits = apply_penalties(logits, meta)
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if meta.all_greedy:
         return greedy_ids

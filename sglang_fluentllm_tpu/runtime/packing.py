@@ -32,6 +32,8 @@ class BatchMeta(NamedTuple):
     page_size: int
     all_greedy: bool
     has_mask: bool = False
+    pen_len: int = 0      # penalized-token window (0 = no penalties)
+    n_eos: int = 0        # eos-mask width for min_new_tokens
 
 
 def pack_batch(
@@ -40,7 +42,7 @@ def pack_batch(
     """fb/sm hold NUMPY arrays here (host-side build)."""
     B, S = fb.input_ids.shape
     P = fb.page_tables.shape[1]
-    ints = np.concatenate([
+    int_parts = [
         np.asarray(fb.input_ids, np.int32).ravel(),
         np.asarray(fb.positions, np.int32).ravel(),
         np.asarray(fb.out_cache_loc, np.int32).ravel(),
@@ -49,16 +51,33 @@ def pack_batch(
         np.asarray(fb.q_lens, np.int32),
         np.asarray(sm.top_k, np.int32),
         np.asarray(sm.is_greedy, np.int32),
-    ])
-    floats = np.concatenate([
+    ]
+    float_parts = [
         np.asarray(sm.temperature, np.float32),
         np.asarray(sm.top_p, np.float32),
         np.asarray(sm.min_p, np.float32),
-    ])
+    ]
+    pen_len = n_eos = 0
+    if sm.penalized_ids is not None:
+        pen_len = sm.penalized_ids.shape[1]
+        n_eos = sm.eos_mask_ids.shape[1]
+        int_parts += [
+            np.asarray(sm.penalized_ids, np.int32).ravel(),
+            np.asarray(sm.eos_mask_ids, np.int32).ravel(),
+            np.asarray(sm.min_new_remaining, np.int32),
+        ]
+        float_parts += [
+            np.asarray(sm.frequency_penalty, np.float32),
+            np.asarray(sm.presence_penalty, np.float32),
+            np.asarray(sm.repetition_penalty, np.float32),
+        ]
+    ints = np.concatenate(int_parts)
+    floats = np.concatenate(float_parts)
     meta = BatchMeta(
         B=B, S=S, P=P, mode=fb.mode, page_size=fb.page_size,
         all_greedy=bool(sm.all_greedy),
         has_mask=fb.custom_mask is not None,
+        pen_len=pen_len, n_eos=n_eos,
     )
     return ints, floats, meta
 
@@ -87,6 +106,15 @@ def unpack_batch(
     q_lens = take(B)
     top_k = take(B)
     is_greedy = take(B).astype(bool)
+    penalized_ids = eos_mask_ids = min_new_remaining = None
+    freq = pres = rep = None
+    if meta.pen_len:
+        penalized_ids = take(B * meta.pen_len).reshape(B, meta.pen_len)
+        eos_mask_ids = take(B * meta.n_eos).reshape(B, meta.n_eos)
+        min_new_remaining = take(B)
+        freq = floats[3 * B : 4 * B]
+        pres = floats[4 * B : 5 * B]
+        rep = floats[5 * B : 6 * B]
     fb = ForwardBatch(
         input_ids=input_ids,
         positions=positions,
@@ -105,5 +133,11 @@ def unpack_batch(
         top_k=top_k,
         is_greedy=is_greedy,
         all_greedy=meta.all_greedy,
+        frequency_penalty=freq,
+        presence_penalty=pres,
+        repetition_penalty=rep,
+        penalized_ids=penalized_ids,
+        eos_mask_ids=eos_mask_ids,
+        min_new_remaining=min_new_remaining,
     )
     return fb, sm

@@ -266,6 +266,10 @@ class Scheduler:
             MIN_NEW_TOKEN_RATIO, self.new_token_ratio - self._ratio_decay
         )
         k = max(1, self.server_args.decode_steps_per_launch)
+        if k > 1 and self._needs_penalties(self.running_batch):
+            # penalty state must refresh between tokens; fall back to
+            # single-step decode while such requests are running
+            k = 1
         reqs: List[Req] = []
         items: List[DecodeItem] = []
         i = 0
@@ -466,15 +470,57 @@ class Scheduler:
                 return self._launch_decode(reqs, items)
         return None
 
+    @staticmethod
+    def _needs_penalties(reqs: List[Req]) -> bool:
+        return any(
+            r.sampling_params.needs_penalties for r in reqs
+        )
+
     def _sampling_meta(self, reqs: List[Req], pad_to: int) -> SamplingMetadata:
         sps = [r.sampling_params for r in reqs]
-        return SamplingMetadata.from_lists(
+        meta = SamplingMetadata.from_lists(
             [sp.temperature for sp in sps],
             [sp.top_p for sp in sps],
             [sp.top_k for sp in sps],
             [sp.min_p for sp in sps],
             pad_to,
         )
+        if not self._needs_penalties(reqs):
+            return meta
+        from sglang_fluentllm_tpu.utils import next_power_of_2
+
+        # penalized window = output tokens so far (penaltylib semantics)
+        L = max(8, next_power_of_2(
+            max(len(r.output_ids) for r in reqs) or 1
+        ))
+        E = 8
+        pen_ids = np.full((pad_to, L), -1, np.int32)
+        eos_ids = np.full((pad_to, E), -1, np.int32)
+        min_rem = np.zeros((pad_to,), np.int32)
+        freq = np.zeros((pad_to,), np.float32)
+        pres = np.zeros((pad_to,), np.float32)
+        rep = np.ones((pad_to,), np.float32)
+        for i, r in enumerate(reqs):
+            out = r.output_ids[-L:]
+            pen_ids[i, : len(out)] = out
+            sp = r.sampling_params
+            freq[i] = sp.frequency_penalty
+            pres[i] = sp.presence_penalty
+            rep[i] = sp.repetition_penalty
+            if sp.min_new_tokens > 0:
+                stops = list(r.eos_token_ids | set(sp.stop_token_ids))[:E]
+                eos_ids[i, : len(stops)] = stops
+                min_rem[i] = max(
+                    0,
+                    sp.min_new_tokens - len(r.output_ids) - r.inflight,
+                )
+        meta.penalized_ids = pen_ids
+        meta.eos_mask_ids = eos_ids
+        meta.min_new_remaining = min_rem
+        meta.frequency_penalty = freq
+        meta.presence_penalty = pres
+        meta.repetition_penalty = rep
+        return meta
 
     def _launch_extend(self, reqs, items) -> InFlightBatch:
         batch = self.runner.batch_builder.build_extend(items)

@@ -61,6 +61,7 @@ def popen_launch_server(
     base_url = f"http://127.0.0.1:{port}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sft_jax_test_cache")
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     cmd = [
         sys.executable, "-m", "sglang_fluentllm_tpu.launch_server",
