@@ -93,7 +93,8 @@ class BatchBuilder:
             page_size=self.page_size,
         )
 
-    def build_decode(self, items: List[DecodeItem]) -> ForwardBatch:
+    def build_decode(self, items: List[DecodeItem],
+                     mode: ForwardMode = ForwardMode.DECODE) -> ForwardBatch:
         """[B, k]-shaped decode batch: column j holds step j's kv slot
         (k > 1 = fused multi-step decode, one device dispatch)."""
         B = len(items)
@@ -121,6 +122,6 @@ class BatchBuilder:
             page_tables=pages,
             seq_lens=seq_lens,
             q_lens=q_lens,
-            mode=ForwardMode.DECODE,
+            mode=mode,
             page_size=self.page_size,
         )

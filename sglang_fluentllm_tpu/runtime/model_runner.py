@@ -118,6 +118,13 @@ class ModelRunner:
         self._init_memory_pool()
         self._init_jit()
 
+        # speculative decoding worker (draft model + fused program)
+        self.spec_worker = None
+        if server_args.speculative_algorithm:
+            from sglang_fluentllm_tpu.spec.spec_worker import SpecWorker
+
+            self.spec_worker = SpecWorker(self, server_args)
+
     # ------------------------------------------------------------------
     def _shard(self, tree, specs):
         if math.prod(self.mesh.devices.shape) == 1:

@@ -67,6 +67,7 @@ class InFlightBatch:
     # may be mutated by the next admission before this batch resolves)
     sampled: Optional[List[bool]] = None
     seq: int = 0                     # launch sequence number
+    counts_dev: Any = None           # spec decode: accept counts [B]
 
 
 # Max launched-but-unresolved batches. Depth 1 would idle the device during
@@ -97,6 +98,11 @@ class Scheduler:
         self.overlap = not server_args.disable_overlap_schedule
         self.max_inflight = MAX_INFLIGHT_BATCHES if self.overlap else 1
         self._launch_seq = 0
+        # speculative decoding runs windows synchronously (accept lengths
+        # drive the next window's shapes)
+        self.spec = runner.spec_worker
+        if self.spec is not None:
+            self.max_inflight = 1
         self.new_token_ratio = INIT_NEW_TOKEN_RATIO
         self._ratio_decay = (
             INIT_NEW_TOKEN_RATIO - MIN_NEW_TOKEN_RATIO
@@ -465,10 +471,77 @@ class Scheduler:
             if items:
                 return self._launch_extend(prefill_reqs, items)
         if self.running_batch:
+            if self.spec is not None:
+                reqs, items = self.prepare_spec()
+                if items:
+                    return self._launch_spec(reqs, items)
+                return None
             reqs, items = self.prepare_decode()
             if items:
                 return self._launch_decode(reqs, items)
         return None
+
+    # ------------------------------------------------------------------
+    # Speculative decoding path (sync windows)
+    # ------------------------------------------------------------------
+    def prepare_spec(self):
+        K = self.spec.num_steps
+        reqs: List[Req] = []
+        items: List[DecodeItem] = []
+        i = 0
+        while i < len(self.running_batch):
+            req = self.running_batch[i]
+            if (
+                len(req.output_ids) >= req.sampling_params.max_new_tokens
+            ):
+                i += 1
+                continue
+            assert req.inflight == 0  # spec windows resolve synchronously
+            total = req.seq_len
+            end = total + K  # slots cover positions [total-1, total-1+K]
+            if end > req.alloced_len:
+                slots = self._evict_and_alloc(
+                    req.req_pool_idx, req.alloced_len, end - req.alloced_len
+                )
+                if slots is None:
+                    self._retract_decode(min_idx=i)
+                    continue
+                req.alloced_len = end
+            window_slots = self.allocator.token_slots(
+                req.req_pool_idx, total - 1, total + K
+            )
+            items.append(
+                DecodeItem(
+                    input_id=req.output_ids[-1],
+                    seq_len=total,
+                    slots=window_slots,
+                    pages=self.allocator.req_pages(req.req_pool_idx, end),
+                )
+            )
+            reqs.append(req)
+            i += 1
+        return reqs, items
+
+    def _launch_spec(self, reqs, items) -> InFlightBatch:
+        from sglang_fluentllm_tpu.runtime.forward_batch import ForwardMode as FM
+
+        K = self.spec.num_steps
+        batch = self.runner.batch_builder.build_decode(
+            items, mode=FM.TARGET_VERIFY
+        )
+        sampling = self._sampling_meta(reqs, batch.batch_size)
+        tokens, counts, logprobs = self.spec.forward_spec(batch, sampling)
+        for req in reqs:
+            req.inflight += K + 1
+            req.num_computed_tokens = req.seq_len - 1 + K + 1
+        return InFlightBatch(
+            reqs=list(reqs),
+            mode=FM.TARGET_VERIFY,
+            ids_dev=tokens,
+            logprobs_dev=logprobs,
+            this_extends=[K + 1] * len(reqs),
+            counts_dev=counts,
+        )
 
     @staticmethod
     def _needs_penalties(reqs: List[Req]) -> bool:
@@ -529,6 +602,9 @@ class Scheduler:
         ids, logprobs = self.runner.forward_batch_generation(
             batch, sampling, offset
         )
+        if self.spec is not None:
+            # draft-side prefill so draft KV covers the prompt
+            self.spec.forward_draft_extend(batch, sampling)
         this_extends = []
         sampled = []
         for i, req in enumerate(reqs):
@@ -576,6 +652,8 @@ class Scheduler:
         ids, logprobs = jax.device_get(
             (batch.ids_dev, batch.logprobs_dev)
         )
+        if batch.mode == ForwardMode.TARGET_VERIFY:
+            return self._resolve_spec(batch, ids, logprobs)
         is_decode = batch.mode == ForwardMode.DECODE
         multi = is_decode and ids.ndim == 2  # [k, B] fused decode window
         outputs: List[StepOutput] = []
@@ -638,6 +716,43 @@ class Scheduler:
                     if req not in self.running_batch:
                         req.status = ReqStatus.RUNNING
                         self.running_batch.append(req)
+            outputs.append(self._make_output(req))
+        return outputs
+
+    def _resolve_spec(self, batch: InFlightBatch, ids, logprobs):
+        """Consume one speculative window: accept_count tokens per request
+        (reference scheduler.py:1602-1612 accept-length handling)."""
+        counts = jax.device_get(batch.counts_dev)
+        outputs: List[StepOutput] = []
+        for i, req in enumerate(batch.reqs):
+            n_window = batch.this_extends[i]
+            req.inflight -= n_window
+            if req.finished():
+                if req.inflight == 0 and req.req_pool_idx is not None:
+                    self._finalize_req(req)
+                continue
+            n = int(counts[i])
+            req.spec_accept_lengths.append(n)
+            for j in range(n):
+                if len(req.output_ids) >= req.sampling_params.max_new_tokens:
+                    break
+                req.output_ids.append(int(ids[i, j]))
+                req.output_token_logprobs.append(float(logprobs[i, j]))
+                self.num_generated_tokens += 1
+                req.check_finished()
+                if req.finished():
+                    break
+            # KV is valid up to (new seq_len - 1); stale window tail gets
+            # overwritten by the next window
+            req.num_computed_tokens = req.seq_len - 1
+            if req.first_token_time is None:
+                req.first_token_time = time.monotonic()
+            req.check_finished()
+            if req.finished():
+                if req in self.running_batch:
+                    self.running_batch.remove(req)
+                if req.inflight == 0:
+                    self._finalize_req(req)
             outputs.append(self._make_output(req))
         return outputs
 

@@ -1,0 +1,94 @@
+"""Speculative decoding tests.
+
+Core property (reference test_eagle_infer.py analog): spec output is
+LOSSLESS — greedy generation with any draft equals the target-only greedy
+output; a perfect draft (self-speculation) accepts the full window.
+"""
+
+import numpy as np
+import pytest
+
+from tests.utils import TINY_LLAMA_CFG, tiny_engine, write_model_dir
+
+PROMPT = [3, 11, 42, 7, 19, 88, 5]
+SP = {"max_new_tokens": 13, "temperature": 0.0}
+
+WEAK_DRAFT_CFG = {**TINY_LLAMA_CFG, "num_hidden_layers": 1}
+
+
+def spec_engine(draft_cfg, steps=3, **kw):
+    draft_dir = write_model_dir(draft_cfg)
+    return tiny_engine(
+        speculative_algorithm="EAGLE",
+        speculative_draft_model_path=draft_dir,
+        speculative_num_steps=steps,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def baseline():
+    e = tiny_engine()
+    return e.generate(input_ids=PROMPT, sampling_params=SP)["output_ids"]
+
+
+class TestSpeculativeDecoding:
+    def test_self_spec_accepts_everything(self, baseline):
+        e = spec_engine(TINY_LLAMA_CFG, steps=3)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+        # perfect draft: every window accepts all K drafts (+bonus)
+        req_lengths = []
+        # accept lengths recorded on scheduler side; average must be K+1
+        # (except possibly the last truncated window)
+        # fetched via the engine's scheduler stats
+        # (all reqs finished; spec_accept_lengths lives on the req object)
+        # -> assert through a fresh single request instead:
+        out2 = e.generate(input_ids=[1, 2, 3, 4],
+                          sampling_params={"max_new_tokens": 8,
+                                           "temperature": 0.0})
+        assert len(out2["output_ids"]) == 8
+
+    def test_weak_draft_still_lossless(self, baseline):
+        e = spec_engine(WEAK_DRAFT_CFG, steps=3)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+
+    def test_spec_with_stop_token(self, baseline):
+        stop_tok = baseline[2]
+        e = spec_engine(TINY_LLAMA_CFG, steps=4)
+        out = e.generate(
+            input_ids=PROMPT,
+            sampling_params={**SP, "stop_token_ids": [stop_tok]},
+        )
+        assert out["output_ids"][-1] == stop_tok
+        assert len(out["output_ids"]) == 3
+
+    def test_spec_batch(self, baseline):
+        e = spec_engine(TINY_LLAMA_CFG, steps=3)
+        prompts = [PROMPT, [1, 2, 3], list(range(20))]
+        outs = e.generate(input_ids=prompts, sampling_params=SP)
+        assert outs[0]["output_ids"] == baseline
+        assert all(len(o["output_ids"]) == 13 for o in outs)
+
+    def test_spec_prefix_cache(self, baseline):
+        e = spec_engine(TINY_LLAMA_CFG, steps=3)
+        e.generate(input_ids=PROMPT, sampling_params=SP)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+        assert out["meta_info"]["cached_tokens"] >= 4
+
+    def test_accept_length_stat(self):
+        e = spec_engine(TINY_LLAMA_CFG, steps=3)
+        from sglang_fluentllm_tpu.sched.req import Req
+        from sglang_fluentllm_tpu.sched.sampling_params import SamplingParams
+
+        req = Req("spec-test", PROMPT,
+                  SamplingParams(max_new_tokens=12, temperature=0.0),
+                  eos_token_ids=set())
+        e.scheduler.add_request(req)
+        while not req.finished():
+            e.scheduler.step()
+        # perfect draft: all full windows accept K+1 = 4
+        assert req.spec_accept_lengths
+        assert all(a == 4 for a in req.spec_accept_lengths[:-1])
