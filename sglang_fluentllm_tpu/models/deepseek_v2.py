@@ -59,6 +59,9 @@ class DeepseekV2ForCausalLM:
             interleaved=True,
         )
         self.use_gmm = jax.default_backend() == "tpu"
+        # set by ModelRunner when expert parallelism is enabled
+        self.ep_mesh = None
+        self.ep_axis = "tp"
         self.n_dense = max(
             c.first_k_dense_replace if c.is_moe else c.num_hidden_layers, 0
         )
@@ -250,11 +253,22 @@ class DeepseekV2ForCausalLM:
         B, S, H = x.shape
         flat = x.reshape(B * S, H)
         logits = flat @ lp["router"]
-        out = moe_forward(
-            flat, logits, lp["w_gate_up"], lp["w_down"], c,
-            correction_bias=lp.get("correction_bias"),
-            use_gmm=self.use_gmm,
-        )
+        if self.ep_mesh is not None:
+            from sglang_fluentllm_tpu.parallel.ep import moe_forward_ep
+
+            out = moe_forward_ep(
+                flat, logits, lp["w_gate_up"], lp["w_down"], c,
+                mesh=self.ep_mesh,
+                correction_bias=lp.get("correction_bias"),
+                use_gmm=self.use_gmm,
+                axis=self.ep_axis,
+            )
+        else:
+            out = moe_forward(
+                flat, logits, lp["w_gate_up"], lp["w_down"], c,
+                correction_bias=lp.get("correction_bias"),
+                use_gmm=self.use_gmm,
+            )
         if c.num_shared_experts:
             shared = (jax.nn.silu(flat @ lp["shared_gate_proj"])
                       * (flat @ lp["shared_up_proj"])) @ lp["shared_down_proj"]

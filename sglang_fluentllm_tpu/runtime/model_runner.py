@@ -109,6 +109,15 @@ class ModelRunner:
         self.attn_backend = select_attn_backend(server_args, self.model_config)
         model_cls = get_model_class(self.model_config.architectures)
         self.model = model_cls(self.model_config, self.attn_backend)
+        if (
+            self.model_config.is_moe
+            and server_args.moe_parallel_strategy == "ep"
+            and server_args.tp_size > 1
+        ):
+            # expert parallelism over the tp axis (reference: MoE EP group
+            # derives from the TP group, parallel_state.py:1317)
+            self.model.ep_mesh = self.mesh
+            self.model.ep_axis = "tp"
 
         self.rng_base = jax.random.PRNGKey(server_args.random_seed or 0)
         self.step_counter = 0
