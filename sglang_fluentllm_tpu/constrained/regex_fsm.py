@@ -1,0 +1,359 @@
+"""Regex -> NFA -> lazy token-level DFA for constrained decoding.
+
+In-house replacement for the reference's xgrammar/outlines native cores
+(``srt/constrained/`` — token-mask computation). Design follows the
+outlines approach: compile the regex once against the tokenizer vocabulary
+into a token-transition table; per decode step the allowed-token bitmask is
+a single table lookup.
+
+Supported regex subset (enough for JSON-schema-derived patterns):
+literals, ``.``, escapes (\\d \\w \\s \\n \\t \\\\ etc.), char classes
+``[a-z0-9_]`` (incl. negation), groups ``(...)``, alternation ``|``,
+quantifiers ``* + ? {m} {m,} {m,n}``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DOT = ("dot",)          # any char except newline
+EPS = ("eps",)
+
+
+class _Cond:
+    """Character predicate: set of ranges, possibly negated."""
+
+    __slots__ = ("ranges", "negated")
+
+    def __init__(self, ranges, negated=False):
+        self.ranges = tuple(ranges)  # ((lo, hi), ...)
+        self.negated = negated
+
+    def matches(self, ch: str) -> bool:
+        o = ord(ch)
+        hit = any(lo <= o <= hi for lo, hi in self.ranges)
+        return hit != self.negated
+
+
+def _cond_char(c: str) -> _Cond:
+    return _Cond([(ord(c), ord(c))])
+
+
+_ESCAPES = {
+    "d": _Cond([(48, 57)]),
+    "D": _Cond([(48, 57)], negated=True),
+    "w": _Cond([(48, 57), (65, 90), (97, 122), (95, 95)]),
+    "W": _Cond([(48, 57), (65, 90), (97, 122), (95, 95)], negated=True),
+    "s": _Cond([(9, 13), (32, 32)]),
+    "S": _Cond([(9, 13), (32, 32)], negated=True),
+    "n": _cond_char("\n"),
+    "t": _cond_char("\t"),
+    "r": _cond_char("\r"),
+}
+
+
+class NFA:
+    def __init__(self):
+        self.transitions: List[List[Tuple[Optional[_Cond], int]]] = []
+
+    def new_state(self) -> int:
+        self.transitions.append([])
+        return len(self.transitions) - 1
+
+    def add(self, src: int, cond: Optional[_Cond], dst: int):
+        self.transitions[src].append((cond, dst))
+
+
+class _Parser:
+    """Recursive-descent regex parser building NFA fragments."""
+
+    def __init__(self, pattern: str, nfa: NFA):
+        self.p = pattern
+        self.i = 0
+        self.nfa = nfa
+
+    def peek(self):
+        return self.p[self.i] if self.i < len(self.p) else None
+
+    def eat(self):
+        c = self.p[self.i]
+        self.i += 1
+        return c
+
+    # fragment = (start, end)
+    def parse(self) -> Tuple[int, int]:
+        frag = self.alt()
+        if self.i != len(self.p):
+            raise ValueError(f"unexpected '{self.peek()}' at {self.i}")
+        return frag
+
+    def alt(self):
+        frags = [self.concat()]
+        while self.peek() == "|":
+            self.eat()
+            frags.append(self.concat())
+        if len(frags) == 1:
+            return frags[0]
+        s, e = self.nfa.new_state(), self.nfa.new_state()
+        for fs, fe in frags:
+            self.nfa.add(s, None, fs)
+            self.nfa.add(fe, None, e)
+        return s, e
+
+    def concat(self):
+        frags = []
+        while self.peek() is not None and self.peek() not in "|)":
+            frags.append(self.repeat())
+        if not frags:
+            s = self.nfa.new_state()
+            return s, s
+        s, e = frags[0]
+        for fs, fe in frags[1:]:
+            self.nfa.add(e, None, fs)
+            e = fe
+        return s, e
+
+    def repeat(self):
+        frag = self.atom()
+        while self.peek() in ("*", "+", "?", "{"):
+            c = self.peek()
+            if c == "{":
+                j = self.p.find("}", self.i)
+                if j == -1:
+                    break
+                body = self.p[self.i + 1 : j]
+                try:
+                    if "," in body:
+                        lo_s, hi_s = body.split(",", 1)
+                        lo = int(lo_s)
+                        hi = int(hi_s) if hi_s.strip() else None
+                    else:
+                        lo = hi = int(body)
+                except ValueError:
+                    break  # literal brace
+                self.i = j + 1
+                frag = self._bounded(frag, lo, hi)
+                continue
+            self.eat()
+            if c == "*":
+                frag = self._star(frag)
+            elif c == "+":
+                s2, e2 = self._star(self._clone(frag))
+                s, e = frag
+                self.nfa.add(e, None, s2)
+                frag = (s, e2)
+            elif c == "?":
+                s, e = frag
+                self.nfa.add(s, None, e)
+                frag = (s, e)
+        return frag
+
+    def _star(self, frag):
+        s, e = frag
+        ns, ne = self.nfa.new_state(), self.nfa.new_state()
+        self.nfa.add(ns, None, s)
+        self.nfa.add(ns, None, ne)
+        self.nfa.add(e, None, s)
+        self.nfa.add(e, None, ne)
+        return ns, ne
+
+    def _clone(self, frag):
+        """Clone a fragment's subgraph (for + and {m,n} expansion)."""
+        s, e = frag
+        # collect reachable states
+        seen = {s}
+        stack = [s]
+        while stack:
+            st = stack.pop()
+            for cond, dst in self.nfa.transitions[st]:
+                if dst not in seen:
+                    seen.add(dst)
+                    stack.append(dst)
+        mapping = {old: self.nfa.new_state() for old in seen}
+        for old in seen:
+            for cond, dst in self.nfa.transitions[old]:
+                if dst in mapping:
+                    self.nfa.add(mapping[old], cond, mapping[dst])
+        return mapping[s], mapping[e]
+
+    def _bounded(self, frag, lo, hi):
+        s = self.nfa.new_state()
+        e = s
+        for _ in range(lo):
+            fs, fe = self._clone(frag)
+            self.nfa.add(e, None, fs)
+            e = fe
+        if hi is None:
+            fs, fe = self._star(self._clone(frag))
+            self.nfa.add(e, None, fs)
+            e = fe
+        else:
+            skips = []
+            for _ in range(hi - lo):
+                fs, fe = self._clone(frag)
+                self.nfa.add(e, None, fs)
+                skips.append(e)
+                e = fe
+            for sk in skips:
+                self.nfa.add(sk, None, e)
+        return s, e
+
+    def atom(self):
+        c = self.eat()
+        n = self.nfa
+        if c == "(":
+            if self.p[self.i : self.i + 2] == "?:":
+                self.i += 2
+            frag = self.alt()
+            if self.peek() != ")":
+                raise ValueError("unbalanced (")
+            self.eat()
+            return frag
+        s, e = n.new_state(), n.new_state()
+        if c == ".":
+            n.add(s, _Cond([(0, 9), (11, 0x10FFFF)]), e)
+        elif c == "[":
+            n.add(s, self._char_class(), e)
+        elif c == "\\":
+            esc = self.eat()
+            n.add(s, _ESCAPES.get(esc, _cond_char(esc)), e)
+        else:
+            n.add(s, _cond_char(c), e)
+        return s, e
+
+    def _char_class(self) -> _Cond:
+        negated = False
+        if self.peek() == "^":
+            self.eat()
+            negated = True
+        ranges = []
+        while self.peek() != "]":
+            if self.peek() is None:
+                raise ValueError("unbalanced [")
+            c = self.eat()
+            if c == "\\":
+                esc = self.eat()
+                sub = _ESCAPES.get(esc, _cond_char(esc))
+                ranges.extend(sub.ranges)
+                continue
+            if self.peek() == "-" and self.p[self.i + 1 : self.i + 2] != "]":
+                self.eat()
+                hi = self.eat()
+                ranges.append((ord(c), ord(hi)))
+            else:
+                ranges.append((ord(c), ord(c)))
+        self.eat()
+        return _Cond(ranges, negated)
+
+
+class RegexGuide:
+    """Token-level DFA: compiled once per (regex, vocab)."""
+
+    def __init__(self, pattern: str, vocab: Sequence[str],
+                 eos_token_ids: Sequence[int]):
+        self.nfa = NFA()
+        parser = _Parser(pattern, self.nfa)
+        self.start_frag = parser.parse()
+        self.accept_state = self.start_frag[1]
+        self.vocab = list(vocab)
+        self.eos_token_ids = list(eos_token_ids)
+        self._closure_cache: Dict[int, FrozenSet[int]] = {}
+
+        V = len(vocab)
+        self.num_words = (V + 31) // 32
+        # lazy DFA over token strings
+        self._state_ids: Dict[FrozenSet[int], int] = {}
+        self._masks: List[np.ndarray] = []
+        self._next: List[Dict[int, int]] = []
+        self._accepting: List[bool] = []
+        start = self._closure(frozenset([self.start_frag[0]]))
+        self.start_state = self._explore(start)
+
+    # ------------------------------------------------------------------
+    def _closure(self, states: FrozenSet[int]) -> FrozenSet[int]:
+        out = set(states)
+        stack = list(states)
+        while stack:
+            s = stack.pop()
+            for cond, dst in self.nfa.transitions[s]:
+                if cond is None and dst not in out:
+                    out.add(dst)
+                    stack.append(dst)
+        return frozenset(out)
+
+    def _advance_char(self, states: FrozenSet[int], ch: str) -> FrozenSet[int]:
+        nxt = set()
+        for s in states:
+            for cond, dst in self.nfa.transitions[s]:
+                if cond is not None and cond.matches(ch):
+                    nxt.add(dst)
+        if not nxt:
+            return frozenset()
+        return self._closure(frozenset(nxt))
+
+    def _advance_str(self, states: FrozenSet[int], s: str) -> FrozenSet[int]:
+        for ch in s:
+            states = self._advance_char(states, ch)
+            if not states:
+                break
+        return states
+
+    def _explore(self, stateset: FrozenSet[int]) -> int:
+        if stateset in self._state_ids:
+            return self._state_ids[stateset]
+        sid = len(self._masks)
+        self._state_ids[stateset] = sid
+        mask = np.zeros((self.num_words,), np.uint32)
+        self._masks.append(mask)
+        nxt: Dict[int, int] = {}
+        self._next.append(nxt)
+        accepting = self.accept_state in stateset
+        self._accepting.append(accepting)
+        for tid, tok in enumerate(self.vocab):
+            if not tok:
+                continue
+            ns = self._advance_str(stateset, tok)
+            if ns:
+                mask[tid // 32] |= np.uint32(1 << (tid % 32))
+                nxt[tid] = self._explore(ns)
+        if accepting:
+            for eid in self.eos_token_ids:
+                if 0 <= eid < len(self.vocab):
+                    mask[eid // 32] |= np.uint32(1 << (eid % 32))
+        return sid
+
+    # ------------------------------------------------------------------
+    def allowed_mask(self, state: int) -> np.ndarray:
+        return self._masks[state]
+
+    def advance(self, state: int, token_id: int) -> int:
+        """Returns next state; -1 = terminated (eos taken at accept)."""
+        nxt = self._next[state].get(token_id)
+        if nxt is None:
+            if self._accepting[state] and token_id in self.eos_token_ids:
+                return -1
+            return -1  # illegal (shouldn't happen when mask applied)
+        return nxt
+
+    def is_accepting(self, state: int) -> bool:
+        return state == -1 or self._accepting[state]
+
+    def jump_forward(self, state: int) -> List[int]:
+        """Deterministically forced continuation (outlines jump-forward
+        analog): while exactly one token is allowed, emit it."""
+        out = []
+        while state >= 0:
+            mask = self._masks[state]
+            nz = np.flatnonzero(mask)
+            if len(nz) != 1:
+                break
+            w = int(nz[0])
+            bits = int(mask[w])
+            if bits & (bits - 1):
+                break  # more than one bit set
+            tid = w * 32 + (bits.bit_length() - 1)
+            out.append(tid)
+            state = self._next[state].get(tid, -1)
+        return out

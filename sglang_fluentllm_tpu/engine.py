@@ -72,6 +72,21 @@ class Engine:
         self.detokenizer = (
             Detokenizer(self.tokenizer) if self.tokenizer else None
         )
+        self._grammar_backend = None
+
+    @property
+    def grammar_backend(self):
+        if self._grammar_backend is None:
+            from sglang_fluentllm_tpu.constrained.backend import (
+                GrammarBackend,
+            )
+
+            self._grammar_backend = GrammarBackend(
+                self.tokenizer,
+                self.model_config.vocab_size,
+                self.eos_token_ids,
+            )
+        return self._grammar_backend
 
     # ------------------------------------------------------------------
     def generate(
@@ -100,6 +115,8 @@ class Engine:
                 sampling_params=sp,
                 eos_token_ids=self.eos_token_ids,
             )
+            if sp.json_schema or sp.regex or sp.ebnf:
+                req.grammar_future = self.grammar_backend.grammar_for(sp)
             reqs.append(req)
             self.scheduler.add_request(req)
 

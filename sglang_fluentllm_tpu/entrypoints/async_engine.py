@@ -56,6 +56,7 @@ class AsyncEngine:
         self.detokenizer = (
             Detokenizer(self.tokenizer) if self.tokenizer else None
         )
+        self._grammar_backend = None
 
         self._input: "queue.Queue[tuple]" = queue.Queue()
         self._states: Dict[str, _ReqState] = {}
@@ -70,6 +71,20 @@ class AsyncEngine:
         self._thread.start()
         self.start_time = time.time()
         self.last_receive_time = time.time()
+
+    @property
+    def grammar_backend(self):
+        if self._grammar_backend is None:
+            from sglang_fluentllm_tpu.constrained.backend import (
+                GrammarBackend,
+            )
+
+            self._grammar_backend = GrammarBackend(
+                self.tokenizer,
+                self.model_config.vocab_size,
+                self.eos_token_ids,
+            )
+        return self._grammar_backend
 
     def _warmup(self):
         """Compile the smallest prefill + decode buckets before serving
@@ -210,6 +225,8 @@ class AsyncEngine:
             )
         rid = rid or uuid.uuid4().hex
         req = Req(rid, input_ids, sp, eos_token_ids=self.eos_token_ids)
+        if sp.json_schema or sp.regex or sp.ebnf:
+            req.grammar_future = self.grammar_backend.grammar_for(sp)
         st = _ReqState(req=req, out_queue=asyncio.Queue(),
                        created=time.time())
         self._states[rid] = st

@@ -39,6 +39,9 @@ class SamplingMetadata:
     # min-new-tokens: eos ids masked while remaining > 0
     eos_mask_ids: Optional[jax.Array] = None        # [B, E] i32 (-1 = pad)
     min_new_remaining: Optional[jax.Array] = None   # [B] i32
+    # constrained decoding: packed allowed-token bitmask [B, ceil(V/32)]
+    # (int32 words; row of all ones = unconstrained)
+    vocab_mask_words: Optional[jax.Array] = None
     # static fast path: host knows at batch-build time that every request
     # is greedy -> jit specializes to a pure argmax (no sort, no gumbel)
     all_greedy: bool = dataclasses.field(
@@ -155,6 +158,15 @@ def sample(
     if meta.linear_penalty is not None and meta.linear_penalty.shape[-1] == logits.shape[-1]:
         logits = logits + meta.linear_penalty
     logits = apply_penalties(logits, meta)
+    if meta.vocab_mask_words is not None:
+        # unpack the grammar bitmask (xgrammar apply_token_bitmask analog)
+        B, V = logits.shape
+        words = meta.vocab_mask_words.view(jnp.uint32)   # [B, W]
+        bits = (
+            words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
+        ) & jnp.uint32(1)
+        allowed = bits.reshape(B, -1)[:, :V].astype(bool)
+        logits = jnp.where(allowed, logits, NEG_INF)
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if meta.all_greedy:
         return greedy_ids

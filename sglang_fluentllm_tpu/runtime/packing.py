@@ -34,6 +34,7 @@ class BatchMeta(NamedTuple):
     has_mask: bool = False
     pen_len: int = 0      # penalized-token window (0 = no penalties)
     n_eos: int = 0        # eos-mask width for min_new_tokens
+    n_mask_words: int = 0  # grammar bitmask words (0 = unconstrained)
 
 
 def pack_batch(
@@ -57,7 +58,12 @@ def pack_batch(
         np.asarray(sm.top_p, np.float32),
         np.asarray(sm.min_p, np.float32),
     ]
-    pen_len = n_eos = 0
+    pen_len = n_eos = n_mask_words = 0
+    if sm.vocab_mask_words is not None:
+        n_mask_words = sm.vocab_mask_words.shape[1]
+        int_parts.append(
+            np.asarray(sm.vocab_mask_words).view(np.int32).ravel()
+        )
     if sm.penalized_ids is not None:
         pen_len = sm.penalized_ids.shape[1]
         n_eos = sm.eos_mask_ids.shape[1]
@@ -77,7 +83,7 @@ def pack_batch(
         B=B, S=S, P=P, mode=fb.mode, page_size=fb.page_size,
         all_greedy=bool(sm.all_greedy),
         has_mask=fb.custom_mask is not None,
-        pen_len=pen_len, n_eos=n_eos,
+        pen_len=pen_len, n_eos=n_eos, n_mask_words=n_mask_words,
     )
     return ints, floats, meta
 
@@ -108,6 +114,11 @@ def unpack_batch(
     is_greedy = take(B).astype(bool)
     penalized_ids = eos_mask_ids = min_new_remaining = None
     freq = pres = rep = None
+    vocab_mask_words = None
+    if meta.n_mask_words:
+        vocab_mask_words = take(B * meta.n_mask_words).reshape(
+            B, meta.n_mask_words
+        )
     if meta.pen_len:
         penalized_ids = take(B * meta.pen_len).reshape(B, meta.pen_len)
         eos_mask_ids = take(B * meta.n_eos).reshape(B, meta.n_eos)
@@ -139,5 +150,6 @@ def unpack_batch(
         penalized_ids=penalized_ids,
         eos_mask_ids=eos_mask_ids,
         min_new_remaining=min_new_remaining,
+        vocab_mask_words=vocab_mask_words,
     )
     return fb, sm

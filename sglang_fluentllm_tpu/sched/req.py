@@ -70,6 +70,10 @@ class Req:
         self.inflight = 0            # sampled-but-unresolved tokens
         self.last_future_slot: Optional[int] = None  # ring slot of newest
 
+        # --- constrained decoding ---
+        self.grammar = None          # constrained.backend.Grammar
+        self.grammar_future = None   # pending compile
+
         # --- logprobs ---
         self.output_token_logprobs: List[float] = []
 

@@ -180,9 +180,12 @@ class Scheduler:
         if self.chunked_req is not None:
             candidates.append(self.chunked_req)
         self.policy.calc_priority(self.waiting_queue)
-        # requests with unresolved tokens (just retracted) can't prefill yet
+        self._move_ready_grammar_requests()
+        # requests with unresolved tokens (just retracted) can't prefill
+        # yet; grammar requests wait for their compile
         candidates.extend(
-            r for r in self.waiting_queue if r.inflight == 0
+            r for r in self.waiting_queue
+            if r.inflight == 0 and r.grammar_future is None
         )
 
         adder = PrefillAdder(
@@ -272,9 +275,12 @@ class Scheduler:
             MIN_NEW_TOKEN_RATIO, self.new_token_ratio - self._ratio_decay
         )
         k = max(1, self.server_args.decode_steps_per_launch)
-        if k > 1 and self._needs_penalties(self.running_batch):
-            # penalty state must refresh between tokens; fall back to
-            # single-step decode while such requests are running
+        if k > 1 and (
+            self._needs_penalties(self.running_batch)
+            or self._has_grammar(self.running_batch)
+        ):
+            # penalty/grammar state must refresh between tokens; fall back
+            # to single-step decode while such requests are running
             k = 1
         reqs: List[Req] = []
         items: List[DecodeItem] = []
@@ -413,6 +419,19 @@ class Scheduler:
     # Main iteration: launch next batch, then resolve the previous one.
     # ------------------------------------------------------------------
     def step(self) -> List[StepOutput]:
+        # grammar masks depend on the previous token -> run synchronously
+        # while constrained requests are active (reference computes masks
+        # one step behind with a 1-deep overlap, SURVEY B.8)
+        max_inflight = self.max_inflight
+        if self._has_grammar(self.running_batch):
+            max_inflight = 1
+        self.max_inflight, saved = max_inflight, self.max_inflight
+        try:
+            return self._step_inner()
+        finally:
+            self.max_inflight = saved
+
+    def _step_inner(self) -> List[StepOutput]:
         if len(self.pending) < self.max_inflight:
             launched = self._launch_next()
             if launched is not None:
@@ -543,11 +562,31 @@ class Scheduler:
             counts_dev=counts,
         )
 
+    def _move_ready_grammar_requests(self):
+        """Attach compiled grammars (reference scheduler.py:1736
+        move_ready_grammar_requests)."""
+        from sglang_fluentllm_tpu.constrained.backend import Grammar
+
+        for r in self.waiting_queue:
+            fut = r.grammar_future
+            if fut is not None and fut.done():
+                try:
+                    r.grammar = Grammar(fut.result())
+                except Exception as e:  # compile failure -> abort request
+                    logger.error("grammar compile failed: %s", e)
+                    r.abort()
+                    self.waiting_queue.remove(r)
+                r.grammar_future = None
+
     @staticmethod
     def _needs_penalties(reqs: List[Req]) -> bool:
         return any(
             r.sampling_params.needs_penalties for r in reqs
         )
+
+    @staticmethod
+    def _has_grammar(reqs: List[Req]) -> bool:
+        return any(r.grammar is not None for r in reqs)
 
     def _sampling_meta(self, reqs: List[Req], pad_to: int) -> SamplingMetadata:
         sps = [r.sampling_params for r in reqs]
@@ -558,6 +597,16 @@ class Scheduler:
             [sp.min_p for sp in sps],
             pad_to,
         )
+        if self._has_grammar(reqs):
+            V = self.runner.model_config.vocab_size
+            W = (V + 31) // 32
+            words = np.full((pad_to, W), 0xFFFFFFFF, np.uint32)
+            for i, r in enumerate(reqs):
+                if r.grammar is not None:
+                    m = r.grammar.allowed_bitmask()
+                    if m is not None:
+                        words[i] = m
+            meta.vocab_mask_words = words
         if not self._needs_penalties(reqs):
             return meta
         from sglang_fluentllm_tpu.utils import next_power_of_2
@@ -690,6 +739,8 @@ class Scheduler:
                 req.output_ids.append(token)
                 req.output_token_logprobs.append(lp)
                 self.num_generated_tokens += 1
+                if req.grammar is not None:
+                    req.grammar.accept(token)
                 req.check_finished()
                 if req.finished():
                     break

@@ -1,0 +1,188 @@
+"""Constrained decoding tests: regex FSM, JSON-schema lowering, engine
+integration (reference test_json_constrained.py / outlines-FSM analog)."""
+
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+
+from sglang_fluentllm_tpu.constrained.json_schema import schema_to_regex
+from sglang_fluentllm_tpu.constrained.regex_fsm import RegexGuide
+from tests.utils import TINY_LLAMA_CFG, tiny_engine, write_model_dir
+
+
+def allowed_ids(guide, state):
+    mask = guide.allowed_mask(state)
+    out = []
+    for tid in range(len(guide.vocab)):
+        if mask[tid // 32] & np.uint32(1 << (tid % 32)):
+            out.append(tid)
+    return out
+
+
+class TestRegexGuide:
+    VOCAB = ["a", "b", "c", "ab", "bc", "x", "<eos>"]
+    EOS = [6]
+
+    def test_basic_walk(self):
+        g = RegexGuide("ab*c", self.VOCAB, self.EOS)
+        s = g.start_state
+        ids = allowed_ids(g, s)
+        assert 0 in ids and 3 in ids      # "a", "ab"
+        assert 1 not in ids and 5 not in ids
+        s = g.advance(s, 0)               # consumed "a"
+        ids = allowed_ids(g, s)
+        assert set(ids) >= {1, 2, 4}      # b, c, bc
+        s = g.advance(s, 2)               # consumed "c" -> accept
+        assert g.is_accepting(s)
+        assert 6 in allowed_ids(g, s)     # eos allowed at accept
+
+    def test_multichar_tokens(self):
+        g = RegexGuide("abc", self.VOCAB, self.EOS)
+        s = g.advance(g.start_state, 3)   # "ab"
+        ids = allowed_ids(g, s)
+        assert ids == [2]                 # only "c"
+
+    def test_char_classes_and_quantifiers(self):
+        vocab = list("0123456789-x") + ["<eos>"]
+        g = RegexGuide(r"-?[0-9]{2,4}", vocab, [12])
+        s = g.start_state
+        assert vocab.index("-") == 10
+        assert 10 in allowed_ids(g, s)
+        s = g.advance(s, vocab.index("5"))
+        assert 12 not in allowed_ids(g, s)     # 1 digit: not accepting yet
+        s = g.advance(s, vocab.index("7"))
+        assert 12 in allowed_ids(g, s)         # 2 digits: accepting
+        s = g.advance(s, vocab.index("7"))
+        s = g.advance(s, vocab.index("7"))
+        assert allowed_ids(g, s) == [12]       # 4 digits: only eos
+
+    def test_jump_forward(self):
+        vocab = list("abcdef") + ["<eos>"]
+        g = RegexGuide("abc[de]", vocab, [6])
+        forced = g.jump_forward(g.start_state)
+        assert [vocab[t] for t in forced] == ["a", "b", "c"]
+
+    def test_alternation(self):
+        vocab = ["cat", "dog", "c", "at", "d", "og", "<eos>"]
+        g = RegexGuide("(cat|dog)", vocab, [6])
+        ids = allowed_ids(g, g.start_state)
+        assert set(ids) == {0, 1, 2, 4}
+
+
+class TestJsonSchemaRegex:
+    def check(self, schema, good, bad):
+        pattern = schema_to_regex(schema)
+        for g in good:
+            assert re.fullmatch(pattern, g), f"{g!r} should match {pattern}"
+        for b in bad:
+            assert not re.fullmatch(pattern, b), f"{b!r} should not match"
+
+    def test_integer(self):
+        self.check({"type": "integer"}, ["0", "42", "-7"], ["1.5", "a", "01"])
+
+    def test_object(self):
+        schema = {
+            "type": "object",
+            "properties": {"a": {"type": "integer"},
+                           "b": {"type": "string"}},
+            "required": ["a", "b"],
+        }
+        self.check(
+            schema,
+            ['{"a": 1, "b": "x"}', '{"a":-2,"b":""}'],
+            ['{"b": "x", "a": 1}', '{"a": 1}', "{}"],
+        )
+
+    def test_array(self):
+        self.check(
+            {"type": "array", "items": {"type": "boolean"},
+             "maxItems": 2, "minItems": 1},
+            ["[true]", "[true, false]"],
+            ["[]", "[true, true, false]", "[1]"],
+        )
+
+    def test_enum(self):
+        self.check({"enum": ["red", "green"]},
+                   ['"red"', '"green"'], ['"blue"', "red"])
+
+
+# ---------------------------------------------------------------------------
+# Engine integration with a character-level tokenizer
+# ---------------------------------------------------------------------------
+
+CHARS = (
+    list("abcdefghijklmnopqrstuvwxyz")
+    + list("0123456789")
+    + list(' {}[]":,.-+eE_')
+)
+
+
+def write_char_tokenizer(model_dir: str, vocab_size: int):
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+    from tokenizers import Regex
+
+    vocab = {c: i for i, c in enumerate(CHARS)}
+    nxt = len(vocab)
+    while nxt < vocab_size - 2:
+        vocab[f"<x{nxt}>"] = nxt
+        nxt += 1
+    vocab["<unk>"] = vocab_size - 2
+    vocab["<eos>"] = vocab_size - 1
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Split(Regex("."), "isolated")
+    tok.decoder = decoders.Fuse()
+    tok.save(os.path.join(model_dir, "tokenizer.json"))
+    with open(os.path.join(model_dir, "tokenizer_config.json"), "w") as fp:
+        json.dump({
+            "tokenizer_class": "PreTrainedTokenizerFast",
+            "unk_token": "<unk>",
+            "eos_token": "<eos>",
+            "model_max_length": 4096,
+        }, fp)
+
+
+@pytest.fixture(scope="module")
+def char_engine():
+    model_dir = write_model_dir(TINY_LLAMA_CFG)
+    write_char_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+    return tiny_engine(
+        model_path_override=model_dir, skip_tokenizer_init=False
+    )
+
+
+class TestEngineConstrained:
+    def test_regex_constrained(self, char_engine):
+        out = char_engine.generate(
+            prompt="abc",
+            sampling_params={"max_new_tokens": 12, "temperature": 1.0,
+                             "regex": "[0-9]{4}-[0-9]{2}"},
+        )
+        assert re.fullmatch(r"[0-9]{4}-[0-9]{2}", out["text"]), out["text"]
+
+    def test_json_schema_constrained(self, char_engine):
+        schema = json.dumps({
+            "type": "object",
+            "properties": {"age": {"type": "integer"}},
+            "required": ["age"],
+        })
+        out = char_engine.generate(
+            prompt="abc",
+            sampling_params={"max_new_tokens": 40, "temperature": 1.0,
+                             "json_schema": schema},
+        )
+        data = json.loads(out["text"])
+        assert isinstance(data["age"], int)
+
+    def test_unconstrained_mixed_batch(self, char_engine):
+        outs = char_engine.generate(
+            prompt=["ab", "cd"],
+            sampling_params=[
+                {"max_new_tokens": 6, "temperature": 0.0},
+                {"max_new_tokens": 8, "temperature": 1.0,
+                 "regex": "[a-z]+"},
+            ],
+        )
+        assert re.fullmatch("[a-z]+", outs[1]["text"])

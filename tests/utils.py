@@ -78,10 +78,10 @@ def write_model_dir(cfg: dict, tmpdir: str | None = None) -> str:
     return d
 
 
-def tiny_engine(cfg=None, **kwargs):
+def tiny_engine(cfg=None, model_path_override=None, **kwargs):
     from sglang_fluentllm_tpu.engine import Engine
 
-    model_dir = write_model_dir(cfg or TINY_LLAMA_CFG)
+    model_dir = model_path_override or write_model_dir(cfg or TINY_LLAMA_CFG)
     defaults = dict(
         model_path=model_dir,
         load_format="dummy",
