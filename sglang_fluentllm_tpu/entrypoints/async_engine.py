@@ -58,6 +58,25 @@ class AsyncEngine:
         )
         self._grammar_backend = None
 
+        # metrics (reference srt/metrics/collector.py role)
+        self.sched_metrics = None
+        self.req_metrics = None
+        if server_args.enable_metrics:
+            from sglang_fluentllm_tpu.metrics.collector import (
+                RequestMetricsCollector,
+                SchedulerMetricsCollector,
+            )
+
+            name = server_args.served_model_name
+            self.sched_metrics = SchedulerMetricsCollector(name)
+            self.req_metrics = RequestMetricsCollector(name)
+        self._last_metrics_t = 0.0
+
+        # multi-turn sessions (reference managers/session_controller.py)
+        from sglang_fluentllm_tpu.sched.sessions import SessionController
+
+        self.sessions = SessionController()
+
         self._input: "queue.Queue[tuple]" = queue.Queue()
         self._states: Dict[str, _ReqState] = {}
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -124,6 +143,19 @@ class AsyncEngine:
                 continue
             if outputs and self._loop is not None:
                 self._loop.call_soon_threadsafe(self._publish, outputs)
+            if self.sched_metrics is not None:
+                now = time.time()
+                if now - self._last_metrics_t > 1.0:
+                    self.sched_metrics.observe(self.scheduler, self.runner)
+                    self._last_metrics_t = now
+                for out in outputs:
+                    lb = self.sched_metrics._labels
+                    self.sched_metrics.num_generated_tokens.labels(
+                        **lb).inc(len(out.new_token_ids))
+                    if out.finished:
+                        self.sched_metrics.num_requests.labels(**lb).inc()
+                        self.sched_metrics.num_prompt_tokens.labels(
+                            **lb).inc(out.prompt_tokens)
 
     def _drain_input(self, block: bool):
         try:
@@ -152,6 +184,12 @@ class AsyncEngine:
                     )
             elif kind == "flush":
                 payload(self.scheduler.flush_cache())
+            elif kind == "rpc":
+                fn, setter = payload
+                try:
+                    setter((True, fn()))
+                except Exception as e:  # noqa: BLE001
+                    setter((False, str(e)))
             try:
                 item = self._input.get_nowait()
             except queue.Empty:
@@ -193,8 +231,11 @@ class AsyncEngine:
         sampling_params: Optional[Union[Dict, SamplingParams]] = None,
         rid: Optional[str] = None,
         stream: bool = False,
+        session_params: Optional[Dict[str, Any]] = None,
     ) -> Union[Dict[str, Any], AsyncIterator[Dict[str, Any]]]:
-        gen = self.generate_stream(prompt, input_ids, sampling_params, rid)
+        gen = self.generate_stream(
+            prompt, input_ids, sampling_params, rid, session_params
+        )
         if stream:
             return gen
         final = None
@@ -208,6 +249,7 @@ class AsyncEngine:
         input_ids: Optional[List[int]] = None,
         sampling_params: Optional[Union[Dict, SamplingParams]] = None,
         rid: Optional[str] = None,
+        session_params: Optional[Dict[str, Any]] = None,
     ) -> AsyncIterator[Dict[str, Any]]:
         self._loop = asyncio.get_running_loop()
         self.last_receive_time = time.time()
@@ -215,6 +257,15 @@ class AsyncEngine:
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
+        session_id = None
+        hist_len = 0
+        if session_params:
+            session_id = session_params.get("id")
+            history = self.sessions.prefix_for(
+                session_id, session_params.get("offset")
+            )
+            hist_len = len(history)
+            input_ids = history + list(input_ids)
         if not input_ids:
             raise ValueError("input_ids must be non-empty")
         max_ctx = self.runner.max_context_len
@@ -231,9 +282,16 @@ class AsyncEngine:
                        created=time.time())
         self._states[rid] = st
         self._input.put(("req", req))
+        first = True
         try:
             while True:
                 out: StepOutput = await st.out_queue.get()
+                if first and out.new_token_ids:
+                    first = False
+                    if self.req_metrics is not None:
+                        self.req_metrics.observe_ttft(
+                            time.time() - st.created
+                        )
                 delta_text = ""
                 if self.detokenizer is not None and out.new_token_ids:
                     delta_text, stop = self.detokenizer.detokenize_incremental(
@@ -249,6 +307,19 @@ class AsyncEngine:
                         )
                 yield self._format_output(st, out, delta_text)
                 if out.finished:
+                    if session_id is not None:
+                        # record this turn: new prompt tokens + outputs
+                        self.sessions.append(
+                            session_id,
+                            list(input_ids[hist_len:])
+                            + list(out.output_ids),
+                        )
+                    if self.req_metrics is not None:
+                        self.req_metrics.observe_finish(
+                            time.time() - st.created,
+                            out.prompt_tokens,
+                            len(out.output_ids),
+                        )
                     return
         finally:
             self._states.pop(rid, None)
@@ -288,6 +359,40 @@ class AsyncEngine:
             ("flush", lambda v: loop.call_soon_threadsafe(fut.set_result, v))
         )
         return await fut
+
+    async def _run_rpc(self, fn):
+        """Run fn on the scheduler thread between steps (safe point for
+        weight/memory mutations — reference collective_rpc analog)."""
+        self._loop = asyncio.get_running_loop()
+        loop = self._loop
+        fut: asyncio.Future = loop.create_future()
+        self._input.put((
+            "rpc",
+            (fn, lambda v: loop.call_soon_threadsafe(fut.set_result, v)),
+        ))
+        return await fut
+
+    async def update_weights_from_disk(self, model_path: str):
+        return await self._run_rpc(
+            lambda: self.runner.update_weights_from_disk(model_path)
+        )
+
+    async def get_weights_by_name(self, name: str, truncate_size: int = 100):
+        return await self._run_rpc(
+            lambda: self.runner.get_weights_by_name(name, truncate_size)
+        )
+
+    async def release_memory_occupation(self):
+        def _release():
+            if self.scheduler.has_work():
+                raise RuntimeError("cannot release memory: requests active")
+            self.scheduler.flush_cache()
+            self.runner.release_kv_cache()
+
+        return await self._run_rpc(_release)
+
+    async def resume_memory_occupation(self):
+        return await self._run_rpc(self.runner.resume_kv_cache)
 
     def pause_generation(self):
         self._paused.set()

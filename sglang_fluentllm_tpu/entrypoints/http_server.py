@@ -68,6 +68,12 @@ class HttpServer:
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/metrics", self.metrics)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
+        r.add_post("/update_weights_from_disk", self.update_weights)
+        r.add_post("/get_weights_by_name", self.get_weights_by_name)
+        r.add_post("/release_memory_occupation", self.release_memory)
+        r.add_post("/resume_memory_occupation", self.resume_memory)
 
     # ------------------------------------------------------------------
     async def health(self, request: web.Request) -> web.Response:
@@ -125,6 +131,7 @@ class HttpServer:
             sp["return_logprob"] = True
         stream = bool(body.get("stream", False))
         rid = body.get("rid")
+        session_params = body.get("session_params")
         if prompt is None and input_ids is None:
             return _error("one of text/input_ids is required")
 
@@ -155,6 +162,7 @@ class HttpServer:
                 async for chunk in self.engine.generate_stream(
                     prompt=prompt, input_ids=input_ids,
                     sampling_params=sp, rid=rid,
+                    session_params=session_params,
                 ):
                     payload = json.dumps(self._strip(chunk))
                     await resp.write(f"data: {payload}\n\n".encode())
@@ -163,7 +171,7 @@ class HttpServer:
                 return resp
             out = await self.engine.generate(
                 prompt=prompt, input_ids=input_ids, sampling_params=sp,
-                rid=rid,
+                rid=rid, session_params=session_params,
             )
             return web.json_response(self._strip(out))
         except ValueError as e:
@@ -199,6 +207,49 @@ class HttpServer:
     async def continue_generation(self, request: web.Request) -> web.Response:
         self.engine.continue_generation()
         return web.json_response({"success": True})
+
+    # ------------------------------------------------------------------
+    async def open_session(self, request: web.Request) -> web.Response:
+        body = await request.json() if request.can_read_body else {}
+        sid = self.engine.sessions.open_session(
+            (body or {}).get("session_id")
+        )
+        return web.json_response({"session_id": sid})
+
+    async def close_session(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ok = self.engine.sessions.close_session(body.get("session_id", ""))
+        return web.json_response({"success": ok},
+                                 status=200 if ok else 404)
+
+    async def update_weights(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        path = body.get("model_path")
+        if not path:
+            return _error("model_path required")
+        ok, msg = await self.engine.update_weights_from_disk(path)
+        return web.json_response(
+            {"success": ok, "message": str(msg)},
+            status=200 if ok else 400,
+        )
+
+    async def get_weights_by_name(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ok, value = await self.engine.get_weights_by_name(
+            body.get("name", ""), body.get("truncate_size", 100)
+        )
+        if not ok or value is None:
+            return _error(f"unknown parameter {body.get('name')}", 404)
+        return web.json_response(value)
+
+    async def release_memory(self, request: web.Request) -> web.Response:
+        ok, msg = await self.engine.release_memory_occupation()
+        return web.json_response({"success": ok, "message": str(msg)},
+                                 status=200 if ok else 503)
+
+    async def resume_memory(self, request: web.Request) -> web.Response:
+        ok, msg = await self.engine.resume_memory_occupation()
+        return web.json_response({"success": ok, "message": str(msg)})
 
     # ------------------------------------------------------------------
     async def list_models(self, request: web.Request) -> web.Response:

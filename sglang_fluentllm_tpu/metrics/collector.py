@@ -1,0 +1,125 @@
+"""Prometheus metrics.
+
+Analog of the reference's ``srt/metrics/collector.py``
+(``SchedulerMetricsCollector:163`` ~40 series, ``TokenizerMetricsCollector:613``
+TTFT/e2e). Exposed at ``/metrics`` when ``--enable-metrics``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from prometheus_client import (
+    CollectorRegistry,
+    Counter,
+    Gauge,
+    Histogram,
+    generate_latest,
+)
+
+REGISTRY = CollectorRegistry()
+_NS = "sglang_fluentllm_tpu"
+
+LATENCY_BUCKETS = (
+    0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
+    30.0, 60.0, 120.0,
+)
+
+
+class SchedulerMetricsCollector:
+    """Scheduler-side gauges/counters, labeled by model."""
+
+    def __init__(self, model_name: str):
+        labels = {"model_name": model_name}
+        self._labels = labels
+
+        def gauge(name, doc):
+            return Gauge(f"{_NS}:{name}", doc, list(labels),
+                         registry=REGISTRY)
+
+        def counter(name, doc):
+            return Counter(f"{_NS}:{name}", doc, list(labels),
+                           registry=REGISTRY)
+
+        self.num_running_reqs = gauge(
+            "num_running_reqs", "Number of running requests")
+        self.num_waiting_reqs = gauge(
+            "num_queue_reqs", "Number of queued requests")
+        self.token_usage = gauge(
+            "token_usage", "Fraction of KV pool in use")
+        self.cache_hit_rate = gauge(
+            "cache_hit_rate", "Cumulative prefix-cache hit rate")
+        self.gen_throughput = gauge(
+            "gen_throughput", "Decode tokens/s (rolling)")
+        self.spec_accept_length = gauge(
+            "spec_accept_length", "Mean speculative accept length")
+        self.num_generated_tokens = counter(
+            "num_generated_tokens", "Generated tokens total")
+        self.num_prompt_tokens = counter(
+            "num_prompt_tokens", "Prefilled prompt tokens total")
+        self.num_retracted_reqs = counter(
+            "num_retracted_reqs", "Requests retracted on KV pressure")
+        self.num_requests = counter(
+            "num_requests", "Requests completed")
+        self.num_aborted_requests = counter(
+            "num_aborted_requests", "Requests aborted")
+
+    def observe(self, scheduler, runner):
+        lb = self._labels
+        self.num_running_reqs.labels(**lb).set(
+            len(scheduler.running_batch))
+        self.num_waiting_reqs.labels(**lb).set(
+            len(scheduler.waiting_queue))
+        total = max(1, runner.max_total_tokens)
+        used = total - runner.allocator.available_tokens()
+        self.token_usage.labels(**lb).set(used / total)
+
+
+class RequestMetricsCollector:
+    """Request-side latency histograms (TokenizerMetricsCollector analog)."""
+
+    def __init__(self, model_name: str):
+        labels = {"model_name": model_name}
+        self._labels = labels
+        self.ttft = Histogram(
+            f"{_NS}:time_to_first_token_seconds",
+            "TTFT", list(labels), registry=REGISTRY,
+            buckets=LATENCY_BUCKETS,
+        )
+        self.e2e = Histogram(
+            f"{_NS}:e2e_request_latency_seconds",
+            "End-to-end request latency", list(labels), registry=REGISTRY,
+            buckets=LATENCY_BUCKETS,
+        )
+        self.itl = Histogram(
+            f"{_NS}:inter_token_latency_seconds",
+            "Inter-token latency", list(labels), registry=REGISTRY,
+            buckets=(0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.25, 0.5, 1.0),
+        )
+        self.prompt_tokens = Histogram(
+            f"{_NS}:prompt_tokens",
+            "Prompt length", list(labels), registry=REGISTRY,
+            buckets=(16, 64, 256, 1024, 4096, 16384, 65536),
+        )
+        self.completion_tokens = Histogram(
+            f"{_NS}:completion_tokens",
+            "Completion length", list(labels), registry=REGISTRY,
+            buckets=(1, 8, 32, 128, 512, 2048, 8192),
+        )
+
+    def observe_ttft(self, seconds: float):
+        self.ttft.labels(**self._labels).observe(seconds)
+
+    def observe_finish(self, e2e: float, prompt_tokens: int,
+                       completion_tokens: int):
+        lb = self._labels
+        self.e2e.labels(**lb).observe(e2e)
+        self.prompt_tokens.labels(**lb).observe(prompt_tokens)
+        self.completion_tokens.labels(**lb).observe(completion_tokens)
+        if completion_tokens > 1:
+            self.itl.labels(**lb).observe(e2e / completion_tokens)
+
+
+def render_metrics() -> str:
+    return generate_latest(REGISTRY).decode()

@@ -375,3 +375,53 @@ class ModelRunner:
             self.params, self.kv_cache, batch
         )
         return logits
+
+    # ------------------------------------------------------------------
+    # Weight update / memory RPCs (reference model_executor WeightMixin +
+    # torch_memory_saver release/resume, scheduler.py:1963-2022)
+    # ------------------------------------------------------------------
+    def update_weights_from_disk(self, model_path: str):
+        from sglang_fluentllm_tpu.runtime.weight_loader import (
+            iterate_safetensors,
+        )
+
+        params = self.model.load_weights(
+            iterate_safetensors(model_path), dtype=self.dtype
+        )
+        self.params = self._shard(params, self.model.param_specs())
+        self.server_args.model_path = model_path
+        logger.info("weights updated from %s", model_path)
+
+    def get_weights_by_name(self, name: str, truncate_size: int = 100):
+        node = self.params
+        for part in name.split("."):
+            if isinstance(node, dict) and part in node:
+                node = node[part]
+            else:
+                return None
+        arr = np.asarray(jax.device_get(node)).reshape(-1)[:truncate_size]
+        return arr.tolist()
+
+    def release_kv_cache(self):
+        """Free the KV pool HBM (colocated-training sleep mode)."""
+        self._kv_released = jax.tree.map(
+            lambda x: (x.shape, x.dtype), self.kv_cache
+        )
+        self.kv_cache = None
+
+    def resume_kv_cache(self):
+        if self.kv_cache is not None:
+            return
+        sa = self.server_args
+        num_slots = (self.num_pages + 1) * sa.page_size
+        kv = create_kv_cache(
+            self.model_config, num_slots, dtype=self.dtype,
+            kv_cache_dtype=sa.kv_cache_dtype,
+        )
+        if hasattr(kv, "k"):
+            spec = type(kv)(
+                k=P(None, "tp", None, None), v=P(None, "tp", None, None)
+            )
+        else:
+            spec = jax.tree.map(lambda _: P(), kv)
+        self.kv_cache = self._shard(kv, spec)

@@ -1,0 +1,95 @@
+"""Admin-plane server tests: sessions, metrics, weight update RPCs, memory
+release/resume (reference test_srt_endpoint admin coverage + weight-update
+trio + sessions tests)."""
+
+import json
+
+import httpx
+import pytest
+
+from tests.server_utils import kill_server, popen_launch_server, write_tiny_tokenizer
+from tests.utils import TINY_LLAMA_CFG, write_model_dir
+
+PROMPT_IDS = [3, 11, 42, 7, 19, 88]
+
+
+@pytest.fixture(scope="module")
+def server():
+    model_dir = write_model_dir(TINY_LLAMA_CFG)
+    write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+    proc, base_url = popen_launch_server(
+        model_dir, other_args=["--enable-metrics"]
+    )
+    yield base_url
+    kill_server(proc)
+
+
+class TestSessions:
+    def test_session_flow(self, server):
+        sid = httpx.post(server + "/open_session", json={}).json()[
+            "session_id"]
+        r1 = httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS,
+            "session_params": {"id": sid},
+            "sampling_params": {"max_new_tokens": 4, "temperature": 0.0},
+        }, timeout=300).json()
+        assert len(r1["output_ids"]) == 4
+        # second turn continues the session; prefix should be cached
+        r2 = httpx.post(server + "/generate", json={
+            "input_ids": [1, 2],
+            "session_params": {"id": sid},
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
+        }, timeout=300).json()
+        assert len(r2["output_ids"]) == 3
+        assert r2["meta_info"]["prompt_tokens"] == len(PROMPT_IDS) + 4 + 2
+        assert r2["meta_info"]["cached_tokens"] > 0
+        assert httpx.post(server + "/close_session",
+                          json={"session_id": sid}).json()["success"]
+
+    def test_close_unknown_session(self, server):
+        r = httpx.post(server + "/close_session",
+                       json={"session_id": "nope"})
+        assert r.status_code == 404
+
+
+class TestMetrics:
+    def test_metrics_exposed(self, server):
+        httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS,
+            "sampling_params": {"max_new_tokens": 2, "temperature": 0.0},
+        }, timeout=300)
+        text = httpx.get(server + "/metrics").text
+        assert "sglang_fluentllm_tpu:num_generated_tokens" in text
+        assert "time_to_first_token_seconds" in text
+
+
+class TestWeightRPCs:
+    def test_get_weights_by_name(self, server):
+        r = httpx.post(server + "/get_weights_by_name", json={
+            "name": "norm", "truncate_size": 4}, timeout=60)
+        assert r.status_code == 200
+        vals = r.json()
+        assert len(vals) == 4
+
+    def test_get_unknown_weight(self, server):
+        r = httpx.post(server + "/get_weights_by_name",
+                       json={"name": "bogus.param"}, timeout=60)
+        assert r.status_code == 404
+
+    def test_update_weights_missing_file(self, server):
+        r = httpx.post(server + "/update_weights_from_disk",
+                       json={"model_path": "/nonexistent"}, timeout=120)
+        assert r.status_code == 400
+        assert not r.json()["success"]
+
+    def test_release_resume_memory(self, server):
+        r = httpx.post(server + "/release_memory_occupation", timeout=120)
+        assert r.json()["success"], r.text
+        r = httpx.post(server + "/resume_memory_occupation", timeout=120)
+        assert r.json()["success"]
+        # generation still works after resume
+        out = httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS,
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
+        }, timeout=300).json()
+        assert len(out["output_ids"]) == 3
