@@ -1,0 +1,192 @@
+"""Hierarchical KV cache: device -> host RAM -> storage.
+
+Analog of the reference's ``mem_cache/hiradix_cache.py`` (``HiRadixCache:32``)
++ ``managers/cache_controller.py`` (``HiCacheController:232``) +
+``mem_cache/hicache_storage.py`` tiers. TPU shape of the design:
+
+- pages evicted from the device radix tree are first copied host-side
+  (write-back), keyed by the reference's chained page hash
+  (``radix_cache.py:120`` — sha over prefix chain), then freed;
+- a prefix match that runs past the device tree probes the host tier by
+  walking the hash chain; hits are re-uploaded into freshly allocated
+  pages and re-inserted into the tree;
+- host-tier overflow spills to a storage backend (file backend =
+  ``HiCacheFile`` analog); gets/sets are batched per page.
+
+Device <-> host movement uses bucketed jitted gather/scatter programs (the
+role of the reference's ``jit_kernel/hicache.cuh`` batched page-copy CUDA
+kernel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+from collections import OrderedDict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def page_hash_chain(prev_hash: str, page_tokens: Sequence[int]) -> str:
+    h = hashlib.sha256()
+    h.update(prev_hash.encode())
+    h.update(np.asarray(page_tokens, np.int32).tobytes())
+    return h.hexdigest()
+
+
+class HostKVPool:
+    """LRU host tier: page_hash -> per-page KV blob (numpy pytree)."""
+
+    def __init__(self, max_pages: int):
+        self.max_pages = max_pages
+        self._pages: "OrderedDict[str, Any]" = OrderedDict()
+
+    def get(self, key: str):
+        blob = self._pages.get(key)
+        if blob is not None:
+            self._pages.move_to_end(key)
+        return blob
+
+    def put(self, key: str, blob) -> List[Tuple[str, Any]]:
+        """Insert; returns (key, blob) pairs spilled past capacity."""
+        self._pages[key] = blob
+        self._pages.move_to_end(key)
+        spilled = []
+        while len(self._pages) > self.max_pages:
+            spilled.append(self._pages.popitem(last=False))
+        return spilled
+
+    def __contains__(self, key):
+        return key in self._pages
+
+    def __len__(self):
+        return len(self._pages)
+
+
+class HiCacheController:
+    def __init__(
+        self,
+        runner,
+        page_size: int,
+        host_size_tokens: int,
+        storage=None,
+    ):
+        self.runner = runner
+        self.page_size = page_size
+        self.host = HostKVPool(max(1, host_size_tokens // page_size))
+        self.storage = storage
+        # stats
+        self.num_write_back = 0
+        self.num_host_hits = 0
+        self.num_storage_hits = 0
+
+    # ------------------------------------------------------------------
+    def write_back(self, token_prefix: List[int], pages: Sequence[int]):
+        """Copy evicted pages to host before the device slots are reused.
+        ``token_prefix`` is the full token path ending at these pages."""
+        ps = self.page_size
+        n = len(pages)
+        if n == 0:
+            return
+        start_page = (len(token_prefix) - n * ps) // ps
+        blobs = self.runner.extract_pages(list(pages))
+        h = self._chain_to(token_prefix, start_page)
+        for i, page in enumerate(pages):
+            lo = (start_page + i) * ps
+            h = page_hash_chain(h, token_prefix[lo : lo + ps])
+            spilled = self.host.put(h, self._slice_blob(blobs, i))
+            self.num_write_back += 1
+            if self.storage is not None:
+                for key, blob in spilled:
+                    self.storage.set(key, blob)
+
+    def _chain_to(self, tokens: List[int], n_pages: int) -> str:
+        h = ""
+        ps = self.page_size
+        for i in range(n_pages):
+            h = page_hash_chain(h, tokens[i * ps : (i + 1) * ps])
+        return h
+
+    # ------------------------------------------------------------------
+    def match_extra(
+        self, fill_ids: List[int], prefix_len: int
+    ) -> Tuple[List[str], List[Any]]:
+        """Walk the hash chain past the device prefix; returns the host/
+        storage hits (keys, blobs) for consecutive pages."""
+        ps = self.page_size
+        aligned = (len(fill_ids) // ps) * ps
+        start_page = prefix_len // ps
+        h = self._chain_to(fill_ids, start_page)
+        keys, blobs = [], []
+        for p in range(start_page, aligned // ps):
+            h = page_hash_chain(h, fill_ids[p * ps : (p + 1) * ps])
+            blob = self.host.get(h)
+            if blob is None and self.storage is not None:
+                blob = self.storage.get(h)
+                if blob is not None:
+                    self.num_storage_hits += 1
+                    self.host.put(h, blob)
+            elif blob is not None:
+                self.num_host_hits += 1
+            if blob is None:
+                break
+            keys.append(h)
+            blobs.append(blob)
+        return keys, blobs
+
+    def load_into(
+        self,
+        fill_ids: List[int],
+        prefix_len: int,
+        allocator,
+        tree_cache,
+    ) -> int:
+        """Fetch matched host pages into fresh device pages and insert them
+        into the radix tree. Returns the new (device) prefix length."""
+        keys, blobs = self.match_extra(fill_ids, prefix_len)
+        if not blobs:
+            return prefix_len
+        pages = allocator.alloc_pages(len(blobs))
+        if pages is None:
+            # make room by evicting cold device pages (they write back to
+            # the host tier first, so nothing is lost)
+            tree_cache.evict(
+                len(blobs) - allocator.available_pages(),
+                allocator.release_pages,
+                on_evict=self.write_back,
+            )
+            pages = allocator.alloc_pages(len(blobs))
+        if pages is None:
+            # partial load with whatever is available
+            avail = allocator.available_pages()
+            if avail == 0:
+                return prefix_len
+            blobs = blobs[:avail]
+            pages = allocator.alloc_pages(len(blobs))
+            if pages is None:
+                return prefix_len
+        self.runner.insert_pages(pages, blobs)
+        ps = self.page_size
+        end = prefix_len + len(blobs) * ps
+        m = tree_cache.match_prefix(fill_ids[:prefix_len])
+        dev_pages = m.page_ids + list(pages)
+        dup = tree_cache.insert(fill_ids[:end], dev_pages)
+        if dup > prefix_len:
+            # someone else inserted part of this span concurrently
+            mm = tree_cache.match_prefix(fill_ids[:end])
+            extra = [
+                p for p in pages if p not in set(mm.page_ids)
+            ]
+            allocator.release_pages(extra)
+        logger.debug(
+            "hicache load: +%d tokens from host", len(blobs) * ps
+        )
+        return end
+
+    @staticmethod
+    def _slice_blob(blobs, i):
+        """blobs = tuple of arrays with the page axis second -> one page."""
+        return tuple(np.ascontiguousarray(x[:, i]) for x in blobs)

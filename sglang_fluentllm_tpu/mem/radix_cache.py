@@ -186,8 +186,22 @@ class RadixCache:
             node = node.parent
 
     # ------------------------------------------------------------------
-    def evict(self, num_pages: int, free_page_fn: Callable[[List[int]], None]):
-        """Evict >= num_pages from LRU (or LFU) unlocked leaves."""
+    def node_prefix_tokens(self, node: TreeNode) -> List[int]:
+        """Full token path root..node (for hicache hash-chain keys)."""
+        parts = []
+        while node is not None and node is not self.root:
+            parts.append(node.key)
+            node = node.parent
+        out: List[int] = []
+        for k in reversed(parts):
+            out.extend(k)
+        return out
+
+    def evict(self, num_pages: int, free_page_fn: Callable[[List[int]], None],
+              on_evict: Optional[Callable] = None):
+        """Evict >= num_pages from LRU (or LFU) unlocked leaves.
+        ``on_evict(token_prefix, pages)`` fires before the free (hicache
+        write-back hook)."""
         if self.disable:
             return 0
         leaves = []
@@ -202,6 +216,8 @@ class RadixCache:
         freed = 0
         while leaves and freed < num_pages:
             _, _, leaf = heapq.heappop(leaves)
+            if on_evict is not None and leaf.value:
+                on_evict(self.node_prefix_tokens(leaf), list(leaf.value))
             free_page_fn(leaf.value)
             freed += len(leaf.value)
             self._evictable_pages -= len(leaf.value)

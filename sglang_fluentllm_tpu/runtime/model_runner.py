@@ -377,6 +377,89 @@ class ModelRunner:
         return logits
 
     # ------------------------------------------------------------------
+    # HiCache page movement (role of jit_kernel/hicache.cuh batched copies)
+    # ------------------------------------------------------------------
+    def _page_views(self, kv):
+        """Per-array (reshaped-to-pages view, page_axis) descriptors."""
+        ps = self.server_args.page_size
+        out = []
+        for leaf in jax.tree.leaves(kv):
+            if leaf.ndim == 4:     # MHA [L, H, slots, D]
+                L, H, S, D = leaf.shape
+                out.append((leaf.reshape(L, H, S // ps, ps, D), 2))
+            else:                  # MLA [L, slots, dims]
+                L, S, D = leaf.shape
+                out.append((leaf.reshape(L, S // ps, ps, D), 1))
+        return out
+
+    def extract_pages(self, pages):
+        """Gather page KV across all layers -> tuple of numpy arrays with
+        the page axis SECOND: [L, n, ...]."""
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.utils import next_power_of_2
+
+        n = len(pages)
+        nb = next_power_of_2(max(n, 1))
+        ids = np.zeros((nb,), np.int32)
+        ids[:n] = pages
+
+        def gather(kv, ids):
+            outs = []
+            for view, axis in self._page_views(kv):
+                g = jnp.take(view, ids, axis=axis)
+                # move page axis to position 1
+                g = jnp.moveaxis(g, axis, 1)
+                outs.append(g)
+            return tuple(outs)
+
+        if not hasattr(self, "_gather_pages_jit"):
+            self._gather_pages_jit = jax.jit(gather)
+        dev = self._gather_pages_jit(self.kv_cache, jnp.asarray(ids))
+        host = jax.device_get(dev)
+        return tuple(np.asarray(x[:, :n]) for x in host)
+
+    def insert_pages(self, pages, blobs):
+        """Scatter per-page blobs (list of tuples) back into the pool."""
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.utils import next_power_of_2
+
+        n = len(pages)
+        nb = next_power_of_2(max(n, 1))
+        ids = np.zeros((nb,), np.int32)  # padding -> page 0 (scratch)
+        ids[:n] = pages
+        stacked = []
+        for ai in range(len(blobs[0])):
+            arr = np.stack([b[ai] for b in blobs], axis=1)  # [L, n, ...]
+            pad = np.zeros(
+                arr.shape[:1] + (nb - n,) + arr.shape[2:], arr.dtype
+            )
+            stacked.append(np.concatenate([arr, pad], axis=1))
+
+        def scatter(kv, ids, vals):
+            leaves, treedef = jax.tree.flatten(kv)
+            new_leaves = []
+            for leaf, (view, axis), val in zip(
+                leaves, self._page_views(kv), vals
+            ):
+                v = jnp.moveaxis(val, 1, axis)
+                idx = [slice(None)] * view.ndim
+                idx[axis] = ids
+                new = view.at[tuple(idx)].set(v.astype(view.dtype))
+                new_leaves.append(new.reshape(leaf.shape))
+            return jax.tree.unflatten(treedef, new_leaves)
+
+        if not hasattr(self, "_scatter_pages_jit"):
+            self._scatter_pages_jit = jax.jit(
+                scatter, donate_argnums=(0,)
+            )
+        self.kv_cache = self._scatter_pages_jit(
+            self.kv_cache, jnp.asarray(ids),
+            tuple(jnp.asarray(x) for x in stacked),
+        )
+
+    # ------------------------------------------------------------------
     # Weight update / memory RPCs (reference model_executor WeightMixin +
     # torch_memory_saver release/resume, scheduler.py:1963-2022)
     # ------------------------------------------------------------------

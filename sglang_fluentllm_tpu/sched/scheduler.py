@@ -103,6 +103,26 @@ class Scheduler:
         self.spec = runner.spec_worker
         if self.spec is not None:
             self.max_inflight = 1
+
+        # hierarchical KV cache (device -> host -> storage)
+        self.hicache = None
+        if server_args.enable_hierarchical_cache:
+            from sglang_fluentllm_tpu.mem.hicache import HiCacheController
+            from sglang_fluentllm_tpu.mem.hicache_storage import (
+                create_storage_backend,
+            )
+
+            host_tokens = server_args.hicache_size or int(
+                server_args.hicache_ratio * runner.max_total_tokens
+            )
+            self.hicache = HiCacheController(
+                runner,
+                self.page_size,
+                host_tokens,
+                storage=create_storage_backend(
+                    server_args.hicache_storage_backend
+                ),
+            )
         self.new_token_ratio = INIT_NEW_TOKEN_RATIO
         self._ratio_decay = (
             INIT_NEW_TOKEN_RATIO - MIN_NEW_TOKEN_RATIO
@@ -166,6 +186,9 @@ class Scheduler:
             self.tree_cache.evict(
                 need - self.allocator.available_pages(),
                 self.allocator.release_pages,
+                on_evict=(
+                    self.hicache.write_back if self.hicache else None
+                ),
             )
             slots = self.allocator.alloc_extend(req_idx, alloced, extend)
         return slots
@@ -222,6 +245,13 @@ class Scheduler:
                 req.req_pool_idx = self.req_pool.alloc()
                 assert req.req_pool_idx is not None
                 m = self.tree_cache.match_prefix(req.fill_ids)
+                if self.hicache is not None:
+                    new_len = self.hicache.load_into(
+                        req.fill_ids, m.prefix_len,
+                        self.allocator, self.tree_cache,
+                    )
+                    if new_len > m.prefix_len:
+                        m = self.tree_cache.match_prefix(req.fill_ids)
                 # never match the *entire* sequence (need >=1 token to
                 # compute logits); back off one page if so
                 while m.prefix_len >= req.seq_len and m.page_ids:

@@ -1,0 +1,85 @@
+"""Hierarchical KV cache tests (reference test_hicache.py analog)."""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from sglang_fluentllm_tpu.mem.hicache import HostKVPool, page_hash_chain
+from sglang_fluentllm_tpu.mem.hicache_storage import HiCacheFile
+from tests.utils import tiny_engine
+
+LONG_PROMPT = [int(x) for x in
+               np.random.RandomState(7).randint(0, 128, 48)]
+SP = {"max_new_tokens": 6, "temperature": 0.0}
+
+
+class TestHostUnits:
+    def test_hash_chain_deterministic(self):
+        h1 = page_hash_chain("", [1, 2, 3, 4])
+        h2 = page_hash_chain("", [1, 2, 3, 4])
+        assert h1 == h2
+        assert page_hash_chain(h1, [5, 6]) != page_hash_chain("", [5, 6])
+
+    def test_host_pool_lru(self):
+        p = HostKVPool(max_pages=2)
+        assert p.put("a", 1) == []
+        assert p.put("b", 2) == []
+        p.get("a")  # touch
+        spilled = p.put("c", 3)
+        assert [k for k, _ in spilled] == ["b"]
+        assert "a" in p and "c" in p
+
+    def test_file_storage_roundtrip(self):
+        s = HiCacheFile(tempfile.mkdtemp())
+        blob = (np.arange(12, dtype=np.float32).reshape(3, 4),
+                np.ones((2, 2), np.int32))
+        assert s.set("k1", blob)
+        assert s.exists("k1")
+        out = s.get("k1")
+        assert len(out) == 2
+        np.testing.assert_array_equal(out[0], blob[0])
+        assert s.get("missing") is None
+
+
+class TestHiCacheEngine:
+    def _fill_and_evict(self, e):
+        """Prefill the long prompt, then push unrelated traffic to force
+        its pages out of the device tree."""
+        base = e.generate(input_ids=LONG_PROMPT, sampling_params=SP)
+        for i in range(12):
+            filler = [int(x) for x in
+                      np.random.RandomState(100 + i).randint(0, 128, 40)]
+            e.generate(input_ids=filler, sampling_params=SP)
+        return base
+
+    def test_hicache_restores_evicted_prefix(self):
+        e = tiny_engine(
+            max_total_tokens=512,
+            enable_hierarchical_cache=True,
+        )
+        base = self._fill_and_evict(e)
+        out = e.generate(input_ids=LONG_PROMPT, sampling_params=SP)
+        assert out["output_ids"] == base["output_ids"]
+        hc = e.scheduler.hicache
+        assert hc.num_write_back > 0
+        assert hc.num_host_hits > 0
+        # the reloaded prefix counts as cached
+        assert out["meta_info"]["cached_tokens"] > 0
+
+    def test_hicache_storage_spill(self):
+        e = tiny_engine(
+            max_total_tokens=512,
+            enable_hierarchical_cache=True,
+            hicache_size=16,  # tiny host tier -> spills to file storage
+            hicache_storage_backend="file",
+        )
+        base = self._fill_and_evict(e)
+        out = e.generate(input_ids=LONG_PROMPT, sampling_params=SP)
+        assert out["output_ids"] == base["output_ids"]
+        hc = e.scheduler.hicache
+        assert hc.num_storage_hits > 0
+
+    def test_disabled_by_default(self):
+        e = tiny_engine()
+        assert e.scheduler.hicache is None
