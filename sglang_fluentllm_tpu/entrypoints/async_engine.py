@@ -77,6 +77,13 @@ class AsyncEngine:
 
         self.sessions = SessionController()
 
+        # PD disaggregation (reference disaggregation/ stack)
+        self.pd = None
+        if server_args.disaggregation_mode != "null":
+            from sglang_fluentllm_tpu.disagg.pd import PDManager
+
+            self.pd = PDManager(self)
+
         self._input: "queue.Queue[tuple]" = queue.Queue()
         self._states: Dict[str, _ReqState] = {}
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -359,6 +366,60 @@ class AsyncEngine:
             ("flush", lambda v: loop.call_soon_threadsafe(fut.set_result, v))
         )
         return await fut
+
+    async def generate_continuation(
+        self,
+        input_ids: List[int],
+        first_tokens: List[int],
+        sampling_params: Optional[Dict[str, Any]] = None,
+        rid: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Generate with preset output tokens (PD decode continuation:
+        the prompt KV arrived by transfer; first_tokens were produced by
+        the prefill server)."""
+        self._loop = asyncio.get_running_loop()
+        sp = SamplingParams.from_dict(sampling_params)
+        rid = rid or uuid.uuid4().hex
+        req = Req(rid, list(input_ids), sp,
+                  eos_token_ids=self.eos_token_ids)
+        req.output_ids = list(first_tokens)
+        req.check_finished()
+        st = _ReqState(req=req, out_queue=asyncio.Queue(),
+                       created=time.time())
+        self._states[rid] = st
+        if req.finished():  # single-token request: already done
+            self._states.pop(rid, None)
+            return {
+                "text": "", "output_ids": req.output_ids,
+                "meta_info": {"id": rid,
+                              "finish_reason": req.finish_reason.to_dict(),
+                              "prompt_tokens": len(input_ids),
+                              "completion_tokens": len(req.output_ids),
+                              "cached_tokens": 0},
+            }
+        self._input.put(("req", req))
+        final = None
+        try:
+            while True:
+                out: StepOutput = await st.out_queue.get()
+                delta = ""
+                if self.detokenizer is not None and out.new_token_ids:
+                    delta, stop = self.detokenizer.detokenize_incremental(
+                        rid, out.new_token_ids, out.finished,
+                        sp.skip_special_tokens, sp.stop,
+                    )
+                    st.text += delta
+                    if stop is not None and not out.finished:
+                        self._input.put(("finish", (rid, stop)))
+                        out = dataclasses.replace(
+                            out, finished=True,
+                            finish_reason={"type": "stop", "matched": stop},
+                        )
+                final = self._format_output(st, out, delta)
+                if out.finished:
+                    return final
+        finally:
+            self._states.pop(rid, None)
 
     async def _run_rpc(self, fn):
         """Run fn on the scheduler thread between steps (safe point for

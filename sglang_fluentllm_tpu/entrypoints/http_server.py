@@ -74,6 +74,11 @@ class HttpServer:
         r.add_post("/get_weights_by_name", self.get_weights_by_name)
         r.add_post("/release_memory_occupation", self.release_memory)
         r.add_post("/resume_memory_occupation", self.resume_memory)
+        # PD disaggregation plane
+        r.add_post("/pd/start", self.pd_start)
+        r.add_post("/pd/prefill", self.pd_prefill)
+        r.add_post("/pd/receive_kv", self.pd_receive_kv)
+        r.add_post("/pd/result", self.pd_result)
 
     # ------------------------------------------------------------------
     async def health(self, request: web.Request) -> web.Response:
@@ -250,6 +255,50 @@ class HttpServer:
     async def resume_memory(self, request: web.Request) -> web.Response:
         ok, msg = await self.engine.resume_memory_occupation()
         return web.json_response({"success": ok, "message": str(msg)})
+
+    # ------------------------------------------------------------------
+    # PD disaggregation (reference disaggregation/ HTTP plane)
+    # ------------------------------------------------------------------
+    def _pd(self):
+        if self.engine.pd is None:
+            raise web.HTTPBadRequest(
+                text="server not in a disaggregation mode"
+            )
+        return self.engine.pd
+
+    async def pd_start(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        out = await self._pd().start_room(
+            body["room"], body["input_ids"],
+            body.get("sampling_params") or {},
+        )
+        return web.json_response(out)
+
+    async def pd_prefill(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        out = await self._pd().prefill(
+            body["room"], body["input_ids"],
+            body.get("sampling_params") or {},
+            body.get("decode_url"),
+            body.get("decode_prefix_len", 0),
+        )
+        return web.json_response(
+            out, status=200 if out.get("success") else 500
+        )
+
+    async def pd_receive_kv(self, request: web.Request) -> web.Response:
+        data = await request.read()
+        out = await self._pd().receive_kv(data)
+        return web.json_response(
+            out, status=200 if out.get("success") else 400
+        )
+
+    async def pd_result(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        out = await self._pd().wait_result(body["room"])
+        if out is None or "error" in (out or {}):
+            return web.json_response(out or {}, status=500)
+        return web.json_response(self._strip(out))
 
     # ------------------------------------------------------------------
     async def list_models(self, request: web.Request) -> web.Response:

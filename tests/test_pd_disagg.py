@@ -1,0 +1,115 @@
+"""PD disaggregation e2e: two real servers + mini LB (CPU jax).
+
+Parity targets: the reference's PD flow (SURVEY §3.4) incl. the decode-side
+radix cache reducing transfer volume, via the HTTP/TCP transfer backend.
+"""
+
+import subprocess
+import sys
+import time
+
+import httpx
+import pytest
+
+from tests.server_utils import (
+    REPO_ROOT,
+    find_free_port,
+    kill_server,
+    popen_launch_server,
+    write_tiny_tokenizer,
+)
+from tests.utils import TINY_LLAMA_CFG, write_model_dir
+
+PROMPT = [3, 11, 42, 7, 19, 88, 5, 23, 54]
+SP = {"max_new_tokens": 7, "temperature": 0.0}
+
+
+@pytest.fixture(scope="module")
+def pd_cluster():
+    model_dir = write_model_dir(TINY_LLAMA_CFG)
+    write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+    p_proc, p_url = popen_launch_server(
+        model_dir, other_args=["--disaggregation-mode", "prefill"]
+    )
+    d_proc, d_url = popen_launch_server(
+        model_dir, other_args=["--disaggregation-mode", "decode"]
+    )
+    lb_port = find_free_port()
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    lb_proc = subprocess.Popen([
+        sys.executable, "-m", "sglang_fluentllm_tpu.disagg.mini_lb",
+        "--prefill", p_url, "--decode", d_url,
+        "--port", str(lb_port),
+    ], env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    lb_url = f"http://127.0.0.1:{lb_port}"
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if httpx.get(lb_url + "/health", timeout=2).status_code == 200:
+                break
+        except Exception:
+            time.sleep(0.3)
+    yield {"lb": lb_url, "prefill": p_url, "decode": d_url,
+           "model_dir": model_dir}
+    for proc in (lb_proc, p_proc, d_proc):
+        kill_server(proc)
+
+
+@pytest.fixture(scope="module")
+def baseline(pd_cluster):
+    """Single-server greedy output for the same prompt."""
+    r = httpx.post(pd_cluster["prefill"] + "/generate", json={
+        "input_ids": PROMPT, "sampling_params": SP}, timeout=300)
+    out = r.json()["output_ids"]
+    # clean the prefill server's cache so PD runs fresh
+    httpx.post(pd_cluster["prefill"] + "/flush_cache", timeout=60)
+    return out
+
+
+class TestPDDisaggregation:
+    def test_pd_generate_matches_single_server(self, pd_cluster, baseline):
+        r = httpx.post(pd_cluster["lb"] + "/generate", json={
+            "input_ids": PROMPT, "sampling_params": SP}, timeout=600)
+        assert r.status_code == 200, r.text
+        out = r.json()
+        assert out["output_ids"] == baseline
+        pd = out["meta_info"]["pd"]
+        assert pd["pages_sent"] > 0          # KV actually transferred
+
+    def test_decode_radix_cache_reduces_transfer(self, pd_cluster, baseline):
+        """Second identical request: decode already holds the prefix ->
+        prefill skips those pages (reference decode-radix-cache headline)."""
+        r = httpx.post(pd_cluster["lb"] + "/generate", json={
+            "input_ids": PROMPT, "sampling_params": SP}, timeout=600)
+        out = r.json()
+        pd = out["meta_info"]["pd"]
+        assert pd["decode_prefix_len"] > 0
+        assert pd["pages_sent"] == 0
+        assert out["output_ids"] == baseline
+
+    def test_pd_longer_prompt(self, pd_cluster):
+        prompt = list(range(1, 40))
+        r = httpx.post(pd_cluster["lb"] + "/generate", json={
+            "input_ids": prompt,
+            "sampling_params": {"max_new_tokens": 5, "temperature": 0.0},
+        }, timeout=600)
+        out = r.json()
+        assert len(out["output_ids"]) == 5
+        # compare against decode server running standalone
+        httpx.post(pd_cluster["decode"] + "/flush_cache", timeout=60)
+        rb = httpx.post(pd_cluster["decode"] + "/generate", json={
+            "input_ids": prompt,
+            "sampling_params": {"max_new_tokens": 5, "temperature": 0.0},
+        }, timeout=300)
+        assert out["output_ids"] == rb.json()["output_ids"]
+
+    def test_pd_single_token_request(self, pd_cluster):
+        r = httpx.post(pd_cluster["lb"] + "/generate", json={
+            "input_ids": [9, 8, 7],
+            "sampling_params": {"max_new_tokens": 1, "temperature": 0.0},
+        }, timeout=600)
+        assert r.status_code == 200, r.text
+        assert len(r.json()["output_ids"]) == 1
