@@ -157,7 +157,9 @@ class ModelConfig:
             head_dim=head_dim,
             intermediate_size=cfg.get("intermediate_size", 4 * hidden),
             vocab_size=cfg.get("vocab_size", 32000),
-            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            max_position_embeddings=cfg.get(
+                "max_position_embeddings", cfg.get("n_positions", 4096)
+            ),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cfg.get("rope_scaling"),

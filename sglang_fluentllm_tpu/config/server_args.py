@@ -123,6 +123,8 @@ class ServerArgs:
     sampling_backend: str = "jax"
     constrained_json_whitespace_pattern: Optional[str] = None
     grammar_backend: str = "native"
+    tool_call_parser: str = "json"  # json | qwen25 | llama32 | mistral | deepseekv3
+    reasoning_parser: Optional[str] = None  # deepseek_r1 | qwen3
     device: str = "auto"  # auto | tpu | cpu
 
     def __post_init__(self):

@@ -82,10 +82,65 @@ class OpenAIServing:
             input_ids=input_ids, sampling_params=sp
         )
         meta = out["meta_info"]
+        text = out["text"]
+        finish = finish_reason_to_openai(meta["finish_reason"])
+
+        # reasoning split (parser/reasoning_parser.py)
+        reasoning = None
+        rp_name = self.engine.server_args.reasoning_parser
+        if rp_name:
+            from sglang_fluentllm_tpu.parser.reasoning_parser import (
+                ReasoningParser,
+            )
+
+            parsed = ReasoningParser(
+                implicit_open=(rp_name == "deepseek_r1")
+            ).parse_full(text)
+            reasoning = parsed.reasoning or None
+            text = parsed.content
+
+        # tool-call extraction (function_call/parser.py)
+        tool_calls = None
+        if request.tools and request.tool_choice != "none":
+            from sglang_fluentllm_tpu.function_call.parser import (
+                FunctionCallParser,
+            )
+
+            parser = FunctionCallParser(
+                request.tools,
+                self.engine.server_args.tool_call_parser,
+            )
+            if parser.has_tool_call(text):
+                text, items = parser.parse_non_stream(text)
+                if items:
+                    import uuid as _uuid
+
+                    from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+                        FunctionCall,
+                        ToolCall,
+                    )
+
+                    tool_calls = [
+                        ToolCall(
+                            id=f"call_{_uuid.uuid4().hex[:24]}",
+                            index=it.tool_index,
+                            function=FunctionCall(
+                                name=it.name, arguments=it.parameters
+                            ),
+                        )
+                        for it in items
+                    ]
+                    finish = "tool_calls"
+
         choice = ChatCompletionChoice(
             index=0,
-            message=ChatMessage(role="assistant", content=out["text"]),
-            finish_reason=finish_reason_to_openai(meta["finish_reason"]),
+            message=ChatMessage(
+                role="assistant",
+                content=text or None,
+                reasoning_content=reasoning,
+                tool_calls=tool_calls,
+            ),
+            finish_reason=finish,
             logprobs=self._logprobs_dict(meta) if request.logprobs else None,
         )
         return ChatCompletionResponse(

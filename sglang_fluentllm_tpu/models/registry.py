@@ -20,6 +20,9 @@ def get_model_class(architectures):
     from sglang_fluentllm_tpu.models import llama  # noqa: F401 (populates)
     from sglang_fluentllm_tpu.models import qwen3  # noqa: F401
     from sglang_fluentllm_tpu.models import deepseek_v2  # noqa: F401
+    from sglang_fluentllm_tpu.models import qwen2_moe  # noqa: F401
+    from sglang_fluentllm_tpu.models import gemma  # noqa: F401
+    from sglang_fluentllm_tpu.models import gpt2  # noqa: F401
 
     for arch in architectures:
         if arch in _REGISTRY:

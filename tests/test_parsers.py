@@ -1,0 +1,121 @@
+"""Function-call detectors + reasoning parser unit tests
+(reference function_call/ + parser/reasoning_parser.py coverage)."""
+
+import json
+
+import pytest
+
+from sglang_fluentllm_tpu.entrypoints.openai.protocol import Function, Tool
+from sglang_fluentllm_tpu.function_call.parser import (
+    DeepSeekV3Detector,
+    FunctionCallParser,
+    GenericJsonDetector,
+    Llama32Detector,
+    MistralDetector,
+    Qwen25Detector,
+)
+from sglang_fluentllm_tpu.parser.reasoning_parser import ReasoningParser
+
+TOOLS = [
+    Tool(function=Function(name="get_weather",
+                           parameters={"type": "object"})),
+    Tool(function=Function(name="search")),
+]
+
+
+class TestDetectors:
+    def test_qwen25(self):
+        text = ('I will check.\n<tool_call>\n'
+                '{"name": "get_weather", "arguments": {"city": "SF"}}\n'
+                '</tool_call>')
+        normal, items = Qwen25Detector().detect_and_parse(text, TOOLS)
+        assert normal == "I will check."
+        assert items[0].name == "get_weather"
+        assert json.loads(items[0].parameters) == {"city": "SF"}
+
+    def test_qwen25_multiple(self):
+        text = ('<tool_call>{"name": "get_weather", "arguments": {}}'
+                '</tool_call><tool_call>'
+                '{"name": "search", "arguments": {"q": "x"}}</tool_call>')
+        _, items = Qwen25Detector().detect_and_parse(text, TOOLS)
+        assert [i.name for i in items] == ["get_weather", "search"]
+
+    def test_llama32(self):
+        text = ('<|python_tag|>{"name": "search", '
+                '"parameters": {"q": "tpu"}}')
+        normal, items = Llama32Detector().detect_and_parse(text, TOOLS)
+        assert items[0].name == "search"
+
+    def test_llama32_bare_json(self):
+        text = '{"name": "search", "parameters": {"q": "tpu"}}'
+        _, items = Llama32Detector().detect_and_parse(text, TOOLS)
+        assert items and items[0].name == "search"
+
+    def test_mistral(self):
+        text = ('[TOOL_CALLS] [{"name": "get_weather", '
+                '"arguments": {"city": "Paris"}}]')
+        _, items = MistralDetector().detect_and_parse(text, TOOLS)
+        assert items[0].name == "get_weather"
+
+    def test_deepseek_v3(self):
+        text = (
+            "ok<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+            "<｜tool▁sep｜>get_weather\n```json\n{\"city\": \"SF\"}\n```"
+            "<｜tool▁call▁end｜><｜tool▁calls▁end｜>"
+        )
+        normal, items = DeepSeekV3Detector().detect_and_parse(text, TOOLS)
+        assert normal == "ok"
+        assert items[0].name == "get_weather"
+        assert json.loads(items[0].parameters) == {"city": "SF"}
+
+    def test_generic_json_filters_unknown_tools(self):
+        text = ('{"name": "not_a_tool", "arguments": {}} and '
+                '{"name": "search", "arguments": {"q": "x"}}')
+        _, items = GenericJsonDetector().detect_and_parse(text, TOOLS)
+        assert [i.name for i in items] == ["search"]
+
+    def test_parser_dispatch(self):
+        p = FunctionCallParser(TOOLS, "qwen25")
+        assert p.has_tool_call("<tool_call>x")
+        assert not p.has_tool_call("hello")
+        with pytest.raises(ValueError):
+            FunctionCallParser(TOOLS, "nope")
+
+
+class TestReasoningParser:
+    def test_full_parse(self):
+        r = ReasoningParser().parse_full(
+            "<think>step 1\nstep 2</think>\nThe answer is 4."
+        )
+        assert r.reasoning == "step 1\nstep 2"
+        assert r.content == "The answer is 4."
+
+    def test_implicit_open(self):
+        r = ReasoningParser(implicit_open=True).parse_full(
+            "thinking...</think>answer"
+        )
+        assert r.reasoning == "thinking..."
+        assert r.content == "answer"
+
+    def test_no_think(self):
+        r = ReasoningParser().parse_full("just an answer")
+        assert r.reasoning == ""
+        assert r.content == "just an answer"
+
+    def test_streaming(self):
+        p = ReasoningParser()
+        chunks = ["<th", "ink>rea", "soning</th", "ink>ans", "wer"]
+        reasoning, content = "", ""
+        for c in chunks:
+            r, t = p.parse_stream(c)
+            reasoning += r
+            content += t
+        assert reasoning == "reasoning"
+        assert content == "answer"
+
+    def test_streaming_no_tags(self):
+        p = ReasoningParser()
+        r, t = p.parse_stream("plain text ")
+        r2, t2 = p.parse_stream("more")
+        assert r + r2 == ""
+        assert t + t2 == "plain text more"

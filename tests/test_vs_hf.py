@@ -111,3 +111,52 @@ def test_prefill_logits_match_hf():
     hf_lp = torch.log_softmax(torch.from_numpy(hf_logits), -1)[tok].item()
     assert tok == int(np.argmax(hf_logits))
     assert abs(our_lp - hf_lp) < 2e-3
+
+
+def test_gpt2_greedy_matches_hf():
+    """GPT-2 structural parity (Conv1D layout, learned positions, LN)."""
+    from transformers import GPT2Config, GPT2LMHeadModel as HFGPT2
+
+    from tests.test_model_zoo import CONFIGS
+    from tests.utils import tiny_engine
+
+    cfg = CONFIGS["gpt2"]
+    engine = tiny_engine(cfg)
+    p = engine.runner.params
+
+    hf = HFGPT2(GPT2Config(
+        vocab_size=128, n_positions=256, n_embd=64, n_layer=2, n_head=4,
+        attn_implementation="eager",
+    ))
+    sd = {}
+    sd["transformer.wte.weight"] = np.asarray(p["wte"])
+    sd["transformer.wpe.weight"] = np.asarray(p["wpe"])
+    sd["transformer.ln_f.weight"] = np.asarray(p["ln_f_w"])
+    sd["transformer.ln_f.bias"] = np.asarray(p["ln_f_b"])
+    lp = p["layers"]
+    names = {
+        "ln_1_w": "ln_1.weight", "ln_1_b": "ln_1.bias",
+        "ln_2_w": "ln_2.weight", "ln_2_b": "ln_2.bias",
+        "c_attn_w": "attn.c_attn.weight", "c_attn_b": "attn.c_attn.bias",
+        "attn_proj_w": "attn.c_proj.weight",
+        "attn_proj_b": "attn.c_proj.bias",
+        "c_fc_w": "mlp.c_fc.weight", "c_fc_b": "mlp.c_fc.bias",
+        "mlp_proj_w": "mlp.c_proj.weight", "mlp_proj_b": "mlp.c_proj.bias",
+    }
+    for i in range(2):
+        for ours, theirs in names.items():
+            sd[f"transformer.h.{i}.{theirs}"] = np.asarray(lp[ours][i])
+    sd["lm_head.weight"] = sd["transformer.wte.weight"]
+    hf.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    hf.eval()
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor([PROMPT]), max_new_tokens=6,
+                          do_sample=False)[0, len(PROMPT):].tolist()
+    ours = engine.generate(
+        input_ids=PROMPT,
+        sampling_params={"max_new_tokens": 6, "temperature": 0.0},
+    )["output_ids"]
+    assert ours == ref
