@@ -26,6 +26,7 @@ from jax.sharding import PartitionSpec as P
 from sglang_fluentllm_tpu.config.model_config import ModelConfig
 from sglang_fluentllm_tpu.ops.activation import silu_and_mul
 from sglang_fluentllm_tpu.ops.layernorm import rms_norm
+from sglang_fluentllm_tpu.ops.quant.fp8 import matmul
 from sglang_fluentllm_tpu.ops.rotary import RotaryEmbedding
 from sglang_fluentllm_tpu.models.registry import register
 from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
@@ -34,6 +35,7 @@ from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
 @register("LlamaForCausalLM")
 class LlamaForCausalLM:
     has_qkv_bias = False
+    supports_fp8_weights = True
 
     def __init__(self, config: ModelConfig, attn_backend):
         self.config = config
@@ -150,9 +152,9 @@ class LlamaForCausalLM:
             h, kv_cache = carry
             lp, layer_id = xs
             normed = rms_norm(h, lp["input_layernorm"], eps)
-            q = normed @ lp["q_proj"]
-            k = normed @ lp["k_proj"]
-            v = normed @ lp["v_proj"]
+            q = matmul(normed, lp["q_proj"])
+            k = matmul(normed, lp["k_proj"])
+            v = matmul(normed, lp["v_proj"])
             if "q_bias" in lp:
                 q = q + lp["q_bias"]
                 k = k + lp["k_bias"]
@@ -173,12 +175,12 @@ class LlamaForCausalLM:
             attn_out, kv_cache = self.attn(
                 kv_cache, layer_id, q, k, v, batch, self.sm_scale
             )
-            h = h + attn_out.reshape(B, S, Hq * D) @ lp["o_proj"]
+            h = h + matmul(attn_out.reshape(B, S, Hq * D), lp["o_proj"])
 
             normed2 = rms_norm(h, lp["post_attention_layernorm"], eps)
-            gate = normed2 @ lp["gate_proj"]
-            up = normed2 @ lp["up_proj"]
-            mlp = (jax.nn.silu(gate) * up) @ lp["down_proj"]
+            gate = matmul(normed2, lp["gate_proj"])
+            up = matmul(normed2, lp["up_proj"])
+            mlp = matmul(jax.nn.silu(gate) * up, lp["down_proj"])
             h = h + mlp
             return (h, kv_cache), None
 

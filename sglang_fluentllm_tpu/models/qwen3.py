@@ -13,6 +13,7 @@ from jax.sharding import PartitionSpec as P
 from sglang_fluentllm_tpu.models.llama import LlamaForCausalLM
 from sglang_fluentllm_tpu.models.registry import register
 from sglang_fluentllm_tpu.ops.layernorm import rms_norm
+from sglang_fluentllm_tpu.ops.quant.fp8 import matmul
 from sglang_fluentllm_tpu.ops.rotary import apply_rope
 from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
 
@@ -54,9 +55,9 @@ class Qwen3ForCausalLM(LlamaForCausalLM):
             h, kv_cache = carry
             lp, layer_id = xs
             normed = rms_norm(h, lp["input_layernorm"], eps)
-            q = (normed @ lp["q_proj"]).reshape(B, S, Hq, D)
-            k = (normed @ lp["k_proj"]).reshape(B, S, Hk, D)
-            v = (normed @ lp["v_proj"]).reshape(B, S, Hk, D)
+            q = matmul(normed, lp["q_proj"]).reshape(B, S, Hq, D)
+            k = matmul(normed, lp["k_proj"]).reshape(B, S, Hk, D)
+            v = matmul(normed, lp["v_proj"]).reshape(B, S, Hk, D)
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
             q = apply_rope(q, cos, sin)
@@ -64,10 +65,13 @@ class Qwen3ForCausalLM(LlamaForCausalLM):
             attn_out, kv_cache = self.attn(
                 kv_cache, layer_id, q, k, v, batch, self.sm_scale
             )
-            h = h + attn_out.reshape(B, S, Hq * D) @ lp["o_proj"]
+            h = h + matmul(attn_out.reshape(B, S, Hq * D), lp["o_proj"])
             normed2 = rms_norm(h, lp["post_attention_layernorm"], eps)
-            mlp = (jax.nn.silu(normed2 @ lp["gate_proj"])
-                   * (normed2 @ lp["up_proj"])) @ lp["down_proj"]
+            mlp = matmul(
+                jax.nn.silu(matmul(normed2, lp["gate_proj"]))
+                * matmul(normed2, lp["up_proj"]),
+                lp["down_proj"],
+            )
             h = h + mlp
             return (h, kv_cache), None
 

@@ -136,19 +136,48 @@ class ModelRunner:
 
     # ------------------------------------------------------------------
     def _shard(self, tree, specs):
+        from sglang_fluentllm_tpu.ops.quant.fp8 import QuantizedWeight
+
         if math.prod(self.mesh.devices.shape) == 1:
             return jax.device_put(tree, self.mesh.devices.flatten()[0])
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             tree,
             specs,
+            is_leaf=lambda x: isinstance(x, QuantizedWeight),
         )
 
     def _load_params(self):
         params = load_model_params(self.model, self.server_args, self.dtype)
+        params = self._maybe_quantize(params)
         self.params = self._shard(params, self.model.param_specs())
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         logger.info("loaded %.2fM params", n_params / 1e6)
+
+    def _maybe_quantize(self, params):
+        """Weight-only FP8 block quantization of the decoder projections
+        (reference Fp8Config weight-only path)."""
+        if self.server_args.quantization != "fp8":
+            return params
+        if not getattr(self.model, "supports_fp8_weights", False):
+            logger.warning(
+                "model %s does not support fp8 weights; skipping",
+                type(self.model).__name__,
+            )
+            return params
+        from sglang_fluentllm_tpu.ops.quant.fp8 import quantize_weight
+
+        n_quant = 0
+        layers = params.get("layers", {})
+        for key, leaf in list(layers.items()):
+            if (
+                hasattr(leaf, "ndim") and leaf.ndim >= 3
+                and "bias" not in key and "norm" not in key
+            ):
+                layers[key] = quantize_weight(np.asarray(leaf))
+                n_quant += 1
+        logger.info("fp8-quantized %d stacked weights", n_quant)
+        return params
 
     def _init_memory_pool(self):
         sa = self.server_args

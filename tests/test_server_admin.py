@@ -7,7 +7,7 @@ import json
 import httpx
 import pytest
 
-from tests.server_utils import kill_server, popen_launch_server, write_tiny_tokenizer
+from tests.server_utils import REPO_ROOT, kill_server, popen_launch_server, write_tiny_tokenizer
 from tests.utils import TINY_LLAMA_CFG, write_model_dir
 
 PROMPT_IDS = [3, 11, 42, 7, 19, 88]
@@ -93,3 +93,26 @@ class TestWeightRPCs:
             "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
         }, timeout=300).json()
         assert len(out["output_ids"]) == 3
+
+
+class TestBenchServing:
+    def test_bench_serving_harness(self, server):
+        """bench_serving load-gen runs against the live server."""
+        import subprocess
+        import sys
+        import os
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get(
+            "PYTHONPATH", "")
+        out = subprocess.run([
+            sys.executable, "-m", "sglang_fluentllm_tpu.bench_serving",
+            "--base-url", server, "--num-prompts", "6",
+            "--input-len", "8", "--output-len", "4",
+            "--max-concurrency", "3", "--output-json",
+        ], env=env, capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        m = json.loads(out.stdout.strip().splitlines()[-1])
+        assert m["completed"] == 6
+        assert m["total_output_tokens"] == 24
+        assert m["mean_ttft_ms"] > 0
