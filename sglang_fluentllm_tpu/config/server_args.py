@@ -44,6 +44,7 @@ class ServerArgs:
     chunked_prefill_size: int = 4096
     disable_radix_cache: bool = False
     radix_eviction_policy: str = "lru"  # lru | lfu
+    disable_native_radix: bool = False  # force the python radix tree
 
     # ---- hicache (host / storage KV tiers) ----
     enable_hierarchical_cache: bool = False

@@ -83,10 +83,15 @@ class Scheduler:
         self.allocator = runner.allocator
         self.req_pool = runner.req_pool
         self.page_size = server_args.page_size
-        self.tree_cache = RadixCache(
+        from sglang_fluentllm_tpu.mem.radix_cache_cpp import (
+            create_radix_cache,
+        )
+
+        self.tree_cache = create_radix_cache(
             self.page_size,
             disable=server_args.disable_radix_cache,
             eviction_policy=server_args.radix_eviction_policy,
+            prefer_native=not server_args.disable_native_radix,
         )
         self.policy = SchedulePolicy(
             server_args.schedule_policy, self.tree_cache
