@@ -84,6 +84,13 @@ class AsyncEngine:
 
             self.pd = PDManager(self)
 
+        # request tracing (reference srt/tracing/trace.py)
+        self.tracer = None
+        if server_args.enable_trace:
+            from sglang_fluentllm_tpu.metrics.trace import RequestTracer
+
+            self.tracer = RequestTracer(server_args.otlp_traces_endpoint)
+
         self._input: "queue.Queue[tuple]" = queue.Queue()
         self._states: Dict[str, _ReqState] = {}
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -288,6 +295,11 @@ class AsyncEngine:
         st = _ReqState(req=req, out_queue=asyncio.Queue(),
                        created=time.time())
         self._states[rid] = st
+        if self.tracer is not None:
+            self.tracer.request_start(
+                rid, prompt_tokens=len(input_ids),
+                max_new_tokens=sp.max_new_tokens,
+            )
         self._input.put(("req", req))
         first = True
         try:
@@ -298,6 +310,11 @@ class AsyncEngine:
                     if self.req_metrics is not None:
                         self.req_metrics.observe_ttft(
                             time.time() - st.created
+                        )
+                    if self.tracer is not None:
+                        self.tracer.slice(
+                            rid, "prefill_to_first_token",
+                            start_ns=int(st.created * 1e9),
                         )
                 delta_text = ""
                 if self.detokenizer is not None and out.new_token_ids:
@@ -327,6 +344,12 @@ class AsyncEngine:
                             out.prompt_tokens,
                             len(out.output_ids),
                         )
+                    if self.tracer is not None:
+                        self.tracer.slice(
+                            rid, "decode",
+                            completion_tokens=len(out.output_ids),
+                        )
+                        self.tracer.request_end(rid)
                     return
         finally:
             self._states.pop(rid, None)

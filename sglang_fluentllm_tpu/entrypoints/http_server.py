@@ -74,6 +74,7 @@ class HttpServer:
         r.add_post("/get_weights_by_name", self.get_weights_by_name)
         r.add_post("/release_memory_occupation", self.release_memory)
         r.add_post("/resume_memory_occupation", self.resume_memory)
+        r.add_post("/get_trace", self.get_trace)
         # PD disaggregation plane
         r.add_post("/pd/start", self.pd_start)
         r.add_post("/pd/prefill", self.pd_prefill)
@@ -255,6 +256,15 @@ class HttpServer:
     async def resume_memory(self, request: web.Request) -> web.Response:
         ok, msg = await self.engine.resume_memory_occupation()
         return web.json_response({"success": ok, "message": str(msg)})
+
+    async def get_trace(self, request: web.Request) -> web.Response:
+        if self.engine.tracer is None:
+            return _error("tracing not enabled (--enable-trace)")
+        body = await request.json()
+        tr = self.engine.tracer.get(body.get("rid", ""))
+        if tr is None:
+            return _error("unknown rid", 404)
+        return web.json_response(tr)
 
     # ------------------------------------------------------------------
     # PD disaggregation (reference disaggregation/ HTTP plane)

@@ -18,7 +18,7 @@ def server():
     model_dir = write_model_dir(TINY_LLAMA_CFG)
     write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
     proc, base_url = popen_launch_server(
-        model_dir, other_args=["--enable-metrics"]
+        model_dir, other_args=["--enable-metrics", "--enable-trace"]
     )
     yield base_url
     kill_server(proc)
@@ -116,3 +116,24 @@ class TestBenchServing:
         assert m["completed"] == 6
         assert m["total_output_tokens"] == 24
         assert m["mean_ttft_ms"] > 0
+
+
+class TestTracing:
+    def test_request_trace(self, server):
+        rid = "traced-req-1"
+        httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS, "rid": rid,
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
+        }, timeout=300)
+        tr = httpx.post(server + "/get_trace", json={"rid": rid},
+                        timeout=60).json()
+        assert tr["rid"] == rid
+        names = [s["name"] for s in tr["spans"]]
+        assert "prefill_to_first_token" in names
+        assert "decode" in names
+        assert tr["duration_ms"] > 0
+
+    def test_unknown_trace(self, server):
+        r = httpx.post(server + "/get_trace", json={"rid": "nope"},
+                       timeout=60)
+        assert r.status_code == 404
