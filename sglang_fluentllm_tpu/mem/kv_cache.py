@@ -38,8 +38,11 @@ class MHAKVCache:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MLAKVCache:
-    ckv: jax.Array    # [L, slots, kv_lora_rank]
-    krope: jax.Array  # [L, slots, qk_rope_head_dim]
+    """Combined latent layout: one [L, slots, r_pad + rope_pad] array so
+    absorbed-MLA decode runs as MQA over a single contiguous page stream
+    (lat = ckv | 0-pad | rope | 0-pad, each half lane-aligned)."""
+
+    lat: jax.Array    # [L, slots, r_pad + rope_pad]
 
 
 @jax.tree_util.register_dataclass
@@ -78,10 +81,10 @@ def create_kv_cache(
                 krope=jnp.zeros((L, num_slots, config.qk_rope_head_dim),
                                 dtype=jnp.bfloat16),
             )
+        r_pad = padded_head_dim(config.kv_lora_rank)
+        rope_pad = padded_head_dim(config.qk_rope_head_dim)
         return MLAKVCache(
-            ckv=jnp.zeros((L, num_slots, config.kv_lora_rank), dtype=dtype),
-            krope=jnp.zeros((L, num_slots, config.qk_rope_head_dim),
-                            dtype=dtype),
+            lat=jnp.zeros((L, num_slots, r_pad + rope_pad), dtype=dtype),
         )
     h_kv = num_kv_heads_override or config.num_key_value_heads
     shape = (L, h_kv, num_slots, padded_head_dim(config.head_dim))
@@ -114,11 +117,15 @@ def mha_write(cache: MHAKVCache, layer_id: int, loc: jax.Array,
 
 def mla_write(cache: MLAKVCache, layer_id: int, loc: jax.Array,
               ckv: jax.Array, krope: jax.Array) -> MLAKVCache:
-    return MLAKVCache(
-        ckv=cache.ckv.at[layer_id, loc].set(ckv.astype(cache.ckv.dtype)),
-        krope=cache.krope.at[layer_id, loc].set(
-            krope.astype(cache.krope.dtype)),
-    )
+    """ckv [T, r], krope [T, rope] -> combined lane-padded row."""
+    T, r = ckv.shape
+    rope = krope.shape[-1]
+    r_pad = padded_head_dim(r)
+    total = cache.lat.shape[-1]
+    row = jnp.zeros((T, total), cache.lat.dtype)
+    row = row.at[:, :r].set(ckv.astype(cache.lat.dtype))
+    row = row.at[:, r_pad : r_pad + rope].set(krope.astype(cache.lat.dtype))
+    return MLAKVCache(lat=cache.lat.at[layer_id, loc].set(row))
 
 
 FP8_MAX = 448.0  # float8_e4m3fn max
@@ -156,6 +163,9 @@ def kv_cell_bytes_per_token(
             return L * (config.kv_lora_rank * 1
                         + 4
                         + config.qk_rope_head_dim * 2)
-        return L * (config.kv_lora_rank + config.qk_rope_head_dim) * dtype_bytes
+        return L * (
+            padded_head_dim(config.kv_lora_rank)
+            + padded_head_dim(config.qk_rope_head_dim)
+        ) * dtype_bytes
     h_kv = max(1, config.num_key_value_heads // attn_tp_size)
     return L * 2 * h_kv * padded_head_dim(config.head_dim) * dtype_bytes

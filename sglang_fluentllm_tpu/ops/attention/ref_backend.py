@@ -174,6 +174,7 @@ class RefMLABackend:
     ) -> Tuple[jax.Array, object]:
         B, S, H, dn = q_nope.shape
         r = ckv_new.shape[-1]
+        dr = kpe_new.shape[-1]
         loc = batch.out_cache_loc.reshape(-1)
         fp8 = isinstance(kv_cache, MLAKVCacheFP8)
         if fp8:
@@ -182,21 +183,26 @@ class RefMLABackend:
                 ckv_new.reshape(B * S, r),
                 kpe_new.reshape(B * S, -1),
             )
+            ckv = page_gather(kv_cache.ckv[layer_id], batch.page_tables,
+                              batch.page_size)      # [B, T, r] fp8
+            kpe = page_gather(kv_cache.krope[layer_id], batch.page_tables,
+                              batch.page_size)      # [B, T, dr]
+            scale = page_gather(kv_cache.scale[layer_id], batch.page_tables,
+                                batch.page_size)    # [B, T, 1]
+            ckv = ckv.astype(jnp.float32) * scale
         else:
             kv_cache = mla_write(
                 kv_cache, layer_id, loc,
                 ckv_new.reshape(B * S, r),
                 kpe_new.reshape(B * S, -1),
             )
+            from sglang_fluentllm_tpu.mem.kv_cache import padded_head_dim
 
-        ckv = page_gather(kv_cache.ckv[layer_id], batch.page_tables,
-                          batch.page_size)          # [B, T, r]
-        kpe = page_gather(kv_cache.krope[layer_id], batch.page_tables,
-                          batch.page_size)          # [B, T, dr]
-        if fp8:
-            scale = page_gather(kv_cache.scale[layer_id], batch.page_tables,
-                                batch.page_size)    # [B, T, 1]
-            ckv = ckv.astype(jnp.float32) * scale
+            r_pad = padded_head_dim(r)
+            lat = page_gather(kv_cache.lat[layer_id], batch.page_tables,
+                              batch.page_size)      # [B, T, r_pad+rope_pad]
+            ckv = lat[..., :r]
+            kpe = lat[..., r_pad : r_pad + dr]
         ckv = ckv.astype(jnp.float32)
         kpe = kpe.astype(jnp.float32)
 

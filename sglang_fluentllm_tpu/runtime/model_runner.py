@@ -63,7 +63,7 @@ def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
     on_tpu = jax.default_backend() == "tpu"
     if name in (None, "auto"):
         if config.is_mla:
-            name = "mla"
+            name = "mla_paged" if on_tpu else "mla"
         else:
             name = "paged" if on_tpu else "ref"
     if name == "paged":
@@ -72,6 +72,12 @@ def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
         )
 
         return PagedAttentionBackend()
+    if name == "mla_paged":
+        from sglang_fluentllm_tpu.ops.attention.mla_paged_backend import (
+            MLAPagedBackend,
+        )
+
+        return MLAPagedBackend()
     if name == "ref":
         return RefAttentionBackend()
     if name in ("ref_mla", "mla"):

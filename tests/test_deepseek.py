@@ -74,3 +74,18 @@ class TestDeepseekFP8KV:
         assert kv.ckv.dtype.name == "float8_e4m3fn"
         assert kv.scale.dtype.name == "float32"
         assert kv.krope.dtype.name == "bfloat16"
+
+
+class TestMLAPagedBackend:
+    def test_mla_paged_decode_matches_ref(self):
+        """MLAPagedBackend (pipelined kernel in interpret mode) ==
+        RefMLABackend greedily."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        sp = {"max_new_tokens": 6, "temperature": 0.0}
+        e_ref = tiny_engine(TINY_DEEPSEEK_CFG)
+        ref = e_ref.generate(input_ids=PROMPT, sampling_params=sp)
+        e_k = tiny_engine(TINY_DEEPSEEK_CFG, attention_backend="mla_paged")
+        with pltpu.force_tpu_interpret_mode():
+            out = e_k.generate(input_ids=PROMPT, sampling_params=sp)
+        assert out["output_ids"] == ref["output_ids"]
