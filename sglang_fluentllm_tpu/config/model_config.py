@@ -78,6 +78,9 @@ class ModelConfig:
     # --- speculative (NEXTN/MTP draft layers present in ckpt) ---
     num_nextn_predict_layers: int = 0
 
+    # --- KV pool depth (LongCat ScMoE has 2 attentions per layer) ---
+    num_kv_layers: Optional[int] = None
+
     # raw HF dict for model-specific extras
     hf_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
@@ -199,6 +202,15 @@ class ModelConfig:
             mc.quantization = qc.get("quant_method")
             mc.weight_block_size = qc.get("weight_block_size")
 
+        if cfg.get("ffn_hidden_size"):
+            mc.intermediate_size = cfg["ffn_hidden_size"]
+        if cfg.get("expert_ffn_hidden_size"):
+            mc.moe_intermediate_size = cfg["expert_ffn_hidden_size"]
+        if mc.model_type == "longcat_flash" or "FLASH" in str(
+            mc.architectures
+        ):
+            # ScMoE: two MLA attentions per decoder layer
+            mc.num_kv_layers = 2 * mc.num_hidden_layers
         mc.context_length = context_length or cfg.get(
             "max_position_embeddings", 4096
         )

@@ -71,7 +71,7 @@ def create_kv_cache(
     kv_cache_dtype: str = "auto",
     num_kv_heads_override: Optional[int] = None,
 ) -> KVCache:
-    L = config.num_hidden_layers
+    L = config.num_kv_layers or config.num_hidden_layers
     if config.is_mla:
         if kv_cache_dtype in ("fp8_e4m3", "fp8"):
             return MLAKVCacheFP8(
@@ -157,7 +157,7 @@ def kv_cell_bytes_per_token(
     kv_cache_dtype: str = "auto",
     attn_tp_size: int = 1,
 ) -> int:
-    L = config.num_hidden_layers
+    L = config.num_kv_layers or config.num_hidden_layers
     if config.is_mla:
         if kv_cache_dtype in ("fp8_e4m3", "fp8"):
             return L * (config.kv_lora_rank * 1

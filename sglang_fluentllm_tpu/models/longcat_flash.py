@@ -1,0 +1,325 @@
+"""LongCat Flash (ScMoE) causal LM — the reference fork's flagship.
+
+Parity target: reference ``srt/models/longcat_flash.py``
+(``FLASHDecoderLayer:253``). Each decoder layer is a shortcut-MoE block:
+
+    r  = h + r
+    x1 = post_norm0(attn0(in_norm0(r)) + r)     # r accumulates
+    moe = MoE(x1)            # router over E + zero experts, bias-corrected
+    x2 = in_norm1(mlp0(x1) + r)
+    x3 = post_norm1(attn1(x2) + r)
+    h' = mlp1(x3) + moe      # shortcut branch rejoins after the 2nd block
+
+i.e. two sequential (MLA attention + dense MLP) sub-blocks with one MoE
+spanning them; zero experts (ids >= E) contribute identity scaled by the
+router weight (``layers/moe/layer.py:61-72`` semantics). KV pool depth is
+2x num layers (two attentions per layer).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sglang_fluentllm_tpu.config.model_config import ModelConfig
+from sglang_fluentllm_tpu.models.registry import register
+from sglang_fluentllm_tpu.ops.layernorm import rms_norm
+from sglang_fluentllm_tpu.ops.moe.layer import moe_forward
+from sglang_fluentllm_tpu.ops.rotary import RotaryEmbedding, apply_rope
+from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+
+
+@register("FLASHForCausalLM", "LongcatFlashForCausalLM")
+class LongcatFlashForCausalLM:
+    def __init__(self, config: ModelConfig, attn_backend):
+        self.config = config
+        self.attn = attn_backend
+        c = config
+        self.qk_dim = c.qk_nope_head_dim + c.qk_rope_head_dim
+        self.sm_scale = self.qk_dim ** -0.5
+        self.rope = RotaryEmbedding(
+            c.qk_rope_head_dim,
+            max(c.context_length or 0, c.max_position_embeddings),
+            c.rope_theta,
+            c.rope_scaling,
+            interleaved=True,
+        )
+        self.use_gmm = jax.default_backend() == "tpu"
+        self.ep_mesh = None
+        self.ep_axis = "tp"
+
+    # ------------------------------------------------------------------
+    def _attn_shapes(self, j: str) -> Dict[str, Any]:
+        c = self.config
+        L, H, Hq = c.num_hidden_layers, c.hidden_size, c.num_attention_heads
+        r, dr, dv = c.kv_lora_rank, c.qk_rope_head_dim, c.v_head_dim
+        dn = c.qk_nope_head_dim
+        shapes = {
+            f"kv_a_proj{j}": (L, H, r + dr),
+            f"kv_a_layernorm{j}": (L, r),
+            f"w_kc{j}": (L, Hq, r, dn),
+            f"w_vc{j}": (L, Hq, r, dv),
+            f"o_proj{j}": (L, Hq * dv, H),
+        }
+        if c.q_lora_rank:
+            shapes.update({
+                f"q_a_proj{j}": (L, H, c.q_lora_rank),
+                f"q_a_layernorm{j}": (L, c.q_lora_rank),
+                f"q_b_proj{j}": (L, c.q_lora_rank, Hq * self.qk_dim),
+            })
+        else:
+            shapes[f"q_proj{j}"] = (L, H, Hq * self.qk_dim)
+        return shapes
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        L, H, I = c.num_hidden_layers, c.hidden_size, c.intermediate_size
+        Im, E = c.moe_intermediate_size or I, c.num_experts
+        Et = E + c.num_zero_experts
+        layers: Dict[str, Any] = {}
+        for j in ("0", "1"):
+            layers.update({
+                f"input_layernorm{j}": (L, H),
+                f"post_attention_layernorm{j}": (L, H),
+                f"gate_up{j}": (L, H, 2 * I),
+                f"down{j}": (L, I, H),
+            })
+            layers.update(self._attn_shapes(j))
+        layers.update({
+            "router": (L, H, Et),
+            "correction_bias": (L, Et),
+            "w_gate_up": (L, E, H, 2 * Im),
+            "w_down": (L, E, Im, H),
+        })
+        return {
+            "embed_tokens": (c.vocab_size, H),
+            "layers": layers,
+            "norm": (H,),
+            "lm_head": (H, c.vocab_size),
+        }
+
+    def param_specs(self) -> Dict[str, Any]:
+        shapes = self.param_shapes()
+
+        def spec_for(key, shape):
+            if key in ("w_gate_up", "w_down"):
+                return P(None, "tp", None, None)   # expert parallel
+            if key.startswith(("q_b_proj", "q_proj", "gate_up")):
+                return P(*([None] * (len(shape) - 1)), "tp")
+            if key.startswith(("o_proj", "down")):
+                return P(None, "tp", None)
+            if key.startswith(("w_kc", "w_vc")):
+                return P(None, "tp", None, None)
+            return P()
+
+        return {
+            "embed_tokens": P("tp", None),
+            "norm": P(),
+            "lm_head": P(None, "tp"),
+            "layers": {
+                k: spec_for(k, v) for k, v in shapes["layers"].items()
+            },
+        }
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        rng = np.random.RandomState(seed)
+
+        def build(tree):
+            if isinstance(tree, dict):
+                return {k: build(v) for k, v in tree.items()}
+            return jnp.asarray(
+                rng.standard_normal(tree).astype(np.float32) * 0.02,
+                dtype=dtype)
+
+        p = build(self.param_shapes())
+        p["norm"] = jnp.ones_like(p["norm"])
+        for k in p["layers"]:
+            if "layernorm" in k:
+                p["layers"][k] = jnp.ones_like(p["layers"][k])
+            if k == "correction_bias":
+                p["layers"][k] = jnp.zeros_like(p["layers"][k])
+        return p
+
+    # ------------------------------------------------------------------
+    def _mla(self, lp, j, x, kv_cache, kv_layer, batch, cos, sin):
+        c = self.config
+        B, S, H = x.shape
+        Hq = c.num_attention_heads
+        dn, dr, r = c.qk_nope_head_dim, c.qk_rope_head_dim, c.kv_lora_rank
+        eps = c.rms_norm_eps
+        if c.q_lora_rank:
+            q = rms_norm(x @ lp[f"q_a_proj{j}"],
+                         lp[f"q_a_layernorm{j}"], eps)
+            q = q @ lp[f"q_b_proj{j}"]
+        else:
+            q = x @ lp[f"q_proj{j}"]
+        q = q.reshape(B, S, Hq, self.qk_dim)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+        kv_a = x @ lp[f"kv_a_proj{j}"]
+        ckv, k_pe = kv_a[..., :r], kv_a[..., r:]
+        ckv = rms_norm(ckv, lp[f"kv_a_layernorm{j}"], eps)
+        q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
+        k_pe = apply_rope(k_pe, cos, sin, interleaved=True)
+        out, kv_cache = self.attn(
+            kv_cache, kv_layer, q_nope, q_pe, ckv, k_pe, batch,
+            lp[f"w_kc{j}"], lp[f"w_vc{j}"], self.sm_scale,
+        )
+        return out.reshape(B, S, Hq * c.v_head_dim) @ lp[f"o_proj{j}"], \
+            kv_cache
+
+    def forward(self, params, kv_cache, batch: ForwardBatch):
+        c = self.config
+        eps = c.rms_norm_eps
+        B, S = batch.input_ids.shape
+        h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+
+        def layer_fn(carry, xs):
+            r, kv_cache = carry
+            lp, layer_id = xs
+            x1 = rms_norm(r, lp["input_layernorm0"], eps)
+            a0, kv_cache = self._mla(
+                lp, "0", x1, kv_cache, 2 * layer_id, batch, cos, sin
+            )
+            r = r + a0
+            x1 = rms_norm(r, lp["post_attention_layernorm0"], eps)
+
+            # shortcut MoE branch from x1
+            flat = x1.reshape(B * S, -1)
+            logits = flat @ lp["router"]
+            moe_out = moe_forward(
+                flat, logits, lp["w_gate_up"], lp["w_down"], c,
+                correction_bias=lp["correction_bias"],
+                use_gmm=self.use_gmm,
+            ).reshape(B, S, -1)
+
+            # dense branch continues
+            g, u = jnp.split(x1 @ lp["gate_up0"], 2, axis=-1)
+            r = r + (jax.nn.silu(g) * u) @ lp["down0"]
+            x2 = rms_norm(r, lp["input_layernorm1"], eps)
+            a1, kv_cache = self._mla(
+                lp, "1", x2, kv_cache, 2 * layer_id + 1, batch, cos, sin
+            )
+            r = r + a1
+            x3 = rms_norm(r, lp["post_attention_layernorm1"], eps)
+            g, u = jnp.split(x3 @ lp["gate_up1"], 2, axis=-1)
+            m1 = (jax.nn.silu(g) * u) @ lp["down1"]
+            # shortcut rejoins; both flow into the next layer's residual
+            r = r + m1 + moe_out
+            return (r, kv_cache), None
+
+        (r, kv_cache), _ = jax.lax.scan(
+            layer_fn, (h, kv_cache),
+            (params["layers"],
+             jnp.arange(c.num_hidden_layers, dtype=jnp.int32)),
+        )
+        return kv_cache, rms_norm(r, params["norm"], eps)
+
+    def compute_logits(self, params, hidden):
+        return (hidden @ params["lm_head"]).astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        c = self.config
+        L, E = c.num_hidden_layers, c.num_experts
+        Hq = c.num_attention_heads
+        dn, dv, r = c.qk_nope_head_dim, c.v_head_dim, c.kv_lora_rank
+        dr = c.qk_rope_head_dim
+        st: Dict[int, Dict[str, Any]] = {i: {} for i in range(L)}
+        experts: Dict[int, Dict[int, Dict[str, np.ndarray]]] = {
+            i: {} for i in range(L)}
+        top: Dict[str, Any] = {}
+        for name, w in named_tensors:
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name == "embed_tokens.weight":
+                top["embed_tokens"] = w
+            elif name == "norm.weight":
+                top["norm"] = w
+            elif name == "lm_head.weight":
+                top["lm_head"] = w.T
+            elif name.startswith("layers."):
+                parts = name.split(".")
+                li = int(parts[1])
+                if li >= L:
+                    continue
+                rest = ".".join(parts[2:])
+                s = st[li]
+                for j in ("0", "1"):
+                    if rest == f"self_attn.{j}.q_a_proj.weight":
+                        s[f"q_a_proj{j}"] = w.T
+                    elif rest == f"self_attn.{j}.q_a_layernorm.weight":
+                        s[f"q_a_layernorm{j}"] = w
+                    elif rest == f"self_attn.{j}.q_b_proj.weight":
+                        s[f"q_b_proj{j}"] = w.T
+                    elif rest == f"self_attn.{j}.q_proj.weight":
+                        s[f"q_proj{j}"] = w.T
+                    elif rest == f"self_attn.{j}.kv_a_proj_with_mqa.weight":
+                        s[f"kv_a_proj{j}"] = w.T
+                    elif rest == (
+                        f"self_attn.{j}.fused_qkv_a_proj_with_mqa.weight"
+                    ):
+                        # fused [q_lora | kv_lora+rope, H]
+                        fq = w.T
+                        s[f"q_a_proj{j}"] = fq[:, : c.q_lora_rank]
+                        s[f"kv_a_proj{j}"] = fq[:, c.q_lora_rank:]
+                    elif rest == f"self_attn.{j}.kv_a_layernorm.weight":
+                        s[f"kv_a_layernorm{j}"] = w
+                    elif rest == f"self_attn.{j}.kv_b_proj.weight":
+                        kvb = w.T.reshape(r, Hq, dn + dv)
+                        s[f"w_kc{j}"] = np.transpose(
+                            kvb[..., :dn], (1, 0, 2))
+                        s[f"w_vc{j}"] = np.transpose(
+                            kvb[..., dn:], (1, 0, 2))
+                    elif rest == f"self_attn.{j}.o_proj.weight":
+                        s[f"o_proj{j}"] = w.T
+                    elif rest == f"input_layernorm.{j}.weight":
+                        s[f"input_layernorm{j}"] = w
+                    elif rest == f"post_attention_layernorm.{j}.weight":
+                        s[f"post_attention_layernorm{j}"] = w
+                    elif rest == f"mlps.{j}.gate_up_proj.weight":
+                        s[f"gate_up{j}"] = w.T
+                    elif rest == f"mlps.{j}.gate_proj.weight":
+                        s.setdefault(f"_gate{j}", w.T)
+                    elif rest == f"mlps.{j}.up_proj.weight":
+                        s.setdefault(f"_up{j}", w.T)
+                    elif rest == f"mlps.{j}.down_proj.weight":
+                        s[f"down{j}"] = w.T
+                if rest == "mlp.gate.classifier.weight":
+                    s["router"] = w.T
+                elif rest == "mlp.gate.e_score_correction_bias":
+                    s["correction_bias"] = w
+                elif rest.startswith("mlp.experts."):
+                    e = int(parts[4])
+                    experts[li].setdefault(e, {})[parts[5]] = w
+        for li in range(L):
+            s = st[li]
+            for j in ("0", "1"):
+                if f"gate_up{j}" not in s and f"_gate{j}" in s:
+                    s[f"gate_up{j}"] = np.concatenate(
+                        [s.pop(f"_gate{j}"), s.pop(f"_up{j}")], axis=1)
+            emap = experts[li]
+            if emap:
+                s["w_gate_up"] = np.stack([
+                    np.concatenate([emap[e]["gate_proj"].T,
+                                    emap[e]["up_proj"].T], axis=1)
+                    for e in range(E)])
+                s["w_down"] = np.stack(
+                    [emap[e]["down_proj"].T for e in range(E)])
+        params: Dict[str, Any] = {
+            "embed_tokens": jnp.asarray(top["embed_tokens"], dtype=dtype),
+            "norm": jnp.asarray(top["norm"], dtype=dtype),
+            "lm_head": jnp.asarray(top["lm_head"], dtype=dtype),
+            "layers": {},
+        }
+        for k in self.param_shapes()["layers"]:
+            mats = [st[i][k] for i in range(L)]
+            kd = jnp.float32 if k == "correction_bias" else dtype
+            params["layers"][k] = jnp.asarray(np.stack(mats), dtype=kd)
+        return params

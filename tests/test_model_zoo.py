@@ -73,3 +73,54 @@ def test_registry_coverage():
         "GPT2LMHeadModel",
     }
     assert expected <= set(_REGISTRY)
+
+
+LONGCAT_CFG = {
+    "architectures": ["FLASHForCausalLM"],
+    "model_type": "longcat_flash",
+    "hidden_size": 64,
+    "ffn_hidden_size": 96,
+    "expert_ffn_hidden_size": 48,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 4,
+    "num_hidden_layers": 2,
+    "vocab_size": 128,
+    "max_position_embeddings": 256,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 10000.0,
+    "q_lora_rank": 48,
+    "kv_lora_rank": 64,
+    "qk_nope_head_dim": 32,
+    "qk_rope_head_dim": 16,
+    "v_head_dim": 32,
+    "n_routed_experts": 4,
+    "moe_topk": 2,
+    "zero_expert_num": 2,
+    "norm_topk_prob": False,
+    "scoring_func": "softmax",
+    "topk_method": "noaux_tc",
+    "tie_word_embeddings": False,
+}
+
+
+class TestLongcatFlash:
+    def test_scmoe_generates(self):
+        e = tiny_engine(LONGCAT_CFG)
+        # KV pool depth doubled (2 attentions per ScMoE layer)
+        assert e.model_config.num_kv_layers == 4
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert len(out["output_ids"]) == 5
+        out2 = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == out2["output_ids"]
+
+    def test_scmoe_decode_matches_prefill(self):
+        e = tiny_engine(LONGCAT_CFG)
+        sp = {"max_new_tokens": 4, "temperature": 0.0}
+        out = e.generate(input_ids=PROMPT, sampling_params=sp)
+        toks = out["output_ids"]
+        e.flush_cache()
+        out2 = e.generate(
+            input_ids=PROMPT + toks[:3],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        assert out2["output_ids"][0] == toks[3]
