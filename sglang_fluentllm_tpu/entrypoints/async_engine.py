@@ -444,6 +444,59 @@ class AsyncEngine:
         finally:
             self._states.pop(rid, None)
 
+    async def encode(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+    ) -> List[List[float]]:
+        """Embedding API (reference Engine.encode / serving_embedding):
+        L2-normalized last-token hidden states."""
+        if input_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            input_ids = [self.tokenizer.encode(p) for p in prompts]
+        elif input_ids and isinstance(input_ids[0], int):
+            input_ids = [input_ids]
+
+        def _encode():
+            import numpy as np
+
+            from sglang_fluentllm_tpu.runtime.batch_builder import ExtendItem
+
+            runner = self.runner
+            items, idxs = [], []
+            try:
+                for ids in input_ids:
+                    idx = runner.req_pool.alloc()
+                    assert idx is not None
+                    slots = runner.allocator.alloc_extend(idx, 0, len(ids))
+                    if slots is None:
+                        self.scheduler.tree_cache.evict(
+                            runner.allocator.pages_needed(0, len(ids)),
+                            runner.allocator.release_pages,
+                        )
+                        slots = runner.allocator.alloc_extend(
+                            idx, 0, len(ids))
+                    assert slots is not None, "no KV room for encode"
+                    idxs.append(idx)
+                    items.append(ExtendItem(
+                        input_ids=np.asarray(ids, np.int32),
+                        prefix_len=0,
+                        slots=slots,
+                        pages=runner.allocator.req_pages(idx, len(ids)),
+                    ))
+                emb = runner.encode_batch(items)
+                return [list(map(float, row)) for row in emb]
+            finally:
+                for idx, ids in zip(idxs, input_ids):
+                    runner.allocator.free_req_pages(idx, len(ids))
+                    runner.req_pool.free(idx)
+
+        ok, res = await self._run_rpc(_encode)
+        if not ok:
+            raise RuntimeError(str(res))
+        return res
+
     async def _run_rpc(self, fn):
         """Run fn on the scheduler thread between steps (safe point for
         weight/memory mutations — reference collective_rpc analog)."""

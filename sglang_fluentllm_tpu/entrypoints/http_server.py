@@ -60,6 +60,8 @@ class HttpServer:
         r.add_get("/get_server_info", self.get_server_info)
         r.add_get("/get_model_info", self.get_model_info)
         r.add_post("/generate", self.generate)
+        r.add_post("/encode", self.encode)
+        r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/pause_generation", self.pause_generation)
@@ -181,6 +183,43 @@ class HttpServer:
             )
             return web.json_response(self._strip(out))
         except ValueError as e:
+            return _error(str(e))
+
+    async def encode(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            emb = await self.engine.encode(
+                prompt=body.get("text"),
+                input_ids=body.get("input_ids"),
+            )
+            return web.json_response({"embedding": emb})
+        except (ValueError, AssertionError) as e:
+            return _error(str(e))
+
+    async def v1_embeddings(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            inp = body.get("input")
+            kwargs = {}
+            if isinstance(inp, str) or (
+                isinstance(inp, list) and inp
+                and isinstance(inp[0], str)
+            ):
+                kwargs["prompt"] = inp
+            else:
+                kwargs["input_ids"] = inp
+            emb = await self.engine.encode(**kwargs)
+            return web.json_response({
+                "object": "list",
+                "model": body.get("model",
+                                  self.engine.server_args.served_model_name),
+                "data": [
+                    {"object": "embedding", "index": i, "embedding": e}
+                    for i, e in enumerate(emb)
+                ],
+                "usage": {"prompt_tokens": 0, "total_tokens": 0},
+            })
+        except (ValueError, AssertionError) as e:
             return _error(str(e))
 
     @staticmethod

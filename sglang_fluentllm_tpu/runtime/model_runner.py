@@ -350,6 +350,19 @@ class ModelRunner:
             multi_step_fn, donate_argnums=(1, 2), static_argnums=(5,)
         )
 
+        def hidden_fn(params, kv_cache, batch: ForwardBatch):
+            """Pooled last-token hidden state (embedding path — reference
+            Engine.encode / serving_embedding role)."""
+            kv_cache, h = model.forward(params, kv_cache, batch)
+            idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
+            h_last = jnp.take_along_axis(
+                h, idx[:, None, None], axis=1
+            )[:, 0].astype(jnp.float32)
+            norm = jnp.linalg.norm(h_last, axis=-1, keepdims=True)
+            return kv_cache, h_last / jnp.maximum(norm, 1e-9)
+
+        self._hidden_step = jax.jit(hidden_fn, donate_argnums=(1,))
+
         def logits_fn(params, kv_cache, batch: ForwardBatch):
             """Full per-position logits (for verify / logprob queries)."""
             kv_cache, h = model.forward(params, kv_cache, batch)
@@ -404,6 +417,14 @@ class ModelRunner:
         base = self._future_ct
         self._future_ct += n
         return base
+
+    def encode_batch(self, items) -> np.ndarray:
+        """Embed a list of ExtendItems; KV pages are caller-managed."""
+        batch = self.batch_builder.build_extend(items)
+        self.kv_cache, h = self._hidden_step(
+            self.params, self.kv_cache, batch
+        )
+        return np.asarray(jax.device_get(h))[: len(items)]
 
     def forward_logits(self, batch: ForwardBatch) -> jax.Array:
         self.kv_cache, logits = self._logits_step(

@@ -55,7 +55,7 @@ def popen_launch_server(
     model_dir: str,
     port: Optional[int] = None,
     other_args: Optional[List[str]] = None,
-    timeout: float = 420.0,
+    timeout: float = 560.0,
 ) -> tuple:
     port = port or find_free_port()
     base_url = f"http://127.0.0.1:{port}"

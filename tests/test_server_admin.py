@@ -137,3 +137,29 @@ class TestTracing:
         r = httpx.post(server + "/get_trace", json={"rid": "nope"},
                        timeout=60)
         assert r.status_code == 404
+
+
+class TestEmbeddings:
+    def test_encode(self, server):
+        r = httpx.post(server + "/encode", json={
+            "input_ids": [PROMPT_IDS, [1, 2, 3]]}, timeout=300)
+        assert r.status_code == 200, r.text
+        emb = r.json()["embedding"]
+        assert len(emb) == 2
+        import math
+        n = math.sqrt(sum(x * x for x in emb[0]))
+        assert abs(n - 1.0) < 1e-3  # normalized
+
+    def test_v1_embeddings(self, server):
+        r = httpx.post(server + "/v1/embeddings", json={
+            "input": "<3> <11> <42>"}, timeout=300)
+        out = r.json()
+        assert out["object"] == "list"
+        assert len(out["data"][0]["embedding"]) == 64
+
+    def test_encode_deterministic(self, server):
+        a = httpx.post(server + "/encode",
+                       json={"input_ids": PROMPT_IDS}, timeout=300).json()
+        b = httpx.post(server + "/encode",
+                       json={"input_ids": PROMPT_IDS}, timeout=300).json()
+        assert a == b
