@@ -64,7 +64,8 @@ def build_engine():
         page_size=PAGE_SIZE,
         max_total_tokens=BATCH_SIZE * (PREFILL_LEN + LONG_NEW + 64),
         max_running_requests=2 * BATCH_SIZE,
-        decode_steps_per_launch=8,
+        decode_steps_per_launch=int(
+            os.environ.get("SFT_BENCH_DECODE_STEPS", "8")),
         random_seed=0,
     )
 
