@@ -112,6 +112,8 @@ class ServerArgs:
     completion_template: Optional[str] = None
     enable_metrics: bool = False
     enable_trace: bool = False
+    enable_kv_events: bool = False
+    kv_events_endpoint: Optional[str] = None  # zmq pub, e.g. tcp://*:5557
     otlp_traces_endpoint: Optional[str] = None
     log_level: str = "info"
     log_requests: bool = False

@@ -109,6 +109,18 @@ class Scheduler:
         if self.spec is not None:
             self.max_inflight = 1
 
+        # KV block events for external KV-aware routers
+        # (reference disaggregation/kv_events.py)
+        self.kv_events = None
+        if server_args.enable_kv_events:
+            from sglang_fluentllm_tpu.disagg.kv_events import (
+                KVEventPublisher,
+            )
+
+            self.kv_events = KVEventPublisher(
+                server_args.kv_events_endpoint
+            )
+
         # hierarchical KV cache (device -> host -> storage)
         self.hicache = None
         if server_args.enable_hierarchical_cache:
@@ -191,12 +203,24 @@ class Scheduler:
             self.tree_cache.evict(
                 need - self.allocator.available_pages(),
                 self.allocator.release_pages,
-                on_evict=(
-                    self.hicache.write_back if self.hicache else None
-                ),
+                on_evict=self._on_evict_hook(),
             )
             slots = self.allocator.alloc_extend(req_idx, alloced, extend)
         return slots
+
+    def _on_evict_hook(self):
+        """Combined eviction callback: hicache write-back + KV events."""
+        if self.hicache is None and self.kv_events is None:
+            return None
+
+        def hook(token_prefix, pages):
+            if self.hicache is not None:
+                self.hicache.write_back(token_prefix, pages)
+            if self.kv_events is not None:
+                n = len(pages) * self.page_size
+                self.kv_events.block_removed(token_prefix[-n:], pages)
+
+        return hook
 
     # ------------------------------------------------------------------
     # Prefill path
@@ -418,7 +442,12 @@ class Scheduler:
             int(p)
             for p in self.allocator.req_pages(req.req_pool_idx, aligned)
         ]
-        self.tree_cache.insert(ids, my_pages)
+        dup = self.tree_cache.insert(ids, my_pages)
+        if self.kv_events is not None and aligned > dup:
+            # newly stored block (beyond the already-present prefix)
+            self.kv_events.block_stored(
+                ids[dup:], my_pages[dup // ps :]
+            )
         m = self.tree_cache.match_prefix(ids)
         tree_pages = m.page_ids
         # free any of our pages the tree didn't adopt (duplicates), and
@@ -736,6 +765,18 @@ class Scheduler:
         ids, logprobs = jax.device_get(
             (batch.ids_dev, batch.logprobs_dev)
         )
+        if self.server_args.enable_nan_detection and np.isnan(
+            logprobs
+        ).any():
+            # reference --enable-nan-detection (server_args.py:212)
+            logger.error(
+                "NaN detected in logprobs (batch mode=%s); aborting batch",
+                batch.mode,
+            )
+            for req in batch.reqs:
+                req.inflight = 0
+                self.finish_request(req, abort=True)
+            return [self._make_output(r) for r in batch.reqs]
         if batch.mode == ForwardMode.TARGET_VERIFY:
             return self._resolve_spec(batch, ids, logprobs)
         is_decode = batch.mode == ForwardMode.DECODE
