@@ -61,7 +61,7 @@ class ServerArgs:
     disable_overlap_schedule: bool = False
     stream_interval: int = 1
     stream_output: bool = True
-    watchdog_timeout: float = 300.0
+    watchdog_timeout: float = 600.0  # generous: first-shape jit compiles are slow
     decode_log_interval: int = 40
     max_queued_requests: Optional[int] = None
 

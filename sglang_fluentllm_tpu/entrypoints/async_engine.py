@@ -142,7 +142,15 @@ class AsyncEngine:
     # scheduler thread
     # ------------------------------------------------------------------
     def _scheduler_loop(self):
+        self._heartbeat = time.time()
+        self._last_log = time.time()
+        self._log_tokens = 0
+        if self.server_args.watchdog_timeout > 0:
+            threading.Thread(
+                target=self._watchdog, daemon=True, name="watchdog"
+            ).start()
         while not self._shutdown.is_set():
+            self._heartbeat = time.time()
             self._drain_input(block=not self.scheduler.has_work())
             if self._paused.is_set():
                 time.sleep(0.005)
@@ -155,6 +163,7 @@ class AsyncEngine:
                 logger.exception("scheduler step failed")
                 self._fail_all()
                 continue
+            self._log_decode_throughput(outputs)
             if outputs and self._loop is not None:
                 self._loop.call_soon_threadsafe(self._publish, outputs)
             if self.sched_metrics is not None:
@@ -170,6 +179,43 @@ class AsyncEngine:
                         self.sched_metrics.num_requests.labels(**lb).inc()
                         self.sched_metrics.num_prompt_tokens.labels(
                             **lb).inc(out.prompt_tokens)
+
+    def _watchdog(self):
+        """Crash-fast on a hung forward (reference scheduler.py:798-827
+        watchdog thread)."""
+        timeout = self.server_args.watchdog_timeout
+        while not self._shutdown.is_set():
+            time.sleep(min(10.0, timeout / 3))
+            if (
+                self.scheduler.has_work()
+                and time.time() - self._heartbeat > timeout
+            ):
+                logger.error(
+                    "watchdog: scheduler stuck for %.0fs (> %.0fs); "
+                    "terminating", time.time() - self._heartbeat, timeout,
+                )
+                import os
+
+                os._exit(1)
+
+    def _log_decode_throughput(self, outputs):
+        """Periodic tok/s log (reference --decode-log-interval stats)."""
+        self._log_tokens += sum(len(o.new_token_ids) for o in outputs)
+        now = time.time()
+        dt = now - self._last_log
+        if dt >= max(1.0, self.server_args.decode_log_interval / 10.0):
+            if self._log_tokens:
+                logger.info(
+                    "decode: %.1f tok/s, running %d, waiting %d, "
+                    "kv free %.1f%%",
+                    self._log_tokens / dt,
+                    len(self.scheduler.running_batch),
+                    len(self.scheduler.waiting_queue),
+                    100.0 * self.runner.allocator.available_tokens()
+                    / max(1, self.runner.max_total_tokens),
+                )
+            self._last_log = now
+            self._log_tokens = 0
 
     def _drain_input(self, block: bool):
         try:
