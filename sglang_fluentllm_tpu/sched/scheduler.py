@@ -68,6 +68,7 @@ class InFlightBatch:
     sampled: Optional[List[bool]] = None
     seq: int = 0                     # launch sequence number
     counts_dev: Any = None           # spec decode: accept counts [B]
+    mixed_decode: Optional[List[bool]] = None  # rows that are decode steps
 
 
 # Max launched-but-unresolved batches. Depth 1 would idle the device during
@@ -326,14 +327,16 @@ class Scheduler:
     # ------------------------------------------------------------------
     # Decode path
     # ------------------------------------------------------------------
-    def prepare_decode(self):
+    def prepare_decode(self, force_k1: bool = False):
         """Returns (reqs, items) for the next decode step, retracting on
         OOM. Requests at their token limit (pending resolution) are not
         stepped again."""
         self.new_token_ratio = max(
             MIN_NEW_TOKEN_RATIO, self.new_token_ratio - self._ratio_decay
         )
-        k = max(1, self.server_args.decode_steps_per_launch)
+        k = 1 if force_k1 else max(
+            1, self.server_args.decode_steps_per_launch
+        )
         if k > 1 and (
             self._needs_penalties(self.running_batch)
             or self._has_grammar(self.running_batch)
@@ -552,6 +555,25 @@ class Scheduler:
         if prefill_reqs:
             items = self.prepare_extend_items(prefill_reqs)
             if items:
+                if (
+                    self.server_args.enable_mixed_chunk
+                    and self.running_batch
+                    and self.spec is None
+                ):
+                    # mixed chunk-decode batch (reference
+                    # --enable-mixed-chunk): running decodes ride along as
+                    # single-token extend rows
+                    d_reqs, d_items = self.prepare_decode(force_k1=True)
+                    for req, it in zip(d_reqs, d_items):
+                        req._this_extend = 1  # type: ignore[attr-defined]
+                        req._mixed_decode = True  # type: ignore
+                        items.append(ExtendItem(
+                            input_ids=np.asarray([it.input_id], np.int32),
+                            prefix_len=it.seq_len - 1,
+                            slots=np.asarray([it.slots[0]], np.int32),
+                            pages=it.pages,
+                        ))
+                        prefill_reqs.append(req)
                 return self._launch_extend(prefill_reqs, items)
         if self.running_batch:
             if self.spec is not None:
@@ -720,10 +742,13 @@ class Scheduler:
             self.spec.forward_draft_extend(batch, sampling)
         this_extends = []
         sampled = []
+        mixed = []
         for i, req in enumerate(reqs):
             this_extends.append(req._this_extend)  # type: ignore
             req.num_computed_tokens += req._this_extend  # type: ignore
             sampled.append(not req.is_chunked)
+            mixed.append(getattr(req, "_mixed_decode", False))
+            req._mixed_decode = False  # type: ignore[attr-defined]
             if not req.is_chunked:
                 req.inflight += 1
                 req.last_future_slot = offset + i
@@ -734,6 +759,7 @@ class Scheduler:
             logprobs_dev=logprobs,
             this_extends=this_extends,
             sampled=sampled,
+            mixed_decode=mixed,
         )
 
     def _launch_decode(self, reqs, items) -> InFlightBatch:
@@ -836,9 +862,12 @@ class Scheduler:
                         self.running_batch.remove(req)
                     if req.inflight == 0:
                         self._finalize_req(req)
-                elif batch.mode == ForwardMode.EXTEND:
+                elif batch.mode == ForwardMode.EXTEND and not (
+                    batch.mixed_decode and batch.mixed_decode[i]
+                ):
                     # share the prompt KV immediately so parallel requests
-                    # reuse it (reference caches unfinished prefill)
+                    # reuse it (reference caches unfinished prefill);
+                    # mixed-decode rows skip the per-step tree insert
                     self._cache_computed_prefix(req, unfinished=True)
                     if req not in self.running_batch:
                         req.status = ReqStatus.RUNNING

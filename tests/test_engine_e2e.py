@@ -192,3 +192,36 @@ class TestMultiStepDecode:
             sampling_params={"max_new_tokens": 7, "temperature": 0.0},
         )
         assert all(len(o["output_ids"]) == 7 for o in outs)
+
+
+class TestMixedChunk:
+    def test_mixed_matches_unmixed(self):
+        """Mixed chunk-decode batches must not change greedy results
+        (reference --enable-mixed-chunk)."""
+        sp = {"max_new_tokens": 10, "temperature": 0.0}
+        long_p = [int(x) for x in
+                  np.random.RandomState(3).randint(0, 128, 60)]
+        short_p = [5, 9, 23]
+        base_e = tiny_engine(chunked_prefill_size=16)
+        base = base_e.generate(input_ids=[short_p, long_p],
+                               sampling_params=sp)
+        mix_e = tiny_engine(chunked_prefill_size=16,
+                            enable_mixed_chunk=True)
+        got = mix_e.generate(input_ids=[short_p, long_p],
+                             sampling_params=sp)
+        assert [o["output_ids"] for o in got] == [
+            o["output_ids"] for o in base]
+
+    def test_mixed_with_pressure(self):
+        e = tiny_engine(chunked_prefill_size=16, enable_mixed_chunk=True,
+                        max_total_tokens=512, max_running_requests=8)
+        prompts = [
+            [int(x) for x in
+             np.random.RandomState(70 + i).randint(0, 128, 20 + 5 * i)]
+            for i in range(6)
+        ]
+        outs = e.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 6, "temperature": 0.0},
+        )
+        assert all(len(o["output_ids"]) == 6 for o in outs)
