@@ -50,8 +50,36 @@ class HttpServer:
     def __init__(self, engine: AsyncEngine):
         self.engine = engine
         self.openai = OpenAIServing(engine)
-        self.app = web.Application(client_max_size=128 * 1024 * 1024)
+        middlewares = []
+        if engine.server_args.api_key:
+            middlewares.append(self._auth_middleware(
+                engine.server_args.api_key))
+        self.app = web.Application(
+            client_max_size=128 * 1024 * 1024, middlewares=middlewares
+        )
         self._add_routes()
+
+    @staticmethod
+    def _auth_middleware(api_key: str):
+        """Bearer-token auth on everything except /health (reference
+        --api-key behavior)."""
+
+        @web.middleware
+        async def auth(request: web.Request, handler):
+            if request.path in ("/health", "/metrics"):
+                return await handler(request)
+            header = request.headers.get("Authorization", "")
+            if header != f"Bearer {api_key}":
+                return web.json_response(
+                    ErrorResponse(
+                        message="Invalid API key",
+                        type="authentication_error", code=401,
+                    ).model_dump(),
+                    status=401,
+                )
+            return await handler(request)
+
+        return auth
 
     def _add_routes(self):
         r = self.app.router

@@ -74,3 +74,39 @@ class TestCLIs:
                  if x.startswith("{")]
         assert lines[0]["correct"] is True
         assert lines[1]["decode_tokens_per_sec"] > 0
+
+
+class TestApiKey:
+    def test_auth_enforced(self):
+        import httpx
+
+        from tests.server_utils import (
+            kill_server,
+            popen_launch_server,
+            write_tiny_tokenizer,
+        )
+
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        write_tiny_tokenizer(model_dir, 128)
+        proc, url = popen_launch_server(
+            model_dir, other_args=["--api-key", "secret-key"])
+        try:
+            assert httpx.get(url + "/health").status_code == 200
+            r = httpx.post(url + "/generate", json={
+                "input_ids": [1, 2, 3],
+                "sampling_params": {"max_new_tokens": 2}})
+            assert r.status_code == 401
+            r = httpx.post(url + "/generate", json={
+                "input_ids": [1, 2, 3],
+                "sampling_params": {"max_new_tokens": 2,
+                                    "temperature": 0.0}},
+                headers={"Authorization": "Bearer secret-key"},
+                timeout=300)
+            assert r.status_code == 200
+            assert len(r.json()["output_ids"]) == 2
+            # wrong key
+            r = httpx.get(url + "/get_server_info",
+                          headers={"Authorization": "Bearer nope"})
+            assert r.status_code == 401
+        finally:
+            kill_server(proc)
