@@ -74,19 +74,27 @@ class FakeKVSender(BaseKVSender):
 
 
 class HttpKVSender(BaseKVSender):
-    """Pushes the KV blob to the decode server over HTTP (TCP backend)."""
+    """Pushes the KV blob to the decode server over HTTP (TCP backend).
 
-    def __init__(self, decode_url: str, timeout: float = 120.0):
+    Internal PD requests carry the bearer token when --api-key is set
+    (the reference attaches Authorization to its own internal requests,
+    reference http_server.py:1082)."""
+
+    def __init__(self, decode_url: str, timeout: float = 120.0,
+                 api_key: Optional[str] = None):
         self.url = decode_url.rstrip("/") + "/pd/receive_kv"
         self.timeout = timeout
+        self.api_key = api_key
 
     def send(self, blob: bytes) -> KVPoll:
         import httpx
 
+        headers = {"Content-Type": "application/octet-stream"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
         try:
             r = httpx.post(
-                self.url, content=blob,
-                headers={"Content-Type": "application/octet-stream"},
+                self.url, content=blob, headers=headers,
                 timeout=self.timeout,
             )
             return KVPoll.Success if r.status_code == 200 else KVPoll.Failed

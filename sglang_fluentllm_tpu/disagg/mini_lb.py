@@ -29,9 +29,16 @@ logger = logging.getLogger(__name__)
 
 
 class MiniLoadBalancer:
-    def __init__(self, prefill_urls: List[str], decode_urls: List[str]):
+    def __init__(self, prefill_urls: List[str], decode_urls: List[str],
+                 api_key: str | None = None):
         self.prefill_urls = [u.rstrip("/") for u in prefill_urls]
         self.decode_urls = [u.rstrip("/") for u in decode_urls]
+        # internal requests to the servers carry the bearer token
+        # (reference attaches Authorization on internal calls,
+        # reference http_server.py:1082)
+        self.headers = (
+            {"Authorization": f"Bearer {api_key}"} if api_key else {}
+        )
         self._rr = itertools.count()
         self.app = web.Application()
         self.app.router.add_post("/generate", self.generate)
@@ -58,7 +65,7 @@ class MiniLoadBalancer:
         prefill_url, decode_url = self._pick()
         room = uuid.uuid4().hex
 
-        async with httpx.AsyncClient(timeout=600) as client:
+        async with httpx.AsyncClient(timeout=600, headers=self.headers) as client:
             r = await client.post(f"{decode_url}/pd/start", json={
                 "room": room, "input_ids": input_ids,
                 "sampling_params": sp,
@@ -94,10 +101,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--prefill", nargs="+", required=True)
     parser.add_argument("--decode", nargs="+", required=True)
+    parser.add_argument("--api-key", default=None)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     args = parser.parse_args(argv)
-    lb = MiniLoadBalancer(args.prefill, args.decode)
+    lb = MiniLoadBalancer(args.prefill, args.decode, api_key=args.api_key)
     web.run_app(lb.app, host=args.host, port=args.port, print=None)
 
 

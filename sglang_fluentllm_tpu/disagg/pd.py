@@ -91,7 +91,9 @@ class PDManager:
                 "start_page": dpl // ps,
                 "num_pages": num_pages,
             }
-            sender = HttpKVSender(decode_url)
+            sender = HttpKVSender(
+                decode_url, api_key=self.engine.server_args.api_key
+            )
             payload = serialize_kv(blob if blob is not None else (), meta)
             poll = await asyncio.get_running_loop().run_in_executor(
                 None, sender.send, payload
@@ -158,14 +160,36 @@ class PDManager:
                     pages = runner.allocator.alloc_pages(n)
                 if pages is None:
                     raise RuntimeError("no KV pages for PD transfer")
-                runner.insert_pages(pages, per_page)
-                end = (start_page + n) * ps
                 m = sched.tree_cache.match_prefix(
                     input_ids[: start_page * ps]
                 )
-                sched.tree_cache.insert(
+                if m.prefix_len < start_page * ps:
+                    # the cached prefix we advertised at /pd/start was
+                    # (partially) evicted between handshake and transfer;
+                    # keying the transferred pages after a shorter prefix
+                    # would attach them to the wrong token chunks — drop
+                    # the transfer and let the tail re-extend instead of
+                    # serving silently-corrupt KV
+                    runner.allocator.release_pages(list(pages))
+                    logger.warning(
+                        "pd room %s: decode prefix shrank (%d < %d); "
+                        "dropping %d transferred pages",
+                        room, m.prefix_len, start_page * ps, n,
+                    )
+                    return True
+                runner.insert_pages(pages, per_page)
+                end = (start_page + n) * ps
+                dup_tokens = sched.tree_cache.insert(
                     input_ids[:end], m.page_ids + list(pages)
                 )
+                # pages already present in the tree for the span we just
+                # inserted are duplicates of our freshly-allocated ones;
+                # free ours so they don't leak
+                n_dup_fresh = max(0, (dup_tokens - start_page * ps) // ps)
+                if n_dup_fresh > 0:
+                    runner.allocator.release_pages(
+                        list(pages[:n_dup_fresh])
+                    )
             return True
 
         ok, msg = await self.engine._run_rpc(_install)

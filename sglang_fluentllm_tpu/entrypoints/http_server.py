@@ -61,12 +61,13 @@ class HttpServer:
 
     @staticmethod
     def _auth_middleware(api_key: str):
-        """Bearer-token auth on everything except /health (reference
-        --api-key behavior)."""
+        """Bearer-token auth on everything except /health* (matches the
+        reference, which exempts any path starting with /health and keeps
+        /metrics behind the key)."""
 
         @web.middleware
         async def auth(request: web.Request, handler):
-            if request.path in ("/health", "/metrics"):
+            if request.path.startswith("/health"):
                 return await handler(request)
             header = request.headers.get("Authorization", "")
             if header != f"Bearer {api_key}":

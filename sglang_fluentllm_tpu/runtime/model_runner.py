@@ -387,7 +387,7 @@ class ModelRunner:
         self.step_counter += 1
         ints, floats, meta = pack_batch(batch, sampling)
         ints = np.concatenate(
-            [ints, [future_offset, self.step_counter]]
+            [ints, [future_offset % self.FUTURE_CAP, self.step_counter]]
         ).astype(np.int32)
         from sglang_fluentllm_tpu.runtime.forward_batch import ForwardMode
 
@@ -410,10 +410,15 @@ class ModelRunner:
         return ids, logprobs
 
     def claim_future_slots(self, n: int) -> int:
-        """Reserve n contiguous ring slots; returns the base offset."""
+        """Reserve n contiguous ring slots; returns a monotonically
+        increasing VIRTUAL base offset (physical slot = virtual % cap).
+        Virtual ids never repeat, so slot identity comparisons at resolve
+        time are exact even after the physical ring wraps."""
         cap = self.FUTURE_CAP
-        if self._future_ct + n > cap:
-            self._future_ct = 0
+        phys = self._future_ct % cap
+        if phys + n > cap:
+            # keep the physical range contiguous: skip to the wrap boundary
+            self._future_ct += cap - phys
         base = self._future_ct
         self._future_ct += n
         return base

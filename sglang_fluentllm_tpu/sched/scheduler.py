@@ -69,6 +69,7 @@ class InFlightBatch:
     seq: int = 0                     # launch sequence number
     counts_dev: Any = None           # spec decode: accept counts [B]
     mixed_decode: Optional[List[bool]] = None  # rows that are decode steps
+    future_offset: Optional[int] = None  # ring base this launch wrote
 
 
 # Max launched-but-unresolved batches. Depth 1 would idle the device during
@@ -365,7 +366,11 @@ class Scheduler:
                 continue
             req.alloced_len = total - 1 + k
             if req.last_future_slot is not None:
-                input_id = -(req.last_future_slot + 1)
+                # last_future_slot is a virtual (unwrapped) ring id; the
+                # device reads physical slot (virtual % cap)
+                input_id = -(
+                    req.last_future_slot % self.runner.FUTURE_CAP + 1
+                )
             else:
                 input_id = req.output_ids[-1]
             items.append(
@@ -490,7 +495,13 @@ class Scheduler:
         # while constrained requests are active (reference computes masks
         # one step behind with a 1-deep overlap, SURVEY B.8)
         max_inflight = self.max_inflight
-        if self._has_grammar(self.running_batch):
+        if self._has_grammar(self.running_batch) or self._needs_penalties(
+            self.running_batch
+        ):
+            # penalty state is built from resolved output_ids; running with
+            # a deep pipeline would lag the repetition window by up to
+            # depth-1 sampled-but-unresolved tokens (reference overlap lags
+            # exactly 1) — clamp to the reference's behavior
             max_inflight = 1
         self.max_inflight, saved = max_inflight, self.max_inflight
         try:
@@ -760,6 +771,7 @@ class Scheduler:
             this_extends=this_extends,
             sampled=sampled,
             mixed_decode=mixed,
+            future_offset=offset,
         )
 
     def _launch_decode(self, reqs, items) -> InFlightBatch:
@@ -781,6 +793,7 @@ class Scheduler:
             ids_dev=ids,
             logprobs_dev=logprobs,
             this_extends=[k] * len(reqs),
+            future_offset=offset,
         )
 
     # ------------------------------------------------------------------
@@ -809,6 +822,15 @@ class Scheduler:
         multi = is_decode and ids.ndim == 2  # [k, B] fused decode window
         outputs: List[StepOutput] = []
         for i, req in enumerate(batch.reqs):
+            # the ring slot this launch wrote is now resolved on host; if it
+            # is still the request's newest slot, fall back to output_ids so
+            # a long-parked request (retraction, skipped steps) can never
+            # read an overwritten slot after a full ring cycle
+            if (
+                batch.future_offset is not None
+                and req.last_future_slot == batch.future_offset + i
+            ):
+                req.last_future_slot = None
             if batch.sampled is not None and not batch.sampled[i]:
                 # mid-chunk: no token sampled; publish prefix into the tree
                 self._cache_computed_prefix(req, unfinished=True)
