@@ -178,6 +178,15 @@ class Engine:
                     req.output_token_logprobs, req.output_ids
                 )
             ]
+            if req.sampling_params.top_logprobs_num > 0:
+                meta["output_top_logprobs"] = list(req.output_top_logprobs)
+            if req.sampling_params.logprob_start_len >= 0:
+                start = req.sampling_params.logprob_start_len
+                meta["input_token_logprobs"] = [
+                    (lp, tid) for lp, tid in zip(
+                        req.input_token_logprobs, req.origin_input_ids
+                    )
+                ][start:]
         return {
             "text": text,
             "output_ids": list(req.output_ids),

@@ -415,6 +415,10 @@ class AsyncEngine:
                 (lp, tid)
                 for lp, tid in zip(out.output_token_logprobs, out.output_ids)
             ]
+        if out.output_top_logprobs is not None:
+            meta["output_top_logprobs"] = out.output_top_logprobs
+        if out.input_token_logprobs is not None:
+            meta["input_token_logprobs"] = out.input_token_logprobs
         return {
             "text": st.text,
             "delta_text": delta_text,

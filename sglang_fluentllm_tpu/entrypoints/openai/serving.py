@@ -273,12 +273,17 @@ class OpenAIServing:
         if lps is None:
             return None
         tok = self.engine.tokenizer
-        return {
-            "content": [
-                {
-                    "token": tok.decode([tid]) if tok else str(tid),
-                    "logprob": lp,
-                }
-                for lp, tid in lps
-            ]
-        }
+
+        def _tok(tid):
+            return tok.decode([tid]) if tok else str(tid)
+
+        tops = meta.get("output_top_logprobs")
+        content = []
+        for i, (lp, tid) in enumerate(lps):
+            entry = {"token": _tok(tid), "logprob": lp}
+            if tops is not None and i < len(tops):
+                entry["top_logprobs"] = [
+                    {"token": _tok(t), "logprob": v} for v, t in tops[i]
+                ]
+            content.append(entry)
+        return {"content": content}

@@ -48,9 +48,24 @@ class MLAKVCache:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MLAKVCacheFP8:
-    ckv: jax.Array    # [L, slots, kv_lora_rank] float8_e4m3fn
-    scale: jax.Array  # [L, slots, 1] float32 (per-token dequant scale)
-    krope: jax.Array  # [L, slots, qk_rope_head_dim] bfloat16
+    """SnapMLA-style FP8 per-token KV (reference triple layout contract,
+    ``memory_pool.py:635-649``: fp8 ckv + f32 scale + bf16 rope), packed
+    for TPU DMA lane rules (trailing dims must be 128-multiples, so a
+    ``[slots, 1]`` f32 scale array cannot be streamed):
+
+    - ``ckv``: fp8 compressed latents, unchanged;
+    - ``tail``: one lane-aligned bf16 row per token holding
+      ``[rope(0:dr) | scale_hi(dr) | scale_lo(dr+1) | 0-pad]`` where
+      ``scale_hi + scale_lo`` reconstructs the f32 per-token dequant scale
+      to ~16 mantissa bits (two-bf16 split, lossless in practice).
+    """
+
+    ckv: jax.Array   # [L, slots, kv_lora_rank] float8_e4m3fn
+    tail: jax.Array  # [L, slots, tail_pad] bfloat16 (rope | scale hi/lo)
+
+
+def fp8_tail_dim(qk_rope_head_dim: int) -> int:
+    return padded_head_dim(qk_rope_head_dim + 2)
 
 
 KVCache = MHAKVCache | MLAKVCache | MLAKVCacheFP8
@@ -77,9 +92,10 @@ def create_kv_cache(
             return MLAKVCacheFP8(
                 ckv=jnp.zeros((L, num_slots, config.kv_lora_rank),
                               dtype=jnp.float8_e4m3fn),
-                scale=jnp.ones((L, num_slots, 1), dtype=jnp.float32),
-                krope=jnp.zeros((L, num_slots, config.qk_rope_head_dim),
-                                dtype=jnp.bfloat16),
+                tail=jnp.zeros(
+                    (L, num_slots, fp8_tail_dim(config.qk_rope_head_dim)),
+                    dtype=jnp.bfloat16,
+                ),
             )
         r_pad = padded_head_dim(config.kv_lora_rank)
         rope_pad = padded_head_dim(config.qk_rope_head_dim)
@@ -135,15 +151,31 @@ def mla_write_fp8(cache: MLAKVCacheFP8, layer_id: int, loc: jax.Array,
                   ckv: jax.Array, krope: jax.Array) -> MLAKVCacheFP8:
     """Per-token quantize-on-write (SnapMLA-style, reference
     flashmla fp8 per-token KV — ``flashmla_backend.py:127``)."""
+    T = ckv.shape[0]
+    dr = krope.shape[-1]
     amax = jnp.max(jnp.abs(ckv.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax / FP8_MAX, 1e-8)
+    scale = jnp.maximum(amax / FP8_MAX, 1e-8)          # [T, 1] f32
     q = (ckv.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    hi = scale.astype(jnp.bfloat16)
+    lo = (scale - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tail = jnp.zeros((T, cache.tail.shape[-1]), cache.tail.dtype)
+    tail = tail.at[:, :dr].set(krope.astype(cache.tail.dtype))
+    tail = tail.at[:, dr].set(hi[:, 0])
+    tail = tail.at[:, dr + 1].set(lo[:, 0])
     return MLAKVCacheFP8(
         ckv=cache.ckv.at[layer_id, loc].set(q),
-        scale=cache.scale.at[layer_id, loc].set(scale),
-        krope=cache.krope.at[layer_id, loc].set(
-            krope.astype(cache.krope.dtype)),
+        tail=cache.tail.at[layer_id, loc].set(tail),
     )
+
+
+def fp8_tail_unpack(tail: jax.Array, dr: int):
+    """tail [..., tail_pad] -> (krope [..., dr] bf16, scale [..., 1] f32)."""
+    krope = tail[..., :dr]
+    scale = (
+        tail[..., dr].astype(jnp.float32)
+        + tail[..., dr + 1].astype(jnp.float32)
+    )
+    return krope, scale[..., None]
 
 
 # ----------------------------------------------------------------------
@@ -161,8 +193,7 @@ def kv_cell_bytes_per_token(
     if config.is_mla:
         if kv_cache_dtype in ("fp8_e4m3", "fp8"):
             return L * (config.kv_lora_rank * 1
-                        + 4
-                        + config.qk_rope_head_dim * 2)
+                        + fp8_tail_dim(config.qk_rope_head_dim) * 2)
         return L * (
             padded_head_dim(config.kv_lora_rank)
             + padded_head_dim(config.qk_rope_head_dim)

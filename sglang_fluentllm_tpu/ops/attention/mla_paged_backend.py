@@ -1,17 +1,21 @@
-"""MLA paged decode via the pipelined paged-attention kernel.
+"""MLA paged decode via the multi-row Pallas MLA kernels.
 
 The flashmla-analog production path (reference ``flashmla_backend.py``):
 absorbed MLA decode is exactly MQA over the compressed latents —
 
     q_eff  = [q_nope @ W_kc  |  q_pe]            # [B, Hq, r + dr]
     scores = q_eff . lat                          # lat = [ckv | k_pe]
-    ctx    = softmax(scores) . lat[:, :r]         # latent context
+    ctx    = softmax(scores) . ckv                # latent context
     out    = ctx @ W_vc
 
-so the combined lane-padded latent cache ([L, slots, r_pad + rope_pad],
-mem/kv_cache.py) feeds the same pipelined paged kernel used for MHA with
-num_kv_heads=1, head_dim = r_pad + rope_pad, and V = K (the value product
-over the rope tail is sliced away, leaving probs @ ckv).
+Decode dispatch:
+- bf16 combined-latent cache -> ``mla_decode_multirow``;
+- FP8 per-token cache (SnapMLA, reference ``flashmla_backend.py:127``
+  ``flash_mla_ckv_fp8_per_token``) -> ``mla_decode_multirow_fp8`` with the
+  per-token dequant fused into the kernel's K/V load.
+
+Prefill falls back to the reference jnp paths (see the ragged Pallas
+prefill kernel for the extend-side story).
 """
 
 from __future__ import annotations
@@ -21,7 +25,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from sglang_fluentllm_tpu.mem.kv_cache import padded_head_dim
+from sglang_fluentllm_tpu.mem.kv_cache import (
+    MLAKVCache,
+    MLAKVCacheFP8,
+    mla_write,
+    mla_write_fp8,
+    padded_head_dim,
+)
 from sglang_fluentllm_tpu.ops.attention.ref_backend import RefMLABackend
 
 
@@ -30,12 +40,8 @@ class MLAPagedBackend(RefMLABackend):
 
     def __call__(self, kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
                  batch, w_kc, w_vc, sm_scale) -> Tuple[jax.Array, object]:
-        from sglang_fluentllm_tpu.mem.kv_cache import MLAKVCache, mla_write
-
-        if not batch.mode.is_decode() or not isinstance(
-            kv_cache, MLAKVCache
-        ):
-            # prefill / fp8 fall back to the reference paths
+        if not batch.mode.is_decode():
+            # prefill falls back to the reference paths
             return super().__call__(
                 kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
                 batch, w_kc, w_vc, sm_scale,
@@ -44,43 +50,55 @@ class MLAPagedBackend(RefMLABackend):
         assert S == 1
         r = ckv_new.shape[-1]
         dr = kpe_new.shape[-1]
-        r_pad = padded_head_dim(r)
         loc = batch.out_cache_loc.reshape(-1)
-        kv_cache = mla_write(
-            kv_cache, layer_id, loc,
-            ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
-        )
 
-        # absorbed query in the padded latent basis
+        # absorbed query in the latent basis
         q_abs = jnp.einsum(
             "bhd,hrd->bhr", q_nope[:, 0].astype(jnp.float32),
             w_kc.astype(jnp.float32),
         )
-        D = kv_cache.lat.shape[-1]
-        q = jnp.zeros((B, H, D), jnp.float32)
-        q = q.at[..., :r].set(q_abs)
-        q = q.at[..., r_pad : r_pad + dr].set(
-            q_pe[:, 0].astype(jnp.float32)
-        )
-        q = (q * sm_scale).astype(kv_cache.lat.dtype)
 
-        from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention,
-        )
+        if isinstance(kv_cache, MLAKVCacheFP8):
+            kv_cache = mla_write_fp8(
+                kv_cache, layer_id, loc,
+                ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
+            )
+            from sglang_fluentllm_tpu.ops.attention.pallas_mla_decode import (
+                mla_decode_multirow_fp8,
+            )
 
-        ps = batch.page_size
-        pages = kv_cache.lat[layer_id].reshape(1, -1, ps, D)
-        ppcb = 8
-        P = batch.page_tables.shape[1]
-        P_pad = -(-P // ppcb) * ppcb
-        pt = batch.page_tables
-        if P_pad != P:
-            pt = jnp.pad(pt, ((0, 0), (0, P_pad - P)))
-        lengths = jnp.maximum(batch.seq_lens, 1)
-        ctx = paged_attention(
-            q, pages, pages, lengths, pt,
-            pages_per_compute_block=min(ppcb, P_pad),
-        )                                     # [B, H, D]; V == K
-        ctx = ctx[..., :r].astype(jnp.float32)  # probs @ ckv
+            tail_pad = kv_cache.tail.shape[-1]
+            q = jnp.zeros((B, H, r + tail_pad), jnp.float32)
+            q = q.at[..., :r].set(q_abs)
+            q = q.at[..., r : r + dr].set(q_pe[:, 0].astype(jnp.float32))
+            ctx = mla_decode_multirow_fp8(
+                q, kv_cache.ckv, kv_cache.tail, layer_id,
+                batch.page_tables, batch.seq_lens,
+                page_size=batch.page_size, sm_scale=sm_scale, rope_dr=dr,
+            )
+        else:
+            assert isinstance(kv_cache, MLAKVCache)
+            kv_cache = mla_write(
+                kv_cache, layer_id, loc,
+                ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
+            )
+            from sglang_fluentllm_tpu.ops.attention.pallas_mla_decode import (
+                mla_decode_multirow,
+            )
+
+            r_pad = padded_head_dim(r)
+            Dl = kv_cache.lat.shape[-1]
+            q = jnp.zeros((B, H, Dl), jnp.float32)
+            q = q.at[..., :r].set(q_abs)
+            q = q.at[..., r_pad : r_pad + dr].set(
+                q_pe[:, 0].astype(jnp.float32)
+            )
+            ctx = mla_decode_multirow(
+                q, kv_cache.lat, layer_id,
+                batch.page_tables, batch.seq_lens,
+                page_size=batch.page_size, sm_scale=sm_scale, r_dim=r_pad,
+            )[..., :r]
+
+        ctx = ctx.astype(jnp.float32)[..., :r]
         out = jnp.einsum("bhr,hrd->bhd", ctx, w_vc.astype(jnp.float32))
         return out[:, None].astype(q_nope.dtype), kv_cache

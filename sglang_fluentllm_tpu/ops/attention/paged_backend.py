@@ -49,28 +49,19 @@ class PagedAttentionBackend(RefAttentionBackend):
             k_new.reshape(B, Hk, D), v_new.reshape(B, Hk, D),
         )
         Dp = kv_cache.k.shape[-1]
-        q2 = (q[:, 0] * sm_scale).astype(q.dtype)
+        q2 = q[:, 0]
         if Dp != D:
             q2 = jnp.pad(q2, ((0, 0), (0, 0), (0, Dp - D)))
 
-        from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention,
+        from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+            paged_decode_multirow,
         )
 
-        ps = batch.page_size
-        k_pages = kv_cache.k[layer_id].reshape(Hk, -1, ps, Dp)
-        v_pages = kv_cache.v[layer_id].reshape(Hk, -1, ps, Dp)
-        # pages_per_sequence must divide pages_per_compute_block
-        ppcb = 8
-        P = batch.page_tables.shape[1]
-        P_pad = -(-P // ppcb) * ppcb
-        pt = batch.page_tables
-        if P_pad != P:
-            pt = jnp.pad(pt, ((0, 0), (0, P_pad - P)))
-        lengths = jnp.maximum(batch.seq_lens, 1)  # padded rows read page 0
-        out = paged_attention(
-            q2, k_pages, v_pages, lengths, pt,
-            pages_per_compute_block=min(ppcb, P_pad),
-            attn_logits_soft_cap=logit_cap if logit_cap > 0 else None,
+        # stacked-cache call: no per-layer dynamic-slice copy of the pool
+        out = paged_decode_multirow(
+            q2, kv_cache.k, kv_cache.v, layer_id,
+            batch.page_tables, batch.seq_lens,
+            page_size=batch.page_size, sm_scale=sm_scale,
+            logit_cap=logit_cap,
         )
         return out[:, None, :, :D], kv_cache

@@ -1,0 +1,318 @@
+"""Multi-row pipelined Pallas paged decode attention (MHA/GQA).
+
+Second-generation decode kernel (replaces the per-(row, head) grid of
+``pallas_decode.py`` and the stock ``jax.experimental`` paged kernel, whose
+~100 us/call floors dominate short-context decode — reference role:
+``layers/attention/flashinfer_backend.py`` decode path).
+
+Design points that remove the per-call floor:
+
+- **Row blocks**: one grid cell owns ``rows`` batch rows and all kv heads,
+  cutting grid cells ~16x; the DMA for work item t+1 overlaps compute for
+  work item t (double-buffered across the flattened (row, chunk) sequence).
+- **Stacked-layer input**: takes the whole ``[L, Hk, slots, D]`` cache plus
+  the layer index as a scalar, so calling it inside the layer ``lax.scan``
+  does NOT materialize a per-layer dynamic-slice copy of the pool.
+- **Page-run coalescing**: pages of a chunk that are physically consecutive
+  (the common case — the allocator hands out sequential pages) are fetched
+  with ONE strided DMA per (head, k/v) instead of per-page DMAs; scattered
+  chunks fall back to per-page DMAs. The fast path may over-read up to one
+  chunk past the last valid page, so the pool keeps ``RUN_SLACK_PAGES``
+  spare pages at its end (see ``runtime/model_runner.py`` pool sizing).
+
+Contract matches ``pallas_decode.paged_decode_attention``: page 0 is
+padding, ``page_tables`` padded with 0, rows with ``seq_len == 0`` output 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# spare pages kept at the END of the KV pool so the run fast-path may
+# over-read up to one chunk past the last valid page
+RUN_SLACK_PAGES = 16
+
+G_PAD = 8  # query-group dim padded to one f32 sublane tile
+
+
+def _mr_kernel(
+    # scalar prefetch
+    layer_ref,         # [1] int32
+    page_tables_ref,   # [B, P] int32 (SMEM)
+    seq_lens_ref,      # [B] int32 (SMEM)
+    # inputs
+    q_ref,             # [rows, Hk, G_PAD, D] VMEM (scaled)
+    k_hbm,             # [L, Hk, slots, D] HBM
+    v_hbm,             # [L, Hk, slots, D] HBM
+    # outputs
+    o_ref,             # [rows, Hk, G_PAD, D] VMEM
+    # scratch
+    k_buf,             # [2, Hk, chunk_t, D] VMEM
+    v_buf,             # [2, Hk, chunk_t, D] VMEM
+    acc_ref,           # [Hk, G_PAD, D] VMEM f32
+    m_ref,             # [Hk, G_PAD, 128] VMEM f32
+    l_ref,             # [Hk, G_PAD, 128] VMEM f32
+    sem,               # DMA sems [2, 2]
+    *,
+    rows: int,
+    page_size: int,
+    pages_per_chunk: int,
+    max_chunks: int,
+    num_kv_heads: int,
+    logit_cap: float,
+):
+    blk = pl.program_id(0)
+    layer = layer_ref[0]
+    ps = page_size
+    ppc = pages_per_chunk
+    chunk_t = ppc * ps
+    Hk = num_kv_heads
+    n_work = rows * max_chunks
+
+    def row_of(t):
+        return blk * rows + t // max_chunks
+
+    def chunk_of(t):
+        return t % max_chunks
+
+    def chunk_is_run(b, c):
+        """True iff every page the chunk actually needs is consecutive."""
+        n_pages = pl.cdiv(seq_lens_ref[b], ps)
+        base = c * ppc
+        ok = jnp.bool_(True)
+        for i in range(1, ppc):
+            needed = base + i < n_pages
+            consec = (
+                page_tables_ref[b, base + i]
+                == page_tables_ref[b, base] + i
+            )
+            ok = ok & (consec | ~needed)
+        return ok
+
+    def dmas(slot, t):
+        """DMA descriptors for flat work item t. Start and wait rebuild the
+        same predicated list, so semaphore counts always match."""
+        b = row_of(t)
+        c = chunk_of(t)
+        run = chunk_is_run(b, c)
+        first = page_tables_ref[b, c * ppc]
+        out = []
+        for h in range(Hk):
+            out.append((run, pltpu.make_async_copy(
+                k_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
+                k_buf.at[slot, h], sem.at[slot, 0],
+            )))
+            out.append((run, pltpu.make_async_copy(
+                v_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
+                v_buf.at[slot, h], sem.at[slot, 1],
+            )))
+            for i in range(ppc):
+                page = page_tables_ref[b, c * ppc + i]
+                out.append((~run, pltpu.make_async_copy(
+                    k_hbm.at[layer, h, pl.ds(page * ps, ps), :],
+                    k_buf.at[slot, h, pl.ds(i * ps, ps), :],
+                    sem.at[slot, 0],
+                )))
+                out.append((~run, pltpu.make_async_copy(
+                    v_hbm.at[layer, h, pl.ds(page * ps, ps), :],
+                    v_buf.at[slot, h, pl.ds(i * ps, ps), :],
+                    sem.at[slot, 1],
+                )))
+        return out
+
+    def start(slot, t):
+        for cond, dma in dmas(slot, t):
+            @pl.when(cond)
+            def _():
+                dma.start()
+
+    def wait(slot, t):
+        for cond, dma in dmas(slot, t):
+            @pl.when(cond)
+            def _():
+                dma.wait()
+
+    def valid(t):
+        # t is clamped by callers so row_of(t) stays in range
+        b = row_of(t)
+        nc = pl.cdiv(seq_lens_ref[b], chunk_t)
+        return chunk_of(t) < nc
+
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(valid(0))
+    def _():
+        start(0, 0)
+
+    def body(t, carry):
+        b = row_of(t)
+        c = chunk_of(t)
+        nc = pl.cdiv(seq_lens_ref[b], chunk_t)
+        slot = jax.lax.rem(t, 2)
+
+        t_next = jnp.minimum(t + 1, n_work - 1)
+
+        @pl.when((t + 1 < n_work) & valid(t_next))
+        def _():
+            start(jax.lax.rem(t + 1, 2), t_next)
+
+        @pl.when(valid(t))
+        def _():
+            wait(slot, t)
+
+            @pl.when(c == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+                m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+                l_ref[:] = jnp.zeros_like(l_ref)
+
+            seq_len = seq_lens_ref[b]
+            r = t // max_chunks  # row within the block
+            col = (
+                c * chunk_t
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (G_PAD, chunk_t), 1
+                )
+            )
+            for h in range(Hk):
+                k = k_buf[slot, h]                 # [chunk_t, D]
+                v = v_buf[slot, h]
+                qh = q_ref[r, h]                   # [G_PAD, D]
+                s = jax.lax.dot_general(
+                    qh, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                  # [G_PAD, chunk_t]
+                if logit_cap > 0:
+                    s = logit_cap * jnp.tanh(s / logit_cap)
+                s = jnp.where(col < seq_len, s, NEG_INF)
+                m_prev = m_ref[h, :, :1]
+                l_prev = l_ref[h, :, :1]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(s, axis=1, keepdims=True)
+                )
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+                acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+                l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+
+            @pl.when(c == nc - 1)
+            def _():
+                for h in range(Hk):
+                    l = l_ref[h, :, :1]
+                    o_ref[r, h] = (
+                        acc_ref[h] / jnp.maximum(l, 1e-20)
+                    ).astype(o_ref.dtype)
+
+        return carry
+
+    jax.lax.fori_loop(0, n_work, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "sm_scale", "logit_cap", "pages_per_chunk", "rows"
+    ),
+)
+def paged_decode_multirow(
+    q: jax.Array,            # [B, Hq, D] (unscaled)
+    k_cache: jax.Array,      # [L, Hk, slots, D] (stacked layers)
+    v_cache: jax.Array,      # [L, Hk, slots, D]
+    layer_id: jax.Array,     # scalar int32
+    page_tables: jax.Array,  # [B, P] int32
+    seq_lens: jax.Array,     # [B] int32
+    *,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: float = 0.0,
+    pages_per_chunk: int = 0,
+    rows: int = 8,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    Hk = k_cache.shape[1]
+    G = Hq // Hk
+    assert G <= G_PAD, f"q-group {G} > {G_PAD}: raise G_PAD"
+    P = page_tables.shape[1]
+    if pages_per_chunk <= 0:
+        pages_per_chunk = max(1, min(P, 512 // page_size))
+    P_pad = math.ceil(P / pages_per_chunk) * pages_per_chunk
+    if P_pad != P:
+        page_tables = jnp.pad(page_tables, ((0, 0), (0, P_pad - P)))
+    max_chunks = P_pad // pages_per_chunk
+    rows = max(1, min(rows, B))
+    B_pad = math.ceil(B / rows) * rows
+    if B_pad != B:
+        q = jnp.pad(q, ((0, B_pad - B), (0, 0), (0, 0)))
+        page_tables = jnp.pad(page_tables, ((0, B_pad - B), (0, 0)))
+        seq_lens = jnp.pad(seq_lens, (0, B_pad - B))
+
+    layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qs = qs.reshape(B_pad, Hk, G, D)
+    if G != G_PAD:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, G_PAD - G), (0, 0)))
+
+    chunk_t = pages_per_chunk * page_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B_pad // rows,),
+        in_specs=[
+            pl.BlockSpec(
+                (rows, Hk, G_PAD, D), lambda blk, *_: (blk, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, Hk, G_PAD, D), lambda blk, *_: (blk, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hk, chunk_t, D), k_cache.dtype),
+            pltpu.VMEM((2, Hk, chunk_t, D), v_cache.dtype),
+            pltpu.VMEM((Hk, G_PAD, D), jnp.float32),
+            pltpu.VMEM((Hk, G_PAD, 128), jnp.float32),
+            pltpu.VMEM((Hk, G_PAD, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _mr_kernel,
+        rows=rows,
+        page_size=page_size,
+        pages_per_chunk=pages_per_chunk,
+        max_chunks=max_chunks,
+        num_kv_heads=Hk,
+        logit_cap=logit_cap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B_pad, Hk, G_PAD, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_pad * Hq * D * P_pad * page_size * 2,
+            bytes_accessed=(
+                B_pad * Hk * P_pad * page_size * D * 2
+                * k_cache.dtype.itemsize
+            ),
+            transcendentals=B_pad * Hq * P_pad * page_size,
+        ),
+    )(layer_id, page_tables, seq_lens, qs, k_cache, v_cache)
+    return out[:B, :, :G, :].reshape(B, Hq, D)

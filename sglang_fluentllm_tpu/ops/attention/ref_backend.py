@@ -183,12 +183,13 @@ class RefMLABackend:
                 ckv_new.reshape(B * S, r),
                 kpe_new.reshape(B * S, -1),
             )
+            from sglang_fluentllm_tpu.mem.kv_cache import fp8_tail_unpack
+
             ckv = page_gather(kv_cache.ckv[layer_id], batch.page_tables,
                               batch.page_size)      # [B, T, r] fp8
-            kpe = page_gather(kv_cache.krope[layer_id], batch.page_tables,
-                              batch.page_size)      # [B, T, dr]
-            scale = page_gather(kv_cache.scale[layer_id], batch.page_tables,
-                                batch.page_size)    # [B, T, 1]
+            tail = page_gather(kv_cache.tail[layer_id], batch.page_tables,
+                               batch.page_size)     # [B, T, tail_pad]
+            kpe, scale = fp8_tail_unpack(tail, dr)  # [B,T,dr], [B,T,1]
             ckv = ckv.astype(jnp.float32) * scale
         else:
             kv_cache = mla_write(

@@ -147,8 +147,29 @@ def fp8_block_matmul(
     return out[:M]
 
 
+def _kernel_ok(w8: jax.Array) -> bool:
+    K, N = w8.shape[-2], w8.shape[-1]
+    return K % BLOCK == 0 and N % BLOCK == 0
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
-    """Dispatch: plain array or QuantizedWeight (models call this)."""
+    """Dispatch: plain array or QuantizedWeight (models call this).
+
+    On TPU, quantized weights go through the Pallas block-dequant GEMM
+    (DeepGEMM analog, reference ``layers/dense/gemms/fp8/fp8_kernel.py``)
+    so FP8 weights halve HBM traffic in the production forward; the jnp
+    dequant path serves CPU tests and non-128-aligned shapes."""
     if isinstance(w, QuantizedWeight):
+        if jax.default_backend() == "tpu" and _kernel_ok(w.w8):
+            lead = x.shape[:-1]
+            K = x.shape[-1]
+            x2 = x.reshape(-1, K)
+            M = x2.shape[0]
+            if M >= 128:
+                block_m = 128
+            else:
+                block_m = max(16, 1 << (M - 1).bit_length())
+            out = fp8_block_matmul(x2, w.w8, w.scale, block_m=block_m)
+            return out.reshape(*lead, w.w8.shape[-1])
         return fp8_matmul_ref(x, w).astype(x.dtype)
     return x @ w

@@ -47,6 +47,16 @@ class SamplingMetadata:
     all_greedy: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # top-k logprobs requested for this batch (0 = off; bucketed by the
+    # scheduler to bound trace count) — reference convert_logprob_style
+    # (tokenizer_manager.py:905) consumes these
+    top_logprobs_num: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    # compute per-position input-token logprobs during extend
+    return_input_logprob: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @staticmethod
     def from_lists(temps, top_ps, top_ks, min_ps, pad_to: int):
@@ -189,3 +199,12 @@ def compute_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
     """Log P(token) per row; logits [B, V], token_ids [B] -> [B]."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return jnp.take_along_axis(logp, token_ids[:, None], axis=-1)[:, 0]
+
+
+def compute_top_logprobs(logits: jax.Array, k: int):
+    """Top-k logprobs of the raw distribution; [B, V] -> ([B,k] f32,
+    [B,k] i32). Reference: logprob assembly in
+    scheduler_post_process_mixin / convert_logprob_style."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(logp, k)
+    return vals, ids.astype(jnp.int32)

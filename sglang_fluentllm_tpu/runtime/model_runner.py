@@ -38,6 +38,7 @@ from sglang_fluentllm_tpu.ops.attention.ref_backend import (
 from sglang_fluentllm_tpu.ops.sampler import (
     SamplingMetadata,
     compute_logprobs,
+    compute_top_logprobs,
     sample,
 )
 from sglang_fluentllm_tpu.runtime.batch_builder import BatchBuilder
@@ -218,7 +219,13 @@ class ModelRunner:
                 np.clip(self.max_total_tokens // 2048, 32, 4096)
             )
 
-        num_slots = (num_pages + 1) * sa.page_size
+        # +RUN_SLACK_PAGES: the multirow decode kernel's coalesced-run DMA
+        # may over-read up to one chunk past the last valid page
+        from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+            RUN_SLACK_PAGES,
+        )
+
+        num_slots = (num_pages + 1 + RUN_SLACK_PAGES) * sa.page_size
         kv_cache = create_kv_cache(
             mc, num_slots, dtype=self.dtype, kv_cache_dtype=sa.kv_cache_dtype
         )
@@ -294,10 +301,51 @@ class ModelRunner:
             logits = model.compute_logits(params, h_last)
             ids = sample(logits, sampling, key)
             logprobs = compute_logprobs(logits, ids)
+            if meta.topk > 0:
+                tk_vals, tk_ids = compute_top_logprobs(logits, meta.topk)
+            else:
+                tk_vals = tk_ids = jnp.zeros((0,), jnp.float32)
+            if meta.inp_lp and meta.S > 1:
+                inp_lp = _input_logprobs(
+                    params, h, batch.input_ids
+                )                        # [B, S] (position s -> P(tok s+1))
+            else:
+                inp_lp = jnp.zeros((0,), jnp.float32)
             future_map = jax.lax.dynamic_update_slice(
                 future_map, ids, (write_offset,)
             )
-            return kv_cache, future_map, ids, logprobs
+            return (kv_cache, future_map, ids, logprobs,
+                    (tk_vals, tk_ids, inp_lp))
+
+        def _input_logprobs(params, h, input_ids):
+            """Per-position logprobs of the actual next input token,
+            computed in row chunks so [T, V] logits never materialize
+            (reference input_token_logprobs assembly,
+            scheduler_post_process_mixin.py logprob path)."""
+            B, S, Hd = h.shape
+            hs = h.reshape(B * S, Hd)
+            # target of position (i, s) is input_ids[i, s+1]; the final
+            # position's logprob is the sampled token's (already returned)
+            tgt = jnp.concatenate(
+                [input_ids[:, 1:],
+                 jnp.zeros((B, 1), jnp.int32)], axis=1
+            ).reshape(B * S)
+            CH = 512
+            T = B * S
+            Tp = -(-T // CH) * CH
+            hs = jnp.pad(hs, ((0, Tp - T), (0, 0)))
+            tgt = jnp.pad(tgt, (0, Tp - T))
+
+            def f(args):
+                hc, tc = args
+                lg = model.compute_logits(params, hc)
+                lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+                return jnp.take_along_axis(lp, tc[:, None], axis=-1)[:, 0]
+
+            out = jax.lax.map(
+                f, (hs.reshape(-1, CH, Hd), tgt.reshape(-1, CH))
+            )
+            return out.reshape(Tp)[:T].reshape(B, S)
 
         self._step = jax.jit(
             step_fn, donate_argnums=(1, 2), static_argnums=(5,)
@@ -335,16 +383,24 @@ class ModelRunner:
                     logits, sampling, jax.random.fold_in(key0, j)
                 )
                 logprobs = compute_logprobs(logits, new_ids)
-                return (kv_cache, new_ids), (new_ids, logprobs)
+                if meta.topk > 0:
+                    tk = compute_top_logprobs(logits, meta.topk)
+                else:
+                    tk = (jnp.zeros((0,), jnp.float32),
+                          jnp.zeros((0,), jnp.float32))
+                return (kv_cache, new_ids), (new_ids, logprobs, tk)
 
-            (kv_cache, last_ids), (all_ids, all_logprobs) = jax.lax.scan(
-                one_step, (kv_cache, first_ids),
-                jnp.arange(k_steps, dtype=jnp.int32),
+            (kv_cache, last_ids), (all_ids, all_logprobs, all_tk) = (
+                jax.lax.scan(
+                    one_step, (kv_cache, first_ids),
+                    jnp.arange(k_steps, dtype=jnp.int32),
+                )
             )
             future_map = jax.lax.dynamic_update_slice(
                 future_map, last_ids, (write_offset,)
             )
-            return kv_cache, future_map, all_ids, all_logprobs
+            extras = (all_tk[0], all_tk[1], jnp.zeros((0,), jnp.float32))
+            return kv_cache, future_map, all_ids, all_logprobs, extras
 
         self._multi_step = jax.jit(
             multi_step_fn, donate_argnums=(1, 2), static_argnums=(5,)
@@ -380,7 +436,9 @@ class ModelRunner:
         sampling: SamplingMetadata,
         future_offset: int = 0,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Run one forward+sample step. Returns device arrays (ids [B],
+        """Run one forward+sample step. Returns device arrays (ids [B] or
+        [k, B], logprobs likewise, extras = (topk_vals, topk_ids,
+        input_logprobs) with shape-(0,) placeholders when unrequested)
         logprobs [B]) WITHOUT syncing — overlap scheduling resolves them one
         iteration later. Sampled ids are also written into the on-device
         future map at [future_offset, future_offset + B)."""
@@ -393,21 +451,21 @@ class ModelRunner:
 
         if meta.mode == ForwardMode.DECODE and meta.S > 1:
             # fused multi-step decode: ids/logprobs come back [k, B]
-            self.kv_cache, self.future_map, ids, logprobs = (
+            self.kv_cache, self.future_map, ids, logprobs, extras = (
                 self._multi_step(
                     self.params, self.kv_cache, self.future_map,
                     jnp.asarray(ints), jnp.asarray(floats), meta,
                 )
             )
-            return ids, logprobs
+            return ids, logprobs, extras
         cm = batch.custom_mask
         if cm is not None:
             cm = jnp.asarray(cm)
-        self.kv_cache, self.future_map, ids, logprobs = self._step(
+        self.kv_cache, self.future_map, ids, logprobs, extras = self._step(
             self.params, self.kv_cache, self.future_map,
             jnp.asarray(ints), jnp.asarray(floats), meta, cm,
         )
-        return ids, logprobs
+        return ids, logprobs, extras
 
     def claim_future_slots(self, n: int) -> int:
         """Reserve n contiguous ring slots; returns a monotonically
@@ -556,8 +614,12 @@ class ModelRunner:
     def resume_kv_cache(self):
         if self.kv_cache is not None:
             return
+        from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+            RUN_SLACK_PAGES,
+        )
+
         sa = self.server_args
-        num_slots = (self.num_pages + 1) * sa.page_size
+        num_slots = (self.num_pages + 1 + RUN_SLACK_PAGES) * sa.page_size
         kv = create_kv_cache(
             self.model_config, num_slots, dtype=self.dtype,
             kv_cache_dtype=sa.kv_cache_dtype,

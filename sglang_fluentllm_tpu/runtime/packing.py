@@ -35,6 +35,8 @@ class BatchMeta(NamedTuple):
     pen_len: int = 0      # penalized-token window (0 = no penalties)
     n_eos: int = 0        # eos-mask width for min_new_tokens
     n_mask_words: int = 0  # grammar bitmask words (0 = unconstrained)
+    topk: int = 0         # top-k logprobs per sampled token (0 = off)
+    inp_lp: bool = False  # per-position input-token logprobs (extend)
 
 
 def pack_batch(
@@ -84,6 +86,8 @@ def pack_batch(
         all_greedy=bool(sm.all_greedy),
         has_mask=fb.custom_mask is not None,
         pen_len=pen_len, n_eos=n_eos, n_mask_words=n_mask_words,
+        topk=int(sm.top_logprobs_num),
+        inp_lp=bool(sm.return_input_logprob),
     )
     return ints, floats, meta
 
@@ -151,5 +155,7 @@ def unpack_batch(
         eos_mask_ids=eos_mask_ids,
         min_new_remaining=min_new_remaining,
         vocab_mask_words=vocab_mask_words,
+        top_logprobs_num=meta.topk,
+        return_input_logprob=meta.inp_lp,
     )
     return fb, sm

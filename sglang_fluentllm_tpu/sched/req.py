@@ -76,6 +76,11 @@ class Req:
 
         # --- logprobs ---
         self.output_token_logprobs: List[float] = []
+        # per output token: [(logprob, token_id), ...] top-k entries
+        self.output_top_logprobs: List[list] = []
+        # per prompt token (None where unavailable: first token, cached
+        # prefix, chunk boundaries)
+        self.input_token_logprobs: List = []
 
         # --- spec decode ---
         self.spec_accept_lengths: List[int] = []

@@ -50,6 +50,8 @@ class StepOutput:
     finished: bool
     finish_reason: Optional[Dict[str, Any]] = None
     output_token_logprobs: Optional[List[float]] = None
+    output_top_logprobs: Optional[List[list]] = None
+    input_token_logprobs: Optional[List] = None
     cached_tokens: int = 0
     prompt_tokens: int = 0
 
@@ -70,6 +72,9 @@ class InFlightBatch:
     counts_dev: Any = None           # spec decode: accept counts [B]
     mixed_decode: Optional[List[bool]] = None  # rows that are decode steps
     future_offset: Optional[int] = None  # ring base this launch wrote
+    # (topk_vals, topk_ids, input_logprobs) device arrays; zero-size
+    # placeholders when unrequested
+    extras_dev: Any = None
 
 
 # Max launched-but-unresolved batches. Depth 1 would idle the device during
@@ -704,6 +709,20 @@ class Scheduler:
                     if m is not None:
                         words[i] = m
             meta.vocab_mask_words = words
+        # top-k logprobs: bucket the max requested k to a power of two so
+        # the jit trace count stays bounded (OpenAI caps at 20 -> max 32)
+        topk = max(
+            (r.sampling_params.top_logprobs_num for r in reqs), default=0
+        )
+        if topk > 0:
+            meta.top_logprobs_num = min(
+                32, max(4, 1 << (topk - 1).bit_length())
+            )
+        meta.return_input_logprob = any(
+            r.sampling_params.return_logprob
+            and r.sampling_params.logprob_start_len >= 0
+            for r in reqs
+        )
         if not self._needs_penalties(reqs):
             return meta
         from sglang_fluentllm_tpu.utils import next_power_of_2
@@ -745,7 +764,7 @@ class Scheduler:
         batch = self.runner.batch_builder.build_extend(items)
         sampling = self._sampling_meta(reqs, batch.batch_size)
         offset = self.runner.claim_future_slots(batch.batch_size)
-        ids, logprobs = self.runner.forward_batch_generation(
+        ids, logprobs, extras = self.runner.forward_batch_generation(
             batch, sampling, offset
         )
         if self.spec is not None:
@@ -772,6 +791,7 @@ class Scheduler:
             sampled=sampled,
             mixed_decode=mixed,
             future_offset=offset,
+            extras_dev=extras,
         )
 
     def _launch_decode(self, reqs, items) -> InFlightBatch:
@@ -779,7 +799,7 @@ class Scheduler:
         batch = self.runner.batch_builder.build_decode(items)
         sampling = self._sampling_meta(reqs, batch.batch_size)
         offset = self.runner.claim_future_slots(batch.batch_size)
-        ids, logprobs = self.runner.forward_batch_generation(
+        ids, logprobs, extras = self.runner.forward_batch_generation(
             batch, sampling, offset
         )
         for i, req in enumerate(reqs):
@@ -794,6 +814,7 @@ class Scheduler:
             logprobs_dev=logprobs,
             this_extends=[k] * len(reqs),
             future_offset=offset,
+            extras_dev=extras,
         )
 
     # ------------------------------------------------------------------
@@ -804,6 +825,13 @@ class Scheduler:
         ids, logprobs = jax.device_get(
             (batch.ids_dev, batch.logprobs_dev)
         )
+        tk_vals = tk_ids = inp_lp = None
+        if batch.extras_dev is not None:
+            tv, ti, il = batch.extras_dev
+            if tv.size:
+                tk_vals, tk_ids = jax.device_get((tv, ti))
+            if il.size:
+                inp_lp = jax.device_get(il)
         if self.server_args.enable_nan_detection and np.isnan(
             logprobs
         ).any():
@@ -831,6 +859,29 @@ class Scheduler:
                 and req.last_future_slot == batch.future_offset + i
             ):
                 req.last_future_slot = None
+            sp_i = req.sampling_params
+            if (
+                inp_lp is not None
+                and batch.mode == ForwardMode.EXTEND
+                and sp_i.return_logprob
+                and sp_i.logprob_start_len >= 0
+                and not (batch.mixed_decode and batch.mixed_decode[i])
+            ):
+                n = batch.this_extends[i]
+                if not req.input_token_logprobs:
+                    # first prompt token has no context, and radix-cached
+                    # prefix tokens were not recomputed: None markers
+                    # (reference keeps a leading None and gates the rest
+                    # with logprob_start_len)
+                    req.input_token_logprobs.extend(
+                        [None] * (req.prefix_len + 1)
+                    )
+                req.input_token_logprobs.extend(
+                    float(x) for x in inp_lp[i, : max(0, n - 1)]
+                )
+                if batch.sampled is not None and not batch.sampled[i]:
+                    # chunk-boundary token: its logprob spans two chunks
+                    req.input_token_logprobs.append(None)
             if batch.sampled is not None and not batch.sampled[i]:
                 # mid-chunk: no token sampled; publish prefix into the tree
                 self._cache_computed_prefix(req, unfinished=True)
@@ -852,16 +903,28 @@ class Scheduler:
                 outputs.append(self._make_output(req))
                 continue
             tokens = (
-                [(int(ids[j, i]), float(logprobs[j, i]))
+                [(int(ids[j, i]), float(logprobs[j, i]), j)
                  for j in range(ids.shape[0])]
                 if multi
-                else [(int(ids[i]), float(logprobs[i]))]
+                else [(int(ids[i]), float(logprobs[i]), None)]
             )
-            for token, lp in tokens:
+            want_topk = (
+                tk_vals is not None
+                and req.sampling_params.top_logprobs_num > 0
+            )
+            for token, lp, j in tokens:
                 if len(req.output_ids) >= req.sampling_params.max_new_tokens:
                     break
                 req.output_ids.append(token)
                 req.output_token_logprobs.append(lp)
+                if want_topk:
+                    tv = tk_vals[j, i] if j is not None else tk_vals[i]
+                    ti = tk_ids[j, i] if j is not None else tk_ids[i]
+                    kk = req.sampling_params.top_logprobs_num
+                    req.output_top_logprobs.append(
+                        [(float(v), int(t))
+                         for v, t in zip(tv[:kk], ti[:kk])]
+                    )
                 self.num_generated_tokens += 1
                 if req.grammar is not None:
                     req.grammar.accept(token)
@@ -948,6 +1011,17 @@ class Scheduler:
             output_token_logprobs=(
                 list(req.output_token_logprobs)
                 if req.sampling_params.return_logprob
+                else None
+            ),
+            output_top_logprobs=(
+                list(req.output_top_logprobs)
+                if req.sampling_params.top_logprobs_num > 0
+                else None
+            ),
+            input_token_logprobs=(
+                list(req.input_token_logprobs)
+                if req.sampling_params.logprob_start_len >= 0
+                and req.sampling_params.return_logprob
                 else None
             ),
             cached_tokens=req.prefix_len,

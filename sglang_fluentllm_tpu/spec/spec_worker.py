@@ -70,7 +70,13 @@ class SpecWorker:
             draft_params, self.draft_model.param_specs()
         )
         # draft KV pool mirrors the target's slot space (shared page table)
-        num_slots = (runner.num_pages + 1) * server_args.page_size
+        from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+            RUN_SLACK_PAGES,
+        )
+
+        num_slots = (
+            (runner.num_pages + 1 + RUN_SLACK_PAGES) * server_args.page_size
+        )
         self.draft_kv = create_kv_cache(
             self.draft_config, num_slots, dtype=runner.dtype,
             kv_cache_dtype=server_args.kv_cache_dtype,

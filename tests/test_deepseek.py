@@ -72,8 +72,12 @@ class TestDeepseekFP8KV:
         kv = e.runner.kv_cache
         assert isinstance(kv, MLAKVCacheFP8)
         assert kv.ckv.dtype.name == "float8_e4m3fn"
-        assert kv.scale.dtype.name == "float32"
-        assert kv.krope.dtype.name == "bfloat16"
+        # packed tail: [rope | scale_hi | scale_lo] per token (TPU DMA
+        # lane-rule adaptation of the reference fp8+f32+bf16 triple)
+        assert kv.tail.dtype.name == "bfloat16"
+        from sglang_fluentllm_tpu.mem.kv_cache import fp8_tail_dim
+        assert kv.tail.shape[-1] == fp8_tail_dim(
+            e.model_config.qk_rope_head_dim)
 
 
 class TestMLAPagedBackend:
@@ -86,6 +90,19 @@ class TestMLAPagedBackend:
         e_ref = tiny_engine(TINY_DEEPSEEK_CFG)
         ref = e_ref.generate(input_ids=PROMPT, sampling_params=sp)
         e_k = tiny_engine(TINY_DEEPSEEK_CFG, attention_backend="mla_paged")
+        with pltpu.force_tpu_interpret_mode():
+            out = e_k.generate(input_ids=PROMPT, sampling_params=sp)
+        assert out["output_ids"] == ref["output_ids"]
+
+    def test_mla_paged_fp8_decode_matches_ref(self):
+        """FP8 fused-dequant kernel (interpret mode) == ref fp8 path."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        sp = {"max_new_tokens": 6, "temperature": 0.0}
+        e_ref = tiny_engine(TINY_DEEPSEEK_CFG, kv_cache_dtype="fp8_e4m3")
+        ref = e_ref.generate(input_ids=PROMPT, sampling_params=sp)
+        e_k = tiny_engine(TINY_DEEPSEEK_CFG, kv_cache_dtype="fp8_e4m3",
+                          attention_backend="mla_paged")
         with pltpu.force_tpu_interpret_mode():
             out = e_k.generate(input_ids=PROMPT, sampling_params=sp)
         assert out["output_ids"] == ref["output_ids"]

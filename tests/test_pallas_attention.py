@@ -127,3 +127,130 @@ def test_paged_decode_padded_rows():
     ref = np.asarray(ref_decode(q, kc, vc, pt, sl, 16, 0.125))
     np.testing.assert_allclose(out[0], ref[0], rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(out[2], ref[2], rtol=2e-5, atol=2e-5)
+
+
+# ----------------------------------------------------------------------
+# Multi-row kernel (pallas_decode_multirow) vs reference
+# ----------------------------------------------------------------------
+
+def _stack_layers(kc, vc, L, layer_id, rng):
+    """Build a stacked [L, Hk, slots, D] cache whose layer `layer_id` holds
+    kc/vc and other layers hold noise (catches layer-indexing bugs)."""
+    Hk, slots, Dp = kc.shape
+    k_st = rng.standard_normal((L, Hk, slots, Dp)).astype(np.float32)
+    v_st = rng.standard_normal((L, Hk, slots, Dp)).astype(np.float32)
+    k_st[layer_id] = np.asarray(kc, np.float32)
+    v_st[layer_id] = np.asarray(vc, np.float32)
+    return (jnp.asarray(k_st, kc.dtype), jnp.asarray(v_st, vc.dtype))
+
+
+def _multirow(q, kst, vst, layer_id, pt, sl, page_size, sm_scale, **kw):
+    from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+        paged_decode_multirow,
+    )
+
+    D = q.shape[-1]
+    Dp = kst.shape[-1]
+    q2 = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D))) if Dp != D else q
+    out = paged_decode_multirow(
+        q2, kst, vst, jnp.int32(layer_id), pt, sl,
+        page_size=page_size, sm_scale=sm_scale, **kw,
+    )
+    return out[..., :D]
+
+
+@pytest.mark.parametrize(
+    "B,Hq,Hk,D,page_size,seqs,rows",
+    [
+        (2, 4, 4, 64, 16, [5, 37], 2),            # MHA, ragged lens
+        (4, 8, 2, 64, 16, [1, 16, 33, 64], 2),    # GQA, page-aligned + not
+        (5, 14, 2, 64, 16, [100, 3, 64, 48, 17], 4),  # qwen 7:1, B%rows!=0
+        (1, 4, 4, 128, 16, [257], 8),             # D=128, multi-chunk
+        (3, 4, 2, 64, 4, [2, 9, 31], 3),          # tiny pages
+    ],
+)
+def test_multirow_matches_ref_scattered(B, Hq, Hk, D, page_size, seqs, rows):
+    """Shuffled page tables exercise the per-page (non-run) DMA path."""
+    max_pages = max(-(-s // page_size) for s in seqs) + 1
+    q, kc, vc, pt, sl = make_case(B, Hq, Hk, D, page_size, max_pages, seqs)
+    rng = np.random.RandomState(7)
+    kst, vst = _stack_layers(kc, vc, 3, 1, rng)
+    sm_scale = 1.0 / np.sqrt(D)
+    ref = ref_decode(q, kc, vc, pt, sl, page_size, sm_scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = _multirow(q, kst, vst, 1, pt, sl, page_size, sm_scale,
+                        rows=rows)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_multirow_matches_ref_sequential_pages():
+    """Consecutive page tables exercise the coalesced-run DMA path."""
+    from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+        RUN_SLACK_PAGES,
+    )
+
+    B, Hq, Hk, D, ps = 4, 8, 2, 64, 16
+    seqs = [60, 64, 3, 29]
+    max_pages = 4
+    rng = np.random.RandomState(3)
+    num_pages = B * max_pages + 1 + RUN_SLACK_PAGES
+    slots = num_pages * ps
+    from sglang_fluentllm_tpu.mem.kv_cache import padded_head_dim
+
+    Dp = padded_head_dim(D)
+    k_cache = np.zeros((Hk, slots, Dp), np.float32)
+    v_cache = np.zeros((Hk, slots, Dp), np.float32)
+    k_cache[..., :D] = rng.standard_normal((Hk, slots, D))
+    v_cache[..., :D] = rng.standard_normal((Hk, slots, D))
+    k_cache[:, :ps] = 0
+    v_cache[:, :ps] = 0
+    pt = np.zeros((B, max_pages), np.int32)
+    for i in range(B):
+        n = -(-seqs[i] // ps)
+        pt[i, :n] = 1 + i * max_pages + np.arange(n)  # consecutive runs
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32)
+    q, kc, vc = jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache)
+    pt, sl = jnp.asarray(pt), jnp.asarray(np.asarray(seqs, np.int32))
+    kst, vst = _stack_layers(kc, vc, 2, 0, rng)
+    sm_scale = 1.0 / np.sqrt(D)
+    ref = ref_decode(q, kc, vc, pt, sl, ps, sm_scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = _multirow(q, kst, vst, 0, pt, sl, ps, sm_scale, rows=2)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_multirow_padded_rows():
+    seqs = [32, 0, 7]
+    q, kc, vc, pt, sl = make_case(3, 4, 4, 64, 16, 3, seqs)
+    rng = np.random.RandomState(11)
+    kst, vst = _stack_layers(kc, vc, 2, 1, rng)
+    with pltpu.force_tpu_interpret_mode():
+        out = _multirow(q, kst, vst, 1, pt, sl, 16, 0.125, rows=2)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert np.abs(out[1]).max() == 0.0
+    ref = np.asarray(ref_decode(q, kc, vc, pt, sl, 16, 0.125))
+    np.testing.assert_allclose(out[0], ref[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out[2], ref[2], rtol=2e-5, atol=2e-5)
+
+
+def test_multirow_bf16():
+    seqs = [40, 17]
+    q, kc, vc, pt, sl = make_case(
+        2, 8, 2, 64, 16, 4, seqs, dtype=jnp.bfloat16
+    )
+    rng = np.random.RandomState(13)
+    kst, vst = _stack_layers(kc, vc, 2, 0, rng)
+    sm_scale = 1.0 / np.sqrt(64)
+    ref = ref_decode(q, kc, vc, pt, sl, 16, sm_scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = _multirow(q, kst, vst, 0, pt, sl, 16, sm_scale, rows=2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
