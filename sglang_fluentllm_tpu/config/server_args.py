@@ -68,6 +68,7 @@ class ServerArgs:
     # ---- parallelism (mesh axes) ----
     tp_size: int = 1            # tensor parallel (within attn group too)
     dp_size: int = 1            # request-level data parallel replicas
+    load_balance_method: str = "shortest_queue"  # round_robin|shortest_queue
     ep_size: int = 1            # expert parallel size for MoE
     attn_tp_size: Optional[int] = None  # DP-attention: TP size for attention
     dense_tp_size: Optional[int] = None

@@ -67,8 +67,20 @@ class Engine:
         )
 
         self.model_config = ModelConfig.from_server_args(server_args)
-        self.runner = ModelRunner(server_args, self.model_config)
-        self.scheduler = Scheduler(server_args, self.runner)
+        if server_args.dp_size > 1:
+            # request-level DP: N scheduler replicas on disjoint sub-meshes
+            # (reference DataParallelController, data_parallel_controller.py)
+            from sglang_fluentllm_tpu.sched.dp_controller import (
+                DataParallelController,
+            )
+
+            self.scheduler = DataParallelController(
+                server_args, self.model_config
+            )
+            self.runner = self.scheduler.runner
+        else:
+            self.runner = ModelRunner(server_args, self.model_config)
+            self.scheduler = Scheduler(server_args, self.runner)
         self.detokenizer = (
             Detokenizer(self.tokenizer) if self.tokenizer else None
         )

@@ -75,6 +75,7 @@ class MLAPagedBackend(RefMLABackend):
                 q, kv_cache.ckv, kv_cache.tail, layer_id,
                 batch.page_tables, batch.seq_lens,
                 page_size=batch.page_size, sm_scale=sm_scale, rope_dr=dr,
+                run_only=batch.pages_are_runs,
             )
         else:
             assert isinstance(kv_cache, MLAKVCache)
@@ -97,6 +98,7 @@ class MLAPagedBackend(RefMLABackend):
                 q, kv_cache.lat, layer_id,
                 batch.page_tables, batch.seq_lens,
                 page_size=batch.page_size, sm_scale=sm_scale, r_dim=r_pad,
+                run_only=batch.pages_are_runs,
             )[..., :r]
 
         ctx = ctx.astype(jnp.float32)[..., :r]

@@ -37,7 +37,13 @@ class PagedAttentionBackend(RefAttentionBackend):
         logit_cap: float = 0.0,
     ) -> Tuple[jax.Array, MHAKVCache]:
         if not batch.mode.is_decode():
-            return super().__call__(
+            if batch.custom_mask is not None:
+                # spec-verify tree masks stay on the reference path
+                return super().__call__(
+                    kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
+                    logit_cap,
+                )
+            return self._extend(
                 kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
                 logit_cap,
             )
@@ -62,6 +68,31 @@ class PagedAttentionBackend(RefAttentionBackend):
             q2, kv_cache.k, kv_cache.v, layer_id,
             batch.page_tables, batch.seq_lens,
             page_size=batch.page_size, sm_scale=sm_scale,
-            logit_cap=logit_cap,
+            logit_cap=logit_cap, run_only=batch.pages_are_runs,
         )
         return out[:, None, :, :D], kv_cache
+
+    def _extend(self, kv_cache, layer_id, q, k_new, v_new, batch,
+                sm_scale, logit_cap):
+        """Ragged Pallas prefill over the page table (no dense gather)."""
+        from sglang_fluentllm_tpu.ops.attention.pallas_prefill import (
+            paged_prefill_attention,
+        )
+
+        B, S, Hk, D = k_new.shape
+        loc = batch.out_cache_loc.reshape(-1)
+        kv_cache = mha_write(
+            kv_cache, layer_id, loc,
+            k_new.reshape(B * S, Hk, D), v_new.reshape(B * S, Hk, D),
+        )
+        Dp = kv_cache.k.shape[-1]
+        q2 = q
+        if Dp != D:
+            q2 = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        out = paged_prefill_attention(
+            q2, kv_cache.k, kv_cache.v, layer_id,
+            batch.page_tables, batch.seq_lens, batch.q_lens,
+            page_size=batch.page_size, sm_scale=sm_scale,
+            logit_cap=logit_cap, run_only=batch.pages_are_runs,
+        )
+        return out[..., :D], kv_cache

@@ -68,6 +68,7 @@ def _mr_kernel(
     max_chunks: int,
     num_kv_heads: int,
     logit_cap: float,
+    run_only: bool,
 ):
     blk = pl.program_id(0)
     layer = layer_ref[0]
@@ -99,11 +100,15 @@ def _mr_kernel(
 
     def dmas(slot, t):
         """DMA descriptors for flat work item t. Start and wait rebuild the
-        same predicated list, so semaphore counts always match."""
+        same predicated list, so semaphore counts always match. When the
+        host proved every chunk is a consecutive page run (``run_only``),
+        the per-page fallback descriptors are not even compiled — their
+        predicate evaluation otherwise dominates the fast path."""
         b = row_of(t)
         c = chunk_of(t)
-        run = chunk_is_run(b, c)
         first = page_tables_ref[b, c * ppc]
+        always = jnp.bool_(True)
+        run = always if run_only else chunk_is_run(b, c)
         out = []
         for h in range(Hk):
             out.append((run, pltpu.make_async_copy(
@@ -114,6 +119,8 @@ def _mr_kernel(
                 v_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
                 v_buf.at[slot, h], sem.at[slot, 1],
             )))
+            if run_only:
+                continue
             for i in range(ppc):
                 page = page_tables_ref[b, c * ppc + i]
                 out.append((~run, pltpu.make_async_copy(
@@ -224,7 +231,8 @@ def _mr_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "page_size", "sm_scale", "logit_cap", "pages_per_chunk", "rows"
+        "page_size", "sm_scale", "logit_cap", "pages_per_chunk", "rows",
+        "run_only",
     ),
 )
 def paged_decode_multirow(
@@ -240,6 +248,7 @@ def paged_decode_multirow(
     logit_cap: float = 0.0,
     pages_per_chunk: int = 0,
     rows: int = 8,
+    run_only: bool = False,
 ) -> jax.Array:
     B, Hq, D = q.shape
     Hk = k_cache.shape[1]
@@ -298,6 +307,7 @@ def paged_decode_multirow(
         max_chunks=max_chunks,
         num_kv_heads=Hk,
         logit_cap=logit_cap,
+        run_only=run_only,
     )
     out = pl.pallas_call(
         kernel,

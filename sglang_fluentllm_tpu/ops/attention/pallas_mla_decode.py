@@ -60,6 +60,7 @@ def _mla_kernel(
     r_dim: int,
     rope_dr: int,
     fp8: bool,
+    run_only: bool,
 ):
     if fp8:
         c1_hbm, o_ref, b0, b1, acc_ref, m_ref, l_ref, sem = rest
@@ -98,7 +99,7 @@ def _mla_kernel(
     def dmas(slot, t):
         b = row_of(t)
         c = chunk_of(t)
-        run = chunk_is_run(b, c)
+        run = jnp.bool_(True) if run_only else chunk_is_run(b, c)
         first = page_tables_ref[b, c * ppc]
         out = [(run, pltpu.make_async_copy(
             c0_hbm.at[layer, pl.ds(first * ps, chunk_t), :],
@@ -109,19 +110,20 @@ def _mla_kernel(
                 c1_hbm.at[layer, pl.ds(first * ps, chunk_t), :],
                 b1.at[slot], sem.at[slot, 1],
             )))
-        for i in range(ppc):
-            page = page_tables_ref[b, c * ppc + i]
-            out.append((~run, pltpu.make_async_copy(
-                c0_hbm.at[layer, pl.ds(page * ps, ps), :],
-                b0.at[slot, pl.ds(i * ps, ps), :],
-                sem.at[slot, 0],
-            )))
-            if fp8:
+        if not run_only:
+            for i in range(ppc):
+                page = page_tables_ref[b, c * ppc + i]
                 out.append((~run, pltpu.make_async_copy(
-                    c1_hbm.at[layer, pl.ds(page * ps, ps), :],
-                    b1.at[slot, pl.ds(i * ps, ps), :],
-                    sem.at[slot, 1],
+                    c0_hbm.at[layer, pl.ds(page * ps, ps), :],
+                    b0.at[slot, pl.ds(i * ps, ps), :],
+                    sem.at[slot, 0],
                 )))
+                if fp8:
+                    out.append((~run, pltpu.make_async_copy(
+                        c1_hbm.at[layer, pl.ds(page * ps, ps), :],
+                        b1.at[slot, pl.ds(i * ps, ps), :],
+                        sem.at[slot, 1],
+                    )))
         return out
 
     def start(slot, t):
@@ -253,7 +255,7 @@ def _common(q_eff, page_tables, seq_lens, page_size, pages_per_chunk, rows):
 @functools.partial(
     jax.jit,
     static_argnames=("page_size", "sm_scale", "r_dim", "pages_per_chunk",
-                     "rows"),
+                     "rows", "run_only"),
 )
 def mla_decode_multirow(
     q_eff: jax.Array,        # [B, H, Dl] (q_abs | 0pad | q_pe | 0pad)
@@ -267,6 +269,7 @@ def mla_decode_multirow(
     r_dim: int,              # kv_lora_rank (V = first r_dim lanes)
     pages_per_chunk: int = 0,
     rows: int = 8,
+    run_only: bool = False,
 ) -> jax.Array:
     """bf16 path; returns latent context [B, H, r_dim]."""
     B, H, Dl = q_eff.shape
@@ -299,6 +302,7 @@ def mla_decode_multirow(
     kernel = functools.partial(
         _mla_kernel, rows=rows, page_size=page_size, pages_per_chunk=ppc,
         max_chunks=max_chunks, r_dim=r_dim, rope_dr=0, fp8=False,
+        run_only=run_only,
     )
     out = pl.pallas_call(
         kernel,
@@ -321,7 +325,7 @@ def mla_decode_multirow(
 @functools.partial(
     jax.jit,
     static_argnames=("page_size", "sm_scale", "rope_dr", "pages_per_chunk",
-                     "rows"),
+                     "rows", "run_only"),
 )
 def mla_decode_multirow_fp8(
     q_eff: jax.Array,        # [B, H, r + tail_pad] (q_abs | q_pe | 0)
@@ -336,6 +340,7 @@ def mla_decode_multirow_fp8(
     rope_dr: int,            # qk_rope_head_dim (scale at lanes dr, dr+1)
     pages_per_chunk: int = 0,
     rows: int = 8,
+    run_only: bool = False,
 ) -> jax.Array:
     """FP8 path with fused per-token dequant; returns [B, H, r] bf16."""
     B, H, Dq = q_eff.shape
@@ -373,6 +378,7 @@ def mla_decode_multirow_fp8(
     kernel = functools.partial(
         _mla_kernel, rows=rows, page_size=page_size, pages_per_chunk=ppc,
         max_chunks=max_chunks, r_dim=r_dim, rope_dr=rope_dr, fp8=True,
+        run_only=run_only,
     )
     out = pl.pallas_call(
         kernel,

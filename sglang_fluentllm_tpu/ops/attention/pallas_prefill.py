@@ -62,6 +62,7 @@ def _prefill_kernel(
     pages_per_chunk: int,
     num_kv_heads: int,
     logit_cap: float,
+    run_only: bool,
 ):
     b = pl.program_id(0)
     qb = pl.program_id(1)
@@ -95,7 +96,7 @@ def _prefill_kernel(
         return ok
 
     def dmas(slot, c):
-        run = chunk_is_run(c)
+        run = jnp.bool_(True) if run_only else chunk_is_run(c)
         first = page_tables_ref[b, c * ppc]
         out = []
         for h in range(Hk):
@@ -107,6 +108,8 @@ def _prefill_kernel(
                 v_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
                 v_buf.at[slot, h], sem.at[slot, 1],
             )))
+            if run_only:
+                continue
             for i in range(ppc):
                 page = page_tables_ref[b, c * ppc + i]
                 out.append((~run, pltpu.make_async_copy(
@@ -203,7 +206,8 @@ def _prefill_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "page_size", "sm_scale", "logit_cap", "pages_per_chunk", "bq"
+        "page_size", "sm_scale", "logit_cap", "pages_per_chunk", "bq",
+        "run_only",
     ),
 )
 def paged_prefill_attention(
@@ -220,6 +224,7 @@ def paged_prefill_attention(
     logit_cap: float = 0.0,
     pages_per_chunk: int = 0,
     bq: int = 128,
+    run_only: bool = False,
 ) -> jax.Array:
     B, S, Hq, D = q.shape
     Hk = k_cache.shape[1]
@@ -275,6 +280,7 @@ def paged_prefill_attention(
         pages_per_chunk=pages_per_chunk,
         num_kv_heads=Hk,
         logit_cap=logit_cap,
+        run_only=run_only,
     )
     out = pl.pallas_call(
         kernel,

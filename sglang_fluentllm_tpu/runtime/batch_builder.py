@@ -68,6 +68,7 @@ class BatchBuilder:
         pages = np.zeros((Bp, P), dtype=np.int32)
         seq_lens = np.zeros((Bp,), dtype=np.int32)
         q_lens = np.zeros((Bp,), dtype=np.int32)
+        runs = True
         for i, it in enumerate(items):
             e = len(it.input_ids)
             input_ids[i, :e] = it.input_ids
@@ -76,6 +77,8 @@ class BatchBuilder:
             pages[i, : len(it.pages)] = it.pages
             seq_lens[i] = it.prefix_len + e
             q_lens[i] = e
+            if runs and len(it.pages) > 1:
+                runs = bool((np.diff(it.pages) == 1).all())
         cm = None
         if custom_mask is not None:
             cm = np.zeros((Bp, S, S), dtype=bool)
@@ -91,6 +94,7 @@ class BatchBuilder:
             custom_mask=cm,
             mode=mode,
             page_size=self.page_size,
+            pages_are_runs=runs,
         )
 
     def build_decode(self, items: List[DecodeItem],
@@ -108,6 +112,7 @@ class BatchBuilder:
         pages = np.zeros((Bp, P), dtype=np.int32)
         seq_lens = np.zeros((Bp,), dtype=np.int32)
         q_lens = np.zeros((Bp,), dtype=np.int32)
+        runs = True
         for i, it in enumerate(items):
             input_ids[i, 0] = it.input_id
             positions[i, 0] = it.seq_len - 1
@@ -115,6 +120,8 @@ class BatchBuilder:
             pages[i, : len(it.pages)] = it.pages
             seq_lens[i] = it.seq_len
             q_lens[i] = 1
+            if runs and len(it.pages) > 1:
+                runs = bool((np.diff(it.pages) == 1).all())
         return ForwardBatch(
             input_ids=input_ids,
             positions=positions,
@@ -124,4 +131,5 @@ class BatchBuilder:
             q_lens=q_lens,
             mode=mode,
             page_size=self.page_size,
+            pages_are_runs=runs,
         )

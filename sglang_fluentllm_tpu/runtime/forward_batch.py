@@ -56,6 +56,11 @@ class ForwardBatch:
         default=ForwardMode.EXTEND, metadata=dict(static=True)
     )
     page_size: int = dataclasses.field(default=16, metadata=dict(static=True))
+    # host-proved: every request's page list is a single consecutive run
+    # (lets the Pallas kernels compile without per-page DMA fallbacks)
+    pages_are_runs: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def batch_size(self) -> int:

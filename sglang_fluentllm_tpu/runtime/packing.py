@@ -37,6 +37,7 @@ class BatchMeta(NamedTuple):
     n_mask_words: int = 0  # grammar bitmask words (0 = unconstrained)
     topk: int = 0         # top-k logprobs per sampled token (0 = off)
     inp_lp: bool = False  # per-position input-token logprobs (extend)
+    runs: bool = False    # all page lists are consecutive runs
 
 
 def pack_batch(
@@ -88,6 +89,7 @@ def pack_batch(
         pen_len=pen_len, n_eos=n_eos, n_mask_words=n_mask_words,
         topk=int(sm.top_logprobs_num),
         inp_lp=bool(sm.return_input_logprob),
+        runs=bool(fb.pages_are_runs),
     )
     return ints, floats, meta
 
@@ -140,6 +142,7 @@ def unpack_batch(
         custom_mask=custom_mask,
         mode=meta.mode,
         page_size=meta.page_size,
+        pages_are_runs=meta.runs,
     )
     sm = SamplingMetadata(
         temperature=floats[0:B],

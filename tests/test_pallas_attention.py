@@ -218,8 +218,13 @@ def test_multirow_matches_ref_sequential_pages():
     ref = ref_decode(q, kc, vc, pt, sl, ps, sm_scale)
     with pltpu.force_tpu_interpret_mode():
         out = _multirow(q, kst, vst, 0, pt, sl, ps, sm_scale, rows=2)
+        out_ro = _multirow(q, kst, vst, 0, pt, sl, ps, sm_scale, rows=2,
+                           run_only=True)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ro), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
 
 
@@ -254,3 +259,88 @@ def test_multirow_bf16():
         np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+# ----------------------------------------------------------------------
+# Ragged paged prefill kernel vs reference
+# ----------------------------------------------------------------------
+
+def _make_prefill_case(B, Hq, Hk, D, ps, seq_lens, q_lens, seed=0,
+                       sequential=False):
+    """KV cache pre-filled for all seq_lens tokens (incl. the 'new' ones,
+    matching the write-before-attend contract); q covers the new tokens."""
+    from sglang_fluentllm_tpu.mem.kv_cache import padded_head_dim
+
+    rng = np.random.RandomState(seed)
+    max_pages = max(-(-int(s) // ps) for s in seq_lens)
+    num_pages = B * max_pages + 1 + 16
+    slots = num_pages * ps
+    Dp = padded_head_dim(D)
+    k_cache = np.zeros((Hk, slots, Dp), np.float32)
+    v_cache = np.zeros((Hk, slots, Dp), np.float32)
+    k_cache[..., :D] = rng.standard_normal((Hk, slots, D))
+    v_cache[..., :D] = rng.standard_normal((Hk, slots, D))
+    k_cache[:, :ps] = 0
+    v_cache[:, :ps] = 0
+    pt = np.zeros((B, max_pages), np.int32)
+    if sequential:
+        for i in range(B):
+            n = -(-int(seq_lens[i]) // ps)
+            pt[i, :n] = 1 + i * max_pages + np.arange(n)
+    else:
+        perm = rng.permutation(num_pages - 17) + 1
+        for i in range(B):
+            n = -(-int(seq_lens[i]) // ps)
+            pt[i, :n] = perm[i * max_pages : i * max_pages + n]
+    S = max(q_lens)
+    q = rng.standard_normal((B, S, Hq, D)).astype(np.float32)
+    return (jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
+            jnp.asarray(pt), jnp.asarray(np.asarray(seq_lens, np.int32)),
+            jnp.asarray(np.asarray(q_lens, np.int32)))
+
+
+def _ref_prefill(q, kc, vc, pt, sl, ql, ps, sm):
+    D = q.shape[-1]
+    k = page_gather_mha(kc, pt, ps)[..., :D]
+    v = page_gather_mha(vc, pt, ps)[..., :D]
+    return mha_attend(q, k, v, sl, ql, sm)
+
+
+@pytest.mark.parametrize(
+    "B,Hq,Hk,D,ps,seqs,qls,seq_pages,bq",
+    [
+        (2, 4, 2, 64, 16, [40, 70], [40, 70], False, 32),   # full prefill
+        (3, 8, 2, 64, 16, [50, 33, 64], [10, 33, 1], False, 32),  # prefix
+        (2, 14, 2, 64, 16, [100, 3], [20, 3], True, 32),    # run DMA path
+        (1, 4, 4, 128, 16, [300], [260], False, 128),       # long, D=128
+        (2, 4, 4, 64, 4, [9, 31], [9, 2], False, 32),       # tiny pages
+    ],
+)
+def test_paged_prefill_matches_ref(B, Hq, Hk, D, ps, seqs, qls,
+                                   seq_pages, bq):
+    from sglang_fluentllm_tpu.ops.attention.pallas_prefill import (
+        paged_prefill_attention,
+    )
+
+    q, kc, vc, pt, sl, ql = _make_prefill_case(
+        B, Hq, Hk, D, ps, seqs, qls, sequential=seq_pages
+    )
+    rng = np.random.RandomState(21)
+    kst, vst = _stack_layers(kc, vc, 2, 1, rng)
+    sm = 1.0 / np.sqrt(D)
+    ref = _ref_prefill(q, kc, vc, pt, sl, ql, ps, sm)
+    Dp = kst.shape[-1]
+    q2 = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, Dp - D))) \
+        if Dp != D else q
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_prefill_attention(
+            q2, kst, vst, jnp.int32(1), pt, sl, ql,
+            page_size=ps, sm_scale=sm, bq=bq,
+        )[..., :D]
+    # compare only valid (s < q_len) positions
+    for i in range(B):
+        n = int(ql[i])
+        np.testing.assert_allclose(
+            np.asarray(out)[i, :n], np.asarray(ref)[i, :n],
+            rtol=3e-5, atol=3e-5,
+        )

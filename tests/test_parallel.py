@@ -93,8 +93,170 @@ class TestTPEngine:
         assert got == ref
 
 
+class TestDataParallel:
+    def test_dp_router_matches_single(self):
+        """dp=2 x tp=2 replicas: every request's greedy output equals the
+        single-device engine; requests spread across both groups
+        (reference DataParallelController semantics)."""
+        sp = {"max_new_tokens": 5, "temperature": 0.0}
+        prompts = [[3, 11, 42, 7], [9, 1, 2], [50, 60, 70, 80, 90],
+                   [5, 5, 5, 5, 5, 5]]
+        e1 = tiny_engine(TINY_LLAMA_CFG)
+        refs = [
+            e1.generate(input_ids=p, sampling_params=sp)["output_ids"]
+            for p in prompts
+        ]
+        e2 = tiny_engine(TINY_LLAMA_CFG, dp_size=2, tp_size=2)
+        outs = e2.generate(input_ids=prompts, sampling_params=sp)
+        assert [o["output_ids"] for o in outs] == refs
+        from sglang_fluentllm_tpu.sched.dp_controller import (
+            DataParallelController,
+        )
+
+        assert isinstance(e2.scheduler, DataParallelController)
+        gens = [s.num_generated_tokens for s in e2.scheduler.schedulers]
+        assert all(g > 0 for g in gens), gens  # both groups served work
+
+    def test_dp_round_robin(self):
+        sp = {"max_new_tokens": 2, "temperature": 0.0}
+        e = tiny_engine(TINY_LLAMA_CFG, dp_size=2, tp_size=1,
+                        load_balance_method="round_robin")
+        outs = e.generate(
+            input_ids=[[1, 2, 3], [4, 5, 6], [7, 8, 9], [1, 5, 9]],
+            sampling_params=sp,
+        )
+        assert len(outs) == 4
+        gens = [s.num_generated_tokens for s in e.scheduler.schedulers]
+        assert all(g > 0 for g in gens), gens
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestDpAttention:
+    def test_dp_sharded_attention_matches_single(self):
+        """Token-level DP-attention on a (dp=2, tp=4) mesh: per-group KV
+        pools + DIFFERENT per-group batches under shard_map equal the
+        single-device results for each group (reference dp_attention.py
+        semantics; idle alignment = row padding by construction)."""
+        from sglang_fluentllm_tpu.mem.kv_cache import create_kv_cache
+        from sglang_fluentllm_tpu.models import get_model_class
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            RefAttentionBackend,
+        )
+        from sglang_fluentllm_tpu.parallel.dp_attention import (
+            DpShardedAttention,
+            build_dp_batch,
+            create_dp_kv_cache,
+            dp_kv_specs,
+        )
+        from sglang_fluentllm_tpu.runtime.forward_batch import (
+            ForwardBatch,
+            ForwardMode,
+        )
+
+        cfg = ModelConfig.from_hf_dict({
+            "architectures": ["Qwen2ForCausalLM"],
+            "model_type": "qwen2",
+            "hidden_size": 128,
+            "intermediate_size": 256,
+            "num_attention_heads": 8,
+            "num_key_value_heads": 4,
+            "num_hidden_layers": 2,
+            "vocab_size": 256,
+            "max_position_embeddings": 512,
+            "attention_bias": True,
+        })
+        mesh = mk_mesh(dp=2, tp=4)
+        ps, B_l, S, Ppr = 16, 2, 16, 2
+        slots = (1 + B_l * Ppr) * ps
+        rng = np.random.RandomState(0)
+
+        def group_batch(seed, mode, seq_prev=0):
+            r = np.random.RandomState(seed)
+            pages = np.zeros((B_l, Ppr), np.int32)
+            for i in range(B_l):
+                pages[i] = 1 + i * Ppr + np.arange(Ppr)
+            if mode == ForwardMode.EXTEND:
+                ids = r.randint(1, 255, (B_l, S)).astype(np.int32)
+                pos = np.tile(np.arange(S, dtype=np.int32), (B_l, 1))
+                loc = np.zeros((B_l, S), np.int32)
+                for i in range(B_l):
+                    loc[i] = pages[i, pos[i] // ps] * ps + pos[i] % ps
+                seq = np.full((B_l,), S, np.int32)
+                ql = np.full((B_l,), S, np.int32)
+            else:
+                ids = r.randint(1, 255, (B_l, 1)).astype(np.int32)
+                pos = np.full((B_l, 1), seq_prev, np.int32)
+                loc = pages[:, seq_prev // ps] * ps + seq_prev % ps
+                loc = loc[:, None]
+                seq = np.full((B_l,), seq_prev + 1, np.int32)
+                ql = np.full((B_l,), 1, np.int32)
+            return ForwardBatch(
+                input_ids=jnp.asarray(ids), positions=jnp.asarray(pos),
+                out_cache_loc=jnp.asarray(loc),
+                page_tables=jnp.asarray(pages),
+                seq_lens=jnp.asarray(seq), q_lens=jnp.asarray(ql),
+                mode=mode, page_size=ps,
+            )
+
+        model_cls = get_model_class(cfg.architectures)
+        dp_model = model_cls(cfg, DpShardedAttention(
+            RefAttentionBackend(), mesh
+        ))
+        params = dp_model.init_dummy_params(seed=0, dtype=jnp.float32)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params, dp_model.param_specs(),
+        )
+        kv = create_dp_kv_cache(cfg, slots, dp=2, dtype=jnp.float32)
+        kv = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            kv, dp_kv_specs(kv),
+        )
+
+        def ids_of(model, p, kvc, batch):
+            kvc, h = model.forward(p, kvc, batch)
+            idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
+            h_last = jnp.take_along_axis(
+                h, idx[:, None, None], axis=1
+            )[:, 0]
+            lg = model.compute_logits(p, h_last)
+            return kvc, jnp.argmax(lg, axis=-1)
+
+        g0e = group_batch(1, ForwardMode.EXTEND)
+        g1e = group_batch(2, ForwardMode.EXTEND)
+        gbe = build_dp_batch([g0e, g1e])
+
+        def shard_batch(b):
+            spec = NamedSharding(mesh, P("dp"))
+            return jax.tree.map(
+                lambda x: jax.device_put(x, spec), b
+            )
+
+        with mesh:
+            step = jax.jit(ids_of, static_argnums=(0,))
+            kv, ids_e = step(dp_model, params, kv, shard_batch(gbe))
+            g0d = group_batch(3, ForwardMode.DECODE, seq_prev=S)
+            g1d = group_batch(4, ForwardMode.DECODE, seq_prev=S)
+            gbd = build_dp_batch([g0d, g1d])
+            kv, ids_d = step(dp_model, params, kv, shard_batch(gbd))
+        ids_e, ids_d = np.asarray(ids_e), np.asarray(ids_d)
+
+        # single-device per-group references
+        ref_model = model_cls(cfg, RefAttentionBackend())
+        p1 = ref_model.init_dummy_params(seed=0, dtype=jnp.float32)
+        for g, (be, bd) in enumerate([(g0e, g0d), (g1e, g1d)]):
+            kv1 = create_kv_cache(cfg, slots, dtype=jnp.float32)
+            kv1, ref_e = ids_of(ref_model, p1, kv1, be)
+            kv1, ref_d = ids_of(ref_model, p1, kv1, bd)
+            np.testing.assert_array_equal(
+                ids_e[g * B_l:(g + 1) * B_l], np.asarray(ref_e)
+            )
+            np.testing.assert_array_equal(
+                ids_d[g * B_l:(g + 1) * B_l], np.asarray(ref_d)
+            )
