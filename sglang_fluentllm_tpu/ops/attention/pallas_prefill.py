@@ -53,8 +53,8 @@ def _prefill_kernel(
     k_buf,             # [2, Hk, chunk_t, D]
     v_buf,             # [2, Hk, chunk_t, D]
     acc_ref,           # [Hk, BQ * G_PAD, D] f32
-    m_ref,             # [Hk, 8, BQ * G_PAD] f32
-    l_ref,             # [Hk, 8, BQ * G_PAD] f32
+    m_ref,             # [Hk, BQ * G_PAD, 128] f32
+    l_ref,             # [Hk, BQ * G_PAD, 128] f32
     sem,               # DMA sems [2, 2]
     *,
     bq: int,
@@ -145,11 +145,12 @@ def _prefill_kernel(
     def _():
         start(0, 0)
 
-    # global position of score column q (= s * G_PAD + g): the query row s
-    q_idx = jax.lax.broadcasted_iota(jnp.int32, (chunk_t, BQG), 1)
+    # q-major layout (same as the decode kernels — lane->sublane relayouts
+    # do not lower on Mosaic): score s[q, t] with q = s_row * G_PAD + g
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (BQG, chunk_t), 0)
     s_row = qb * bq + q_idx // G_PAD
     q_pos = prefix + s_row
-    t_base = jax.lax.broadcasted_iota(jnp.int32, (chunk_t, BQG), 0)
+    t_base = jax.lax.broadcasted_iota(jnp.int32, (BQG, chunk_t), 1)
 
     def body(c, carry):
         slot = jax.lax.rem(c, 2)
@@ -167,26 +168,24 @@ def _prefill_kernel(
             v = v_buf[slot, h]
             qh = q_ref[0, :, h].reshape(BQG, -1)     # [BQG, D]
             s = jax.lax.dot_general(
-                k, qh, (((1,), (1,)), ((), ())),
+                qh, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                        # [chunk_t, BQG]
+            )                                        # [BQG, chunk_t]
             if logit_cap > 0:
                 s = logit_cap * jnp.tanh(s / logit_cap)
             s = jnp.where(mask, s, NEG_INF)
-            m_prev = m_ref[h, :1]                    # [1, BQG]
-            l_prev = l_ref[h, :1]
+            m_prev = m_ref[h, :, :1]                 # [BQG, 1]
+            l_prev = l_ref[h, :, :1]
             m_new = jnp.maximum(
-                m_prev, jnp.max(s, axis=0, keepdims=True)
+                m_prev, jnp.max(s, axis=1, keepdims=True)
             )
-            alpha = jnp.exp(m_prev - m_new)          # [1, BQG]
-            p = jnp.exp(s - m_new)                   # [chunk_t, BQG]
-            l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
-            # acc[q, d] = sum_t p[t, q] * v[t, d]
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            alpha = jnp.exp(m_prev - m_new)          # [BQG, 1]
+            p = jnp.exp(s - m_new)                   # [BQG, chunk_t]
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                        # [BQG, D]
-            acc_ref[h] = acc_ref[h] * alpha[0, :, None] + pv
+            )
             m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
         return carry
@@ -196,8 +195,8 @@ def _prefill_kernel(
     @pl.when(nc > 0)
     def _():
         for h in range(Hk):
-            l = l_ref[h, :1]                         # [1, BQG]
-            out = acc_ref[h] / jnp.maximum(l[0, :, None], 1e-20)
+            l = l_ref[h, :, :1]                      # [BQG, 1]
+            out = acc_ref[h] / jnp.maximum(l, 1e-20)
             o_ref[0, :, h] = out.reshape(
                 bq, G_PAD, out.shape[-1]
             ).astype(o_ref.dtype)
@@ -268,8 +267,8 @@ def paged_prefill_attention(
             pltpu.VMEM((2, Hk, chunk_t, D), k_cache.dtype),
             pltpu.VMEM((2, Hk, chunk_t, D), v_cache.dtype),
             pltpu.VMEM((Hk, bq * G_PAD, D), jnp.float32),
-            pltpu.VMEM((Hk, 8, bq * G_PAD), jnp.float32),
-            pltpu.VMEM((Hk, 8, bq * G_PAD), jnp.float32),
+            pltpu.VMEM((Hk, bq * G_PAD, 128), jnp.float32),
+            pltpu.VMEM((Hk, bq * G_PAD, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
