@@ -73,6 +73,10 @@ class ServerArgs:
     attn_tp_size: Optional[int] = None  # DP-attention: TP size for attention
     dense_tp_size: Optional[int] = None
     moe_parallel_strategy: str = "tp"  # tp | ep
+    enable_ep_dispatch: bool = False  # fixed-capacity all-to-all (DeepEP)
+    ep_dispatch_capacity_factor: float = 2.0
+    ep_num_redundant_experts: int = 0
+    enable_expert_distribution_recorder: bool = False
     dist_init_addr: Optional[str] = None
     nnodes: int = 1
     node_rank: int = 0

@@ -61,6 +61,12 @@ class DeepseekV2ForCausalLM:
         self.use_gmm = jax.default_backend() == "tpu"
         # set by ModelRunner when expert parallelism is enabled
         self.ep_mesh = None
+        # fixed-capacity all-to-all dispatch (DeepEP analog): set by the
+        # runner to an EpLocationTables to replace the replicated-token EP
+        self.ep_tables = None
+        self.ep_capacity_factor = 2.0
+        # ExpertDistributionRecorder hook (io_callback per MoE layer)
+        self.expert_recorder = None
         self.ep_axis = "tp"
         self.n_dense = max(
             c.first_k_dense_replace if c.is_moe else c.num_hidden_layers, 0
@@ -248,12 +254,36 @@ class DeepseekV2ForCausalLM:
         return (jax.nn.silu(x @ lp["gate_proj"])
                 * (x @ lp["up_proj"])) @ lp["down_proj"]
 
-    def _moe_mlp(self, lp, x):
+    def _moe_mlp(self, lp, x, layer_id=None):
         c = self.config
         B, S, H = x.shape
         flat = x.reshape(B * S, H)
         logits = flat @ lp["router"]
-        if self.ep_mesh is not None:
+        if self.expert_recorder is not None and layer_id is not None:
+            from sglang_fluentllm_tpu.ops.moe.topk import select_experts
+
+            _, rec_ids = select_experts(
+                logits, c, lp.get("correction_bias")
+            )
+            from jax.experimental import io_callback
+
+            io_callback(
+                self.expert_recorder.record, None, layer_id, rec_ids,
+                ordered=False,
+            )
+        if self.ep_mesh is not None and self.ep_tables is not None:
+            from sglang_fluentllm_tpu.parallel.ep_dispatch import (
+                moe_forward_ep_dispatch,
+            )
+
+            out = moe_forward_ep_dispatch(
+                flat, logits, lp["w_gate_up"], lp["w_down"], c,
+                mesh=self.ep_mesh, tables=self.ep_tables,
+                correction_bias=lp.get("correction_bias"),
+                capacity_factor=self.ep_capacity_factor,
+                axis=self.ep_axis,
+            )
+        elif self.ep_mesh is not None:
             from sglang_fluentllm_tpu.parallel.ep import moe_forward_ep
 
             out = moe_forward_ep(
@@ -302,7 +332,7 @@ class DeepseekV2ForCausalLM:
                 )
                 h = h + attn_out
                 normed2 = rms_norm(h, lp["post_attention_layernorm"], eps)
-                h = h + self._moe_mlp(lp, normed2)
+                h = h + self._moe_mlp(lp, normed2, layer_id)
                 return (h, kv_cache), None
 
             (h, kv_cache), _ = jax.lax.scan(

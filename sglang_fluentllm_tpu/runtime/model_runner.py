@@ -125,6 +125,31 @@ class ModelRunner:
             # derives from the TP group, parallel_state.py:1317)
             self.model.ep_mesh = self.mesh
             self.model.ep_axis = "tp"
+            if server_args.enable_ep_dispatch:
+                from sglang_fluentllm_tpu.parallel.ep_dispatch import (
+                    EpLocationTables,
+                )
+
+                self.model.ep_tables = EpLocationTables.identity(
+                    self.model_config.num_experts, server_args.tp_size
+                )
+                self.model.ep_capacity_factor = (
+                    server_args.ep_dispatch_capacity_factor
+                )
+        self.expert_recorder = None
+        if (
+            server_args.enable_expert_distribution_recorder
+            and self.model_config.is_moe
+        ):
+            from sglang_fluentllm_tpu.parallel.eplb import (
+                ExpertDistributionRecorder,
+            )
+
+            self.expert_recorder = ExpertDistributionRecorder(
+                self.model_config.num_hidden_layers,
+                self.model_config.num_experts,
+            )
+            self.model.expert_recorder = self.expert_recorder
 
         self.rng_base = jax.random.PRNGKey(server_args.random_seed or 0)
         self.step_counter = 0
@@ -603,6 +628,61 @@ class ModelRunner:
                 return None
         arr = np.asarray(jax.device_get(node)).reshape(-1)[:truncate_size]
         return arr.tolist()
+
+    def rebalance_experts(self):
+        """EPLB: re-derive expert placement from the recorded load and
+        apply it — redundant replicas + physical weight movement
+        (reference eplb_manager.rebalance:54 + expert_location.py). The
+        canonical logical weights are retained so repeated rebalances
+        re-materialize physical slots from a stable source."""
+        assert self.expert_recorder is not None, (
+            "--enable-expert-distribution-recorder required"
+        )
+        assert getattr(self.model, "ep_tables", None) is not None, (
+            "--enable-ep-dispatch required"
+        )
+        from jax.sharding import PartitionSpec as PS
+
+        from sglang_fluentllm_tpu.parallel.ep_dispatch import (
+            EpLocationTables,
+        )
+        from sglang_fluentllm_tpu.parallel.eplb import (
+            load_imbalance,
+            rebalance_experts,
+        )
+
+        n = self.server_args.tp_size
+        E = self.model_config.num_experts
+        n_phys = E + self.server_args.ep_num_redundant_experts
+        n_phys += (-n_phys) % n
+        # one placement shared across layers: aggregate load (the
+        # reference rebalances per layer; uniform placement keeps the
+        # layer scan shape-static)
+        load = self.expert_recorder.counts.sum(0)[None].astype(np.float64)
+        meta = rebalance_experts(load, n_phys, n)
+        tables = EpLocationTables.from_metadata(meta, 0, n)
+
+        ml = self.params["moe_layers"]
+        if not hasattr(self, "_logical_moe_w"):
+            self._logical_moe_w = (ml["w_gate_up"], ml["w_down"])
+        p2l = jnp.asarray(meta.physical_to_logical[0], jnp.int32)
+        w1p = jnp.take(self._logical_moe_w[0], p2l, axis=1)
+        w2p = jnp.take(self._logical_moe_w[1], p2l, axis=1)
+        if math.prod(self.mesh.devices.shape) > 1:
+            spec = NamedSharding(self.mesh, PS(None, "tp", None, None))
+            w1p = jax.device_put(w1p, spec)
+            w2p = jax.device_put(w2p, spec)
+        ml["w_gate_up"] = w1p
+        ml["w_down"] = w2p
+        self.model.ep_tables = tables
+        # tables are trace-time constants: drop the stale jit programs
+        self._init_jit()
+        imb = load_imbalance(load, meta, n)
+        logger.info(
+            "EPLB rebalance applied: physical=%d ranks=%d imbalance=%.3f",
+            n_phys, n, imb,
+        )
+        return meta
 
     def release_kv_cache(self):
         """Free the KV pool HBM (colocated-training sleep mode)."""

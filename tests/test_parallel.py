@@ -260,3 +260,127 @@ class TestDpAttention:
             np.testing.assert_array_equal(
                 ids_d[g * B_l:(g + 1) * B_l], np.asarray(ref_d)
             )
+
+
+class TestEpDispatch:
+    """Fixed-capacity all-to-all EP dispatch (DeepEP low-latency analog)."""
+
+    def _case(self, E=8, H=64, I=32, T=32, K=2, seed=0):
+        cfg = ModelConfig.from_hf_dict(dict(
+            TINY_DEEPSEEK_CFG, n_routed_experts=E, num_experts_per_tok=K
+        ))
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+        logits = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1,
+                         jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+        return cfg, x, logits, w1, w2
+
+    def test_dispatch_matches_dense(self):
+        from sglang_fluentllm_tpu.parallel.ep_dispatch import (
+            EpLocationTables,
+            moe_forward_ep_dispatch,
+        )
+
+        cfg, x, logits, w1, w2 = self._case()
+        ref = moe_forward(x, logits, w1, w2, cfg, use_gmm=False)
+        mesh = mk_mesh(dp=1, tp=8)
+        tables = EpLocationTables.identity(cfg.num_experts, 8)
+        out = moe_forward_ep_dispatch(
+            x, logits, w1, w2, cfg, mesh, tables, capacity_factor=8.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_dispatch_per_rank_token_counts(self):
+        """Tokens are sharded, not replicated: each rank receives at most
+        n_ranks * capacity assignments (the fixed-capacity contract)."""
+        from sglang_fluentllm_tpu.parallel.ep_dispatch import (
+            EpLocationTables,
+            moe_forward_ep_dispatch,
+        )
+
+        cfg, x, logits, w1, w2 = self._case(T=64)
+        mesh = mk_mesh(dp=1, tp=8)
+        tables = EpLocationTables.identity(cfg.num_experts, 8)
+        # tight capacity: still runs (drops allowed), output finite
+        out = moe_forward_ep_dispatch(
+            x, logits, w1, w2, cfg, mesh, tables, capacity_factor=0.5
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_eplb_rebalance_no_output_change(self):
+        """Redundant experts + a mid-serving rebalance alter
+        physical_to_rank but not the MoE output (VERDICT #5 done
+        criterion)."""
+        from sglang_fluentllm_tpu.parallel.ep_dispatch import (
+            EpLocationTables,
+            moe_forward_ep_dispatch,
+            physical_expert_weights,
+        )
+        from sglang_fluentllm_tpu.parallel.eplb import rebalance_experts
+
+        E, n = 8, 4
+        cfg, x, logits, w1, w2 = self._case(E=E)
+        ref = moe_forward(x, logits, w1, w2, cfg, use_gmm=False)
+        mesh = mk_mesh(dp=1, tp=n)
+
+        outs = []
+        metas = []
+        for load_seed in (1, 2):
+            load = np.random.RandomState(load_seed).rand(1, E) * 100
+            meta = rebalance_experts(load, num_physical=12, num_ranks=n)
+            metas.append(meta)
+            tables = EpLocationTables.from_metadata(meta, 0, n)
+            w1p = physical_expert_weights(w1, meta, 0)
+            w2p = physical_expert_weights(w2, meta, 0)
+            out = moe_forward_ep_dispatch(
+                x, logits, w1p, w2p, cfg, mesh, tables,
+                capacity_factor=8.0,
+            )
+            outs.append(np.asarray(out))
+        assert not np.array_equal(
+            metas[0].physical_to_rank, metas[1].physical_to_rank
+        ) or not np.array_equal(
+            metas[0].physical_to_logical, metas[1].physical_to_logical
+        )
+        np.testing.assert_allclose(outs[0], np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(outs[1], np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestEpDispatchEngine:
+    def test_engine_ep_dispatch_and_live_rebalance(self):
+        """Engine with --enable-ep-dispatch: outputs equal the dense
+        engine; the expert recorder sees traffic; a live EPLB rebalance
+        (with redundant experts) changes placement but not greedy
+        output (VERDICT #5 done criterion, serving path)."""
+        cfg = dict(TINY_DEEPSEEK_CFG)
+        cfg["n_routed_experts"] = 8
+        sp = {"max_new_tokens": 5, "temperature": 0.0}
+        prompt = [3, 11, 42, 7, 19, 2, 9]
+        e1 = tiny_engine(cfg)
+        ref = e1.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+        e2 = tiny_engine(
+            cfg, tp_size=4, moe_parallel_strategy="ep",
+            enable_ep_dispatch=True, ep_dispatch_capacity_factor=8.0,
+            ep_num_redundant_experts=4,
+            enable_expert_distribution_recorder=True,
+        )
+        e2.runner.expert_recorder.start()
+        got = e2.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+        assert got == ref
+        rec = e2.runner.expert_recorder
+        assert rec.counts.sum() > 0
+        old_tables = e2.runner.model.ep_tables
+        meta = e2.runner.rebalance_experts()
+        assert meta.num_physical == 12  # 8 + 4 redundant
+        assert e2.runner.model.ep_tables is not old_tables
+        e2.flush_cache()
+        got2 = e2.generate(
+            input_ids=prompt, sampling_params=sp
+        )["output_ids"]
+        assert got2 == ref
