@@ -16,6 +16,7 @@ Conventions (mirroring reference semantics, ``allocator.py:60-180``):
 
 from __future__ import annotations
 
+import heapq
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -34,7 +35,11 @@ class KVAllocator:
         self.max_reqs = max_reqs
         self.max_pages_per_req = -(-max_context_len // page_size)
         # page ids 1..num_pages are allocatable; 0 is the padding page.
-        self._free_pages: List[int] = list(range(num_pages, 0, -1))
+        # Min-heap: allocation always returns the LOWEST free ids, so a
+        # multi-page grab from an un-fragmented region is a consecutive
+        # ascending run — the layout the Pallas kernels' coalesced-run DMA
+        # fast path wants (pallas_decode_multirow page-run contract).
+        self._free_pages: List[int] = list(range(1, num_pages + 1))
         self.page_table = np.zeros(
             (max_reqs, self.max_pages_per_req), dtype=np.int32
         )
@@ -53,15 +58,14 @@ class KVAllocator:
             return None
         if n == 0:
             return []
-        pages = self._free_pages[-n:][::-1]
-        del self._free_pages[-n:]
-        return pages
+        return [heapq.heappop(self._free_pages) for _ in range(n)]
 
     def free_pages(self, pages: Sequence[int]):
         if self._free_group is not None:
             self._free_group.extend(int(p) for p in pages)
         else:
-            self._free_pages.extend(int(p) for p in pages)
+            for p in pages:
+                heapq.heappush(self._free_pages, int(p))
 
     def free_group_begin(self):
         if self._free_group is None:
@@ -70,7 +74,8 @@ class KVAllocator:
     def free_group_end(self):
         group, self._free_group = self._free_group, None
         if group:
-            self._free_pages.extend(group)
+            for p in group:
+                heapq.heappush(self._free_pages, p)
 
     def free_group_take(self):
         """Close the group and hand its pages to the caller (who releases
@@ -80,7 +85,8 @@ class KVAllocator:
 
     def release_pages(self, pages: Sequence[int]):
         """Return deferred pages to the free list immediately."""
-        self._free_pages.extend(int(p) for p in pages)
+        for p in pages:
+            heapq.heappush(self._free_pages, int(p))
 
     # ------------------------------------------------------------------
     def pages_needed(self, alloced_len: int, extend_len: int) -> int:
@@ -155,6 +161,6 @@ class KVAllocator:
         self.page_table[req_idx, start:end] = 0
 
     def clear(self):
-        self._free_pages = list(range(self.num_pages, 0, -1))
+        self._free_pages = list(range(1, self.num_pages + 1))
         self.page_table[:] = 0
         self._free_group = None

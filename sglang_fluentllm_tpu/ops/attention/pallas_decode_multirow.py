@@ -84,68 +84,71 @@ def _mr_kernel(
     def chunk_of(t):
         return t % max_chunks
 
-    def chunk_is_run(b, c):
-        """True iff every page the chunk actually needs is consecutive."""
-        n_pages = pl.cdiv(seq_lens_ref[b], ps)
-        base = c * ppc
-        ok = jnp.bool_(True)
-        for i in range(1, ppc):
-            needed = base + i < n_pages
-            consec = (
-                page_tables_ref[b, base + i]
-                == page_tables_ref[b, base] + i
-            )
-            ok = ok & (consec | ~needed)
-        return ok
-
-    def dmas(slot, t):
-        """DMA descriptors for flat work item t. Start and wait rebuild the
-        same predicated list, so semaphore counts always match. When the
-        host proved every chunk is a consecutive page run (``run_only``),
-        the per-page fallback descriptors are not even compiled — their
-        predicate evaluation otherwise dominates the fast path."""
+    def big_dmas(slot, t):
+        """Unconditional chunk DMA assuming pages are the consecutive run
+        starting at the chunk's first page (the common allocator layout;
+        wrong pages are patched by fixup_dmas)."""
         b = row_of(t)
         c = chunk_of(t)
         first = page_tables_ref[b, c * ppc]
-        always = jnp.bool_(True)
-        run = always if run_only else chunk_is_run(b, c)
         out = []
         for h in range(Hk):
-            out.append((run, pltpu.make_async_copy(
+            out.append(pltpu.make_async_copy(
                 k_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
                 k_buf.at[slot, h], sem.at[slot, 0],
-            )))
-            out.append((run, pltpu.make_async_copy(
+            ))
+            out.append(pltpu.make_async_copy(
                 v_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
                 v_buf.at[slot, h], sem.at[slot, 1],
-            )))
-            if run_only:
-                continue
-            for i in range(ppc):
-                page = page_tables_ref[b, c * ppc + i]
-                out.append((~run, pltpu.make_async_copy(
+            ))
+        return out
+
+    def fixup_dmas(slot, t):
+        """Per-page patch DMAs for pages that are NOT first+i; one
+        predicate guards the whole (k, v) x heads group of a page."""
+        b = row_of(t)
+        c = chunk_of(t)
+        first = page_tables_ref[b, c * ppc]
+        n_pages = pl.cdiv(seq_lens_ref[b], ps)
+        out = []
+        for i in range(ppc):
+            page = page_tables_ref[b, c * ppc + i]
+            bad = (page != first + i) & (c * ppc + i < n_pages)
+            grp = []
+            for h in range(Hk):
+                grp.append(pltpu.make_async_copy(
                     k_hbm.at[layer, h, pl.ds(page * ps, ps), :],
                     k_buf.at[slot, h, pl.ds(i * ps, ps), :],
                     sem.at[slot, 0],
-                )))
-                out.append((~run, pltpu.make_async_copy(
+                ))
+                grp.append(pltpu.make_async_copy(
                     v_hbm.at[layer, h, pl.ds(page * ps, ps), :],
                     v_buf.at[slot, h, pl.ds(i * ps, ps), :],
                     sem.at[slot, 1],
-                )))
+                ))
+            out.append((bad, grp))
         return out
 
     def start(slot, t):
-        for cond, dma in dmas(slot, t):
-            @pl.when(cond)
-            def _():
-                dma.start()
+        for dma in big_dmas(slot, t):
+            dma.start()
 
-    def wait(slot, t):
-        for cond, dma in dmas(slot, t):
+    def wait_and_fixup(slot, t):
+        for dma in big_dmas(slot, t):
+            dma.wait()
+        if run_only:
+            return
+        fixes = fixup_dmas(slot, t)
+        for cond, grp in fixes:
             @pl.when(cond)
             def _():
-                dma.wait()
+                for dma in grp:
+                    dma.start()
+        for cond, grp in fixes:
+            @pl.when(cond)
+            def _():
+                for dma in grp:
+                    dma.wait()
 
     def valid(t):
         # t is clamped by callers so row_of(t) stays in range
@@ -173,7 +176,7 @@ def _mr_kernel(
 
         @pl.when(valid(t))
         def _():
-            wait(slot, t)
+            wait_and_fixup(slot, t)
 
             @pl.when(c == 0)
             def _():

@@ -83,60 +83,64 @@ def _mla_kernel(
     def chunk_of(t):
         return t % max_chunks
 
-    def chunk_is_run(b, c):
-        n_pages = pl.cdiv(seq_lens_ref[b], ps)
-        base = c * ppc
-        ok = jnp.bool_(True)
-        for i in range(1, ppc):
-            needed = base + i < n_pages
-            consec = (
-                page_tables_ref[b, base + i]
-                == page_tables_ref[b, base] + i
-            )
-            ok = ok & (consec | ~needed)
-        return ok
-
-    def dmas(slot, t):
+    def big_dmas(slot, t):
         b = row_of(t)
         c = chunk_of(t)
-        run = jnp.bool_(True) if run_only else chunk_is_run(b, c)
         first = page_tables_ref[b, c * ppc]
-        out = [(run, pltpu.make_async_copy(
+        out = [pltpu.make_async_copy(
             c0_hbm.at[layer, pl.ds(first * ps, chunk_t), :],
             b0.at[slot], sem.at[slot, 0],
-        ))]
+        )]
         if fp8:
-            out.append((run, pltpu.make_async_copy(
+            out.append(pltpu.make_async_copy(
                 c1_hbm.at[layer, pl.ds(first * ps, chunk_t), :],
                 b1.at[slot], sem.at[slot, 1],
-            )))
-        if not run_only:
-            for i in range(ppc):
-                page = page_tables_ref[b, c * ppc + i]
-                out.append((~run, pltpu.make_async_copy(
-                    c0_hbm.at[layer, pl.ds(page * ps, ps), :],
-                    b0.at[slot, pl.ds(i * ps, ps), :],
-                    sem.at[slot, 0],
-                )))
-                if fp8:
-                    out.append((~run, pltpu.make_async_copy(
-                        c1_hbm.at[layer, pl.ds(page * ps, ps), :],
-                        b1.at[slot, pl.ds(i * ps, ps), :],
-                        sem.at[slot, 1],
-                    )))
+            ))
+        return out
+
+    def fixup_dmas(slot, t):
+        b = row_of(t)
+        c = chunk_of(t)
+        first = page_tables_ref[b, c * ppc]
+        n_pages = pl.cdiv(seq_lens_ref[b], ps)
+        out = []
+        for i in range(ppc):
+            page = page_tables_ref[b, c * ppc + i]
+            bad = (page != first + i) & (c * ppc + i < n_pages)
+            grp = [pltpu.make_async_copy(
+                c0_hbm.at[layer, pl.ds(page * ps, ps), :],
+                b0.at[slot, pl.ds(i * ps, ps), :],
+                sem.at[slot, 0],
+            )]
+            if fp8:
+                grp.append(pltpu.make_async_copy(
+                    c1_hbm.at[layer, pl.ds(page * ps, ps), :],
+                    b1.at[slot, pl.ds(i * ps, ps), :],
+                    sem.at[slot, 1],
+                ))
+            out.append((bad, grp))
         return out
 
     def start(slot, t):
-        for cond, dma in dmas(slot, t):
-            @pl.when(cond)
-            def _():
-                dma.start()
+        for dma in big_dmas(slot, t):
+            dma.start()
 
-    def wait(slot, t):
-        for cond, dma in dmas(slot, t):
+    def wait_and_fixup(slot, t):
+        for dma in big_dmas(slot, t):
+            dma.wait()
+        if run_only:
+            return
+        fixes = fixup_dmas(slot, t)
+        for cond, grp in fixes:
             @pl.when(cond)
             def _():
-                dma.wait()
+                for dma in grp:
+                    dma.start()
+        for cond, grp in fixes:
+            @pl.when(cond)
+            def _():
+                for dma in grp:
+                    dma.wait()
 
     def valid(t):
         b = row_of(t)
@@ -162,7 +166,7 @@ def _mla_kernel(
 
         @pl.when(valid(t))
         def _():
-            wait(slot, t)
+            wait_and_fixup(slot, t)
 
             @pl.when(c == 0)
             def _():

@@ -82,59 +82,62 @@ def _prefill_kernel(
     has_work = (qb * bq < q_len)
     nc = jnp.where(has_work, nc, 0)
 
-    def chunk_is_run(c):
-        n_pages = pl.cdiv(seq_len, ps)
-        base = c * ppc
-        ok = jnp.bool_(True)
-        for i in range(1, ppc):
-            needed = base + i < n_pages
-            consec = (
-                page_tables_ref[b, base + i]
-                == page_tables_ref[b, base] + i
-            )
-            ok = ok & (consec | ~needed)
-        return ok
-
-    def dmas(slot, c):
-        run = jnp.bool_(True) if run_only else chunk_is_run(c)
+    def big_dmas(slot, c):
         first = page_tables_ref[b, c * ppc]
         out = []
         for h in range(Hk):
-            out.append((run, pltpu.make_async_copy(
+            out.append(pltpu.make_async_copy(
                 k_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
                 k_buf.at[slot, h], sem.at[slot, 0],
-            )))
-            out.append((run, pltpu.make_async_copy(
+            ))
+            out.append(pltpu.make_async_copy(
                 v_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
                 v_buf.at[slot, h], sem.at[slot, 1],
-            )))
-            if run_only:
-                continue
-            for i in range(ppc):
-                page = page_tables_ref[b, c * ppc + i]
-                out.append((~run, pltpu.make_async_copy(
+            ))
+        return out
+
+    def fixup_dmas(slot, c):
+        first = page_tables_ref[b, c * ppc]
+        n_pages = pl.cdiv(seq_len, ps)
+        out = []
+        for i in range(ppc):
+            page = page_tables_ref[b, c * ppc + i]
+            bad = (page != first + i) & (c * ppc + i < n_pages)
+            grp = []
+            for h in range(Hk):
+                grp.append(pltpu.make_async_copy(
                     k_hbm.at[layer, h, pl.ds(page * ps, ps), :],
                     k_buf.at[slot, h, pl.ds(i * ps, ps), :],
                     sem.at[slot, 0],
-                )))
-                out.append((~run, pltpu.make_async_copy(
+                ))
+                grp.append(pltpu.make_async_copy(
                     v_hbm.at[layer, h, pl.ds(page * ps, ps), :],
                     v_buf.at[slot, h, pl.ds(i * ps, ps), :],
                     sem.at[slot, 1],
-                )))
+                ))
+            out.append((bad, grp))
         return out
 
     def start(slot, c):
-        for cond, dma in dmas(slot, c):
-            @pl.when(cond)
-            def _():
-                dma.start()
+        for dma in big_dmas(slot, c):
+            dma.start()
 
-    def wait(slot, c):
-        for cond, dma in dmas(slot, c):
+    def wait_and_fixup(slot, c):
+        for dma in big_dmas(slot, c):
+            dma.wait()
+        if run_only:
+            return
+        fixes = fixup_dmas(slot, c)
+        for cond, grp in fixes:
             @pl.when(cond)
             def _():
-                dma.wait()
+                for dma in grp:
+                    dma.start()
+        for cond, grp in fixes:
+            @pl.when(cond)
+            def _():
+                for dma in grp:
+                    dma.wait()
 
     o_ref[:] = jnp.zeros_like(o_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -159,7 +162,7 @@ def _prefill_kernel(
         def _():
             start(jax.lax.rem(c + 1, 2), c + 1)
 
-        wait(slot, c)
+        wait_and_fixup(slot, c)
 
         t_pos = c * chunk_t + t_base
         mask = (t_pos <= q_pos) & (s_row < q_len)

@@ -593,9 +593,9 @@ class Scheduler:
                 return self._launch_extend(prefill_reqs, items)
         if self.running_batch:
             if self.spec is not None:
-                reqs, items = self.prepare_spec()
+                reqs, items, drafts = self.prepare_spec()
                 if items:
-                    return self._launch_spec(reqs, items)
+                    return self._launch_spec(reqs, items, drafts)
                 return None
             reqs, items = self.prepare_decode()
             if items:
@@ -610,6 +610,7 @@ class Scheduler:
         reqs: List[Req] = []
         items: List[DecodeItem] = []
         i = 0
+        pld = self.spec.algorithm == "PLD"
         while i < len(self.running_batch):
             req = self.running_batch[i]
             if (
@@ -641,9 +642,20 @@ class Scheduler:
             )
             reqs.append(req)
             i += 1
-        return reqs, items
+        drafts = None
+        if pld and reqs:
+            from sglang_fluentllm_tpu.spec.spec_worker import (
+                propose_pld_drafts,
+            )
 
-    def _launch_spec(self, reqs, items) -> InFlightBatch:
+            drafts = np.stack([
+                propose_pld_drafts(
+                    r.origin_input_ids + r.output_ids, K
+                ) for r in reqs
+            ])
+        return reqs, items, drafts
+
+    def _launch_spec(self, reqs, items, drafts=None) -> InFlightBatch:
         from sglang_fluentllm_tpu.runtime.forward_batch import ForwardMode as FM
 
         K = self.spec.num_steps
@@ -651,7 +663,10 @@ class Scheduler:
             items, mode=FM.TARGET_VERIFY
         )
         sampling = self._sampling_meta(reqs, batch.batch_size)
-        tokens, counts, logprobs = self.spec.forward_spec(batch, sampling)
+        tokens, counts, logprobs = self.spec.forward_spec(
+            batch, sampling, drafts=drafts,
+            req_idx=[r.req_pool_idx for r in reqs],
+        )
         for req in reqs:
             req.inflight += K + 1
             req.num_computed_tokens = req.seq_len - 1 + K + 1
@@ -764,12 +779,20 @@ class Scheduler:
         batch = self.runner.batch_builder.build_extend(items)
         sampling = self._sampling_meta(reqs, batch.batch_size)
         offset = self.runner.claim_future_slots(batch.batch_size)
-        ids, logprobs, extras = self.runner.forward_batch_generation(
-            batch, sampling, offset
-        )
-        if self.spec is not None:
-            # draft-side prefill so draft KV covers the prompt
-            self.spec.forward_draft_extend(batch, sampling)
+        if self.spec is not None and self.spec.needs_prefill_hook:
+            # NEXTN: fused target-prefill + draft prefill + hidden init
+            ids, logprobs = self.spec.forward_prefill(
+                batch, sampling, offset,
+                [r.req_pool_idx for r in reqs],
+            )
+            extras = None
+        else:
+            ids, logprobs, extras = self.runner.forward_batch_generation(
+                batch, sampling, offset
+            )
+            if self.spec is not None:
+                # draft-side prefill so draft KV covers the prompt
+                self.spec.forward_draft_extend(batch, sampling)
         this_extends = []
         sampled = []
         mixed = []

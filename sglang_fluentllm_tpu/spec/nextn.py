@@ -1,0 +1,195 @@
+"""NEXTN / MTP draft module sharing the target's embeddings and lm-head.
+
+Analog of the reference's MTP draft family (``models/deepseek_nextn.py``,
+``models/flash_nextn.py`` — LongCat's NEXTN draft; scaffolding in
+``speculative/base_spec_worker.py:144`` where the drafter borrows the
+target's embedding and lm-head). Architecture (DeepSeek-V3 MTP):
+
+    x   = eh_proj @ [ RMSNorm(embed(tok)) ; RMSNorm(h_target) ]
+    h'  = DecoderLayer(x)            # one llama-style layer with own KV
+    p   = lm_head(RMSNorm(h'))
+
+The draft chains on its own hidden state within a speculative window
+(EAGLE-style): step j+1 consumes (embed(d_j), h'_j).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_fluentllm_tpu.config.model_config import ModelConfig
+from sglang_fluentllm_tpu.ops.layernorm import rms_norm
+from sglang_fluentllm_tpu.ops.rotary import RotaryEmbedding, apply_rope
+from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+
+
+class NextNDraftModel:
+    """One-layer MTP draft; embeddings/lm-head are read from the TARGET's
+    params at call time (zero duplicated weight memory)."""
+
+    def __init__(self, config: ModelConfig, target_model, attn_backend):
+        self.config = config
+        self.target = target_model
+        self.attn = attn_backend
+        self.sm_scale = 1.0 / math.sqrt(config.head_dim)
+        self.rope = RotaryEmbedding(
+            config.head_dim,
+            config.max_position_embeddings,
+            config.rope_theta,
+            config.rope_scaling,
+        )
+
+    # -- params --------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H = c.hidden_size
+        D, Hq, Hk = c.head_dim, c.num_attention_heads, c.num_key_value_heads
+        I = c.intermediate_size
+        return {
+            "enorm": (H,),
+            "hnorm": (H,),
+            "eh_proj": (2 * H, H),
+            "final_norm": (H,),
+            "layer": {
+                "input_layernorm": (H,),
+                "post_attention_layernorm": (H,),
+                "q_proj": (H, Hq * D),
+                "k_proj": (H, Hk * D),
+                "v_proj": (H, Hk * D),
+                "o_proj": (Hq * D, H),
+                "gate_proj": (H, I),
+                "up_proj": (H, I),
+                "down_proj": (I, H),
+            },
+        }
+
+    def param_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        return jax.tree.map(lambda _: P(), self.param_shapes())
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        rng = np.random.RandomState(seed)
+
+        def build(tree):
+            if isinstance(tree, dict):
+                return {k: build(v) for k, v in tree.items()}
+            return jnp.asarray(
+                rng.standard_normal(tree).astype(np.float32) * 0.02, dtype
+            )
+
+        p = build(self.param_shapes())
+        for k in ("enorm", "hnorm", "final_norm"):
+            p[k] = jnp.ones_like(p[k])
+        for k in ("input_layernorm", "post_attention_layernorm"):
+            p["layer"][k] = jnp.ones_like(p["layer"][k])
+        return p
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        """HF MTP checkpoint names (deepseek_v3 mtp / nextn layout)."""
+        staging: Dict[str, Any] = {"layer": {}}
+        name_map = {
+            "enorm.weight": "enorm",
+            "hnorm.weight": "hnorm",
+            "eh_proj.weight": ("eh_proj", True),
+            "shared_head.norm.weight": "final_norm",
+            "final_layernorm.weight": "final_norm",
+        }
+        layer_map = {
+            "self_attn.q_proj.weight": ("q_proj", True),
+            "self_attn.k_proj.weight": ("k_proj", True),
+            "self_attn.v_proj.weight": ("v_proj", True),
+            "self_attn.o_proj.weight": ("o_proj", True),
+            "mlp.gate_proj.weight": ("gate_proj", True),
+            "mlp.up_proj.weight": ("up_proj", True),
+            "mlp.down_proj.weight": ("down_proj", True),
+            "input_layernorm.weight": ("input_layernorm", False),
+            "post_attention_layernorm.weight": (
+                "post_attention_layernorm", False),
+        }
+        for name, w in named_tensors:
+            n = name
+            for pref in ("model.layers.0.", "model.", "layers.0.", "mtp."):
+                if n.startswith(pref):
+                    n = n[len(pref):]
+            if n in name_map:
+                spec = name_map[n]
+                if isinstance(spec, tuple):
+                    staging[spec[0]] = w.T if spec[1] else w
+                else:
+                    staging[spec] = w
+            elif n in layer_map:
+                key, t = layer_map[n]
+                staging["layer"][key] = w.T if t else w
+        out = {}
+        for k, shape in self.param_shapes().items():
+            if k == "layer":
+                out["layer"] = {
+                    kk: jnp.asarray(staging["layer"][kk], dtype)
+                    for kk in shape
+                }
+            else:
+                out[k] = jnp.asarray(staging[k], dtype)
+        return out
+
+    # -- forward -------------------------------------------------------
+    def _layer(self, params, kv_cache, x, batch: ForwardBatch):
+        c = self.config
+        lp = params["layer"]
+        B, S, H = x.shape
+        Hq, Hk, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        eps = c.rms_norm_eps
+        normed = rms_norm(x, lp["input_layernorm"], eps)
+        q = (normed @ lp["q_proj"]).reshape(B, S, Hq, D)
+        k = (normed @ lp["k_proj"]).reshape(B, S, Hk, D)
+        v = (normed @ lp["v_proj"]).reshape(B, S, Hk, D)
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn_out, kv_cache = self.attn(
+            kv_cache, 0, q, k, v, batch, self.sm_scale
+        )
+        x = x + attn_out.reshape(B, S, Hq * D) @ lp["o_proj"]
+        normed2 = rms_norm(x, lp["post_attention_layernorm"], eps)
+        mlp = (jax.nn.silu(normed2 @ lp["gate_proj"])
+               * (normed2 @ lp["up_proj"])) @ lp["down_proj"]
+        return x + mlp, kv_cache
+
+    def fuse(self, params, target_params, tokens, hidden):
+        """[..., H] draft input from (token embedding, carried hidden)."""
+        c = self.config
+        emb = jnp.take(target_params["embed_tokens"], tokens, axis=0)
+        cat = jnp.concatenate(
+            [
+                rms_norm(emb, params["enorm"], c.rms_norm_eps),
+                rms_norm(
+                    hidden.astype(emb.dtype), params["hnorm"],
+                    c.rms_norm_eps,
+                ),
+            ],
+            axis=-1,
+        )
+        return cat @ params["eh_proj"]
+
+    def forward(self, params, target_params, kv_cache, batch: ForwardBatch,
+                hidden):
+        """hidden: target hidden states aligned with batch.input_ids
+        ([B, S, H]). Returns (kv_cache, draft hidden [B, S, H])."""
+        x = self.fuse(params, target_params, batch.input_ids, hidden)
+        h, kv_cache = self._layer(params, kv_cache, x, batch)
+        return kv_cache, h
+
+    def compute_logits(self, params, target_params, hidden):
+        c = self.config
+        h = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
+        if c.tie_word_embeddings or "lm_head" not in target_params:
+            w = target_params["embed_tokens"].T
+        else:
+            w = target_params["lm_head"]
+        return (h @ w).astype(jnp.float32)

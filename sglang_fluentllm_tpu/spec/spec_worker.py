@@ -1,31 +1,35 @@
 """Speculative decoding: draft + verify + sample fused in ONE jitted program.
 
 Analog of the reference's ``speculative/`` stack (``base_spec_worker.py:44``,
-``eagle_worker.py``, ``spec_decoding_cuda_graph_runner.py:91`` — whose
-headline is fusing draft(multi-step)+target-verify+sample into a single CUDA
-graph). On TPU the whole window is one XLA program by construction
-(SURVEY §7 phase 5).
+``eagle_worker.py``, ``pld_worker.py``, ``spec_decoding_cuda_graph_runner.py:91``
+— whose headline is fusing draft(multi-step)+target-verify+sample into a
+single CUDA graph). On TPU the whole window is one XLA program by
+construction (SURVEY §7 phase 5).
+
+Algorithms:
+
+- **EAGLE** (standalone draft checkpoint): k fused draft steps + verify.
+- **NEXTN / MTP** (reference ``models/deepseek_nextn.py`` /
+  ``flash_nextn.py``): a one-layer draft FED BY TARGET HIDDEN STATES and
+  sharing the target's embedding/lm-head (``base_spec_worker.py:144``).
+  The carried hidden state lives in a device-resident ``[max_reqs, H]``
+  array indexed by req slot — no host round-trip between windows.
+- **PLD** (prompt-lookup decoding, reference ``pld_worker.py:15-76``):
+  drafts come from an n-gram match over the request's own token history
+  (host-side numpy — the sequences live on the host anyway), verified by
+  the same fused target program; no draft model at all.
 
 Chain speculation (topk=1, the reference's production config
-``Quick_Start.md:28-60`` NEXTN steps=3 topk=1):
-
-- draft proposes d_1..d_k by k fused single-token steps;
-- target verifies the window [t_last, d_1..d_k] in one extend forward
-  (k+1 logit rows);
-- acceptance is exact-match against the target's own sampled token per
-  position (greedy: argmax match) — LOSSLESS: every emitted token is a
-  target-model sample; the accepted prefix plus one bonus token advance
-  the sequence by accept_len+1;
-- KV bookkeeping needs no rollback: the next window's first position
-  overwrites any stale slots (chain property), and the draft cache shares
-  the target's page table (reference shares req_to_token, SURVEY B.1).
+``Quick_Start.md:28-60`` NEXTN steps=3 topk=1). Acceptance is exact-match
+against the target's own sampled token per position — LOSSLESS: every
+emitted token is a target-model sample regardless of draft quality.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,42 +38,45 @@ import numpy as np
 from sglang_fluentllm_tpu.config import ModelConfig, ServerArgs
 from sglang_fluentllm_tpu.mem.kv_cache import create_kv_cache
 from sglang_fluentllm_tpu.models import get_model_class
-from sglang_fluentllm_tpu.ops.sampler import sample
+from sglang_fluentllm_tpu.ops.sampler import compute_logprobs, sample
 from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch, ForwardMode
-from sglang_fluentllm_tpu.runtime.packing import unpack_batch
+from sglang_fluentllm_tpu.runtime.packing import pack_batch, unpack_batch
 from sglang_fluentllm_tpu.runtime.weight_loader import load_model_params
 
 logger = logging.getLogger(__name__)
 
 
+def propose_pld_drafts(token_ids: List[int], k: int,
+                       max_ngram: int = 3) -> np.ndarray:
+    """Prompt-lookup: find the most recent earlier occurrence of the
+    current suffix n-gram and copy the k tokens that followed it
+    (reference pld_worker.py ngram_matching semantics, host-side)."""
+    seq = np.asarray(token_ids, np.int32)
+    L = len(seq)
+    for n in range(min(max_ngram, L - 1), 0, -1):
+        suffix = seq[L - n:]
+        # search latest i < L-n with seq[i:i+n] == suffix
+        for i in range(L - n - 1, -1, -1):
+            if np.array_equal(seq[i : i + n], suffix):
+                cont = seq[i + n : i + n + k]
+                out = np.zeros((k,), np.int32)
+                out[: len(cont)] = cont
+                return out
+    return np.zeros((k,), np.int32)
+
+
 class SpecWorker:
-    """Owns the draft model + the fused spec-decode program."""
+    """Owns the draft (model or lookup) + the fused spec-decode programs."""
 
     def __init__(self, runner, server_args: ServerArgs):
         self.runner = runner
         self.algorithm = server_args.speculative_algorithm
         self.num_steps = server_args.speculative_num_steps
-        assert server_args.speculative_draft_model_path, (
-            "speculative decoding requires --speculative-draft-model-path"
-        )
-        self.draft_config = ModelConfig.from_model_path(
-            server_args.speculative_draft_model_path,
-            context_length=server_args.context_length,
-        )
-        draft_cls = get_model_class(self.draft_config.architectures)
-        self.draft_model = draft_cls(self.draft_config, runner.attn_backend)
+        self.draft_model = None
+        self.draft_params = None
+        self.draft_kv = None
+        self.hidden_state = None
 
-        draft_args = dataclasses.replace(
-            server_args,
-            model_path=server_args.speculative_draft_model_path,
-        )
-        draft_params = load_model_params(
-            self.draft_model, draft_args, runner.dtype
-        )
-        self.draft_params = runner._shard(
-            draft_params, self.draft_model.param_specs()
-        )
-        # draft KV pool mirrors the target's slot space (shared page table)
         from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
             RUN_SLACK_PAGES,
         )
@@ -77,35 +84,268 @@ class SpecWorker:
         num_slots = (
             (runner.num_pages + 1 + RUN_SLACK_PAGES) * server_args.page_size
         )
-        self.draft_kv = create_kv_cache(
-            self.draft_config, num_slots, dtype=runner.dtype,
-            kv_cache_dtype=server_args.kv_cache_dtype,
-        )
+
+        if self.algorithm == "PLD":
+            pass  # lookup drafts need no model
+        elif self.algorithm in ("NEXTN", "EAGLE3"):
+            from sglang_fluentllm_tpu.spec.nextn import NextNDraftModel
+
+            if server_args.speculative_draft_model_path:
+                self.draft_config = ModelConfig.from_model_path(
+                    server_args.speculative_draft_model_path,
+                    context_length=server_args.context_length,
+                )
+            else:
+                # geometry defaults to the target's (shared embed/lm-head
+                # forces matching hidden/vocab anyway)
+                self.draft_config = runner.model_config
+            self.draft_model = NextNDraftModel(
+                self.draft_config, runner.model, runner.attn_backend
+            )
+            if server_args.speculative_draft_model_path:
+                draft_args = dataclasses.replace(
+                    server_args,
+                    model_path=server_args.speculative_draft_model_path,
+                )
+                draft_params = load_model_params(
+                    self.draft_model, draft_args, runner.dtype
+                )
+            else:
+                draft_params = self.draft_model.init_dummy_params(
+                    seed=1, dtype=runner.dtype
+                )
+            self.draft_params = runner._shard(
+                draft_params, self.draft_model.param_specs()
+            )
+            one_layer = dataclasses.replace(
+                self.draft_config, num_hidden_layers=1
+            )
+            self.draft_kv = create_kv_cache(
+                one_layer, num_slots, dtype=runner.dtype,
+            )
+            H = runner.model_config.hidden_size
+            self.hidden_state = jnp.zeros(
+                (runner.max_reqs, H), runner.dtype
+            )
+        else:  # EAGLE: standalone draft checkpoint
+            assert server_args.speculative_draft_model_path, (
+                "EAGLE requires --speculative-draft-model-path"
+            )
+            self.draft_config = ModelConfig.from_model_path(
+                server_args.speculative_draft_model_path,
+                context_length=server_args.context_length,
+            )
+            draft_cls = get_model_class(self.draft_config.architectures)
+            self.draft_model = draft_cls(
+                self.draft_config, runner.attn_backend
+            )
+            draft_args = dataclasses.replace(
+                server_args,
+                model_path=server_args.speculative_draft_model_path,
+            )
+            draft_params = load_model_params(
+                self.draft_model, draft_args, runner.dtype
+            )
+            self.draft_params = runner._shard(
+                draft_params, self.draft_model.param_specs()
+            )
+            self.draft_kv = create_kv_cache(
+                self.draft_config, num_slots, dtype=runner.dtype,
+                kv_cache_dtype=server_args.kv_cache_dtype,
+            )
         self._init_jit()
         logger.info(
-            "spec decoding: %s, draft=%s, steps=%d",
-            self.algorithm,
-            self.draft_config.architectures,
-            self.num_steps,
+            "spec decoding: %s, steps=%d", self.algorithm, self.num_steps
         )
 
     # ------------------------------------------------------------------
     def _init_jit(self):
         target = self.runner.model
         draft = self.draft_model
-        cap = self.runner.FUTURE_CAP
         base_key = self.runner.rng_base
+        algo = self.algorithm
 
+        def _verify(params_t, kv_t, batch, window, sampling, key0, K, B):
+            """One target extend over [t_last, d_1..d_K]; exact-match
+            acceptance; returns (kv_t, h, out_tokens, counts, logprobs)."""
+            base_seq = batch.seq_lens
+            pos = base_seq[:, None] - 1 + jnp.arange(K + 1)[None, :]
+            verify = ForwardBatch(
+                input_ids=window,
+                positions=pos.astype(jnp.int32),
+                out_cache_loc=batch.out_cache_loc,
+                page_tables=batch.page_tables,
+                seq_lens=base_seq + K,
+                q_lens=jnp.where(batch.q_lens > 0, K + 1, 0),
+                mode=ForwardMode.TARGET_VERIFY,
+                page_size=batch.page_size,
+                pages_are_runs=batch.pages_are_runs,
+            )
+            kv_t, h = target.forward(params_t, kv_t, verify)
+            logits = target.compute_logits(
+                params_t, h.reshape(B * (K + 1), -1)
+            ).reshape(B, K + 1, -1)
+
+            t_samp = jnp.stack(
+                [
+                    sample(logits[:, j], sampling,
+                           jax.random.fold_in(key0, j))
+                    for j in range(K + 1)
+                ],
+                axis=1,
+            )                                            # [B, K+1]
+            drafts = window[:, 1:]
+            matches = t_samp[:, :K] == drafts            # [B, K]
+            prefix_ok = jnp.cumprod(matches.astype(jnp.int32), axis=1)
+            accept = jnp.sum(prefix_ok, axis=1)          # [B] in [0, K]
+            jidx = jnp.arange(K + 1)[None, :]
+            bonus = jnp.take_along_axis(t_samp, accept[:, None], axis=1)
+            out_tokens = jnp.where(
+                jidx < accept[:, None],
+                jnp.pad(drafts, ((0, 0), (0, 1))),
+                jnp.where(jidx == accept[:, None], bonus, -1),
+            ).astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            safe = jnp.maximum(out_tokens, 0)
+            out_logprobs = jnp.take_along_axis(
+                logp, safe[:, :, None], axis=2
+            )[..., 0]
+            return kv_t, h, out_tokens, accept + 1, out_logprobs
+
+        if algo == "PLD":
+            def pld_fn(params_t, kv_t, ints, floats, meta):
+                K = meta.S - 1
+                B = meta.B
+                drafts = ints[-(B * K + 1):-1].reshape(B, K)
+                batch, sampling = unpack_batch(
+                    ints[: -(B * K + 2)], floats, meta, None
+                )
+                key0 = jax.random.fold_in(base_key, ints[-1])
+                t_last = batch.input_ids[:, 0]
+                window = jnp.concatenate(
+                    [t_last[:, None], drafts], axis=1
+                )
+                kv_t, _h, toks, counts, lps = _verify(
+                    params_t, kv_t, batch, window, sampling, key0, K, B
+                )
+                return kv_t, toks, counts, lps
+
+            self._pld_step = jax.jit(
+                pld_fn, donate_argnums=(1,), static_argnums=(4,)
+            )
+            return
+
+        if algo in ("NEXTN", "EAGLE3"):
+            def nextn_fn(params_t, kv_t, params_d, kv_d, hid_state,
+                         ints, floats, meta):
+                K = meta.S - 1
+                B = meta.B
+                req_idx = ints[-(B + 1):-1]
+                batch, sampling = unpack_batch(
+                    ints[: -(B + 2)], floats, meta, None
+                )
+                key0 = jax.random.fold_in(base_key, ints[-1])
+                t_last = batch.input_ids[:, 0]
+                slots = batch.out_cache_loc
+                base_seq = batch.seq_lens
+                hid0 = hid_state[req_idx]                # [B, H]
+
+                def dstep(carry, j):
+                    kv_d, tok, hid = carry
+                    sub = ForwardBatch(
+                        input_ids=tok[:, None],
+                        positions=(base_seq - 1 + j)[:, None],
+                        out_cache_loc=jax.lax.dynamic_slice_in_dim(
+                            slots, j, 1, axis=1
+                        ),
+                        page_tables=batch.page_tables,
+                        seq_lens=base_seq + j,
+                        q_lens=batch.q_lens,
+                        mode=ForwardMode.DECODE,
+                        page_size=meta.page_size,
+                        pages_are_runs=meta.runs,
+                    )
+                    kv_d, hd = draft.forward(
+                        params_d, params_t, kv_d, sub, hid[:, None]
+                    )
+                    logits = draft.compute_logits(
+                        params_d, params_t, hd[:, 0]
+                    )
+                    d = sample(logits, sampling,
+                               jax.random.fold_in(key0, 1000 + j))
+                    return (kv_d, d, hd[:, 0]), d
+
+                (kv_d, _, _), drafts = jax.lax.scan(
+                    dstep, (kv_d, t_last, hid0),
+                    jnp.arange(K + 1, dtype=jnp.int32),
+                )
+                drafts = drafts.T[:, :K]
+                window = jnp.concatenate(
+                    [t_last[:, None], drafts], axis=1
+                )
+                kv_t, h, toks, counts, lps = _verify(
+                    params_t, kv_t, batch, window, sampling, key0, K, B
+                )
+                # carry hidden of the last ACCEPTED position for the next
+                # window's first draft step
+                new_hid = jnp.take_along_axis(
+                    h, (counts - 1)[:, None, None], axis=1
+                )[:, 0].astype(hid_state.dtype)
+                hid_state = hid_state.at[req_idx].set(new_hid)
+                return kv_t, kv_d, hid_state, toks, counts, lps
+
+            self._spec_step = jax.jit(
+                nextn_fn, donate_argnums=(1, 3, 4), static_argnums=(7,)
+            )
+
+            def nextn_prefill(params_t, kv_t, params_d, kv_d, hid_state,
+                              future_map, ints, floats, meta):
+                """Target prefill + sample + draft-layer prefill + hidden
+                state init, fused (reference forward_prefill_spec +
+                capture_hidden_mode=FULL)."""
+                B = meta.B
+                req_idx = ints[-(B + 2):-2]
+                write_offset = ints[-2]
+                batch, sampling = unpack_batch(
+                    ints[: -(B + 2)], floats, meta, None
+                )
+                key = jax.random.fold_in(base_key, ints[-1])
+                kv_t, h = target.forward(params_t, kv_t, batch)
+                idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
+                h_last = jnp.take_along_axis(
+                    h, idx[:, None, None], axis=1
+                )[:, 0]
+                logits = target.compute_logits(params_t, h_last)
+                ids = sample(logits, sampling, key)
+                logprobs = compute_logprobs(logits, ids)
+                # draft prefill over the same tokens, fed by target hidden
+                kv_d, _hd = draft.forward(
+                    params_d, params_t, kv_d, batch, h
+                )
+                hid_state = hid_state.at[req_idx].set(
+                    h_last.astype(hid_state.dtype)
+                )
+                future_map = jax.lax.dynamic_update_slice(
+                    future_map, ids, (write_offset,)
+                )
+                return kv_t, kv_d, hid_state, future_map, ids, logprobs
+
+            self._spec_prefill = jax.jit(
+                nextn_prefill, donate_argnums=(1, 3, 4, 5),
+                static_argnums=(8,),
+            )
+            return
+
+        # ---- EAGLE (standalone draft model) ----
         def spec_fn(params_t, kv_t, params_d, kv_d, ints, floats, meta):
             batch, sampling = unpack_batch(ints[:-2], floats, meta, None)
             key0 = jax.random.fold_in(base_key, ints[-1])
-            K = meta.S - 1  # draft tokens per window
+            K = meta.S - 1
             B = meta.B
-            t_last = batch.input_ids[:, 0]              # [B]
-            slots = batch.out_cache_loc                 # [B, K+1]
-            base_seq = batch.seq_lens                   # [B] incl. t_last
+            t_last = batch.input_ids[:, 0]
+            slots = batch.out_cache_loc
+            base_seq = batch.seq_lens
 
-            # ---- draft phase: K fused single-token steps ----
             def dstep(carry, j):
                 kv_d, tok = carry
                 sub = ForwardBatch(
@@ -119,70 +359,23 @@ class SpecWorker:
                     q_lens=batch.q_lens,
                     mode=ForwardMode.DECODE,
                     page_size=meta.page_size,
+                    pages_are_runs=meta.runs,
                 )
                 kv_d, h = draft.forward(params_d, kv_d, sub)
                 logits = draft.compute_logits(params_d, h[:, 0])
-                d = sample(logits, sampling, jax.random.fold_in(key0, 1000 + j))
+                d = sample(logits, sampling,
+                           jax.random.fold_in(key0, 1000 + j))
                 return (kv_d, d), d
 
-            # K+1 steps: the extra step writes the draft KV of d_K (needed
-            # by the next window when the full chain is accepted); its
-            # output is discarded.
             (kv_d, _), drafts = jax.lax.scan(
                 dstep, (kv_d, t_last), jnp.arange(K + 1, dtype=jnp.int32)
             )
-            drafts = drafts.T[:, :K]                     # [B, K] = d_1..d_K
-
-            # ---- verify phase: one target extend over the window ----
+            drafts = drafts.T[:, :K]
             window = jnp.concatenate([t_last[:, None], drafts], axis=1)
-            pos = base_seq[:, None] - 1 + jnp.arange(K + 1)[None, :]
-            verify = ForwardBatch(
-                input_ids=window,
-                positions=pos.astype(jnp.int32),
-                out_cache_loc=slots,
-                page_tables=batch.page_tables,
-                seq_lens=base_seq + K,
-                q_lens=jnp.where(batch.q_lens > 0, K + 1, 0),
-                mode=ForwardMode.TARGET_VERIFY,
-                page_size=meta.page_size,
+            kv_t, _h, toks, counts, lps = _verify(
+                params_t, kv_t, batch, window, sampling, key0, K, B
             )
-            kv_t, h = target.forward(params_t, kv_t, verify)  # [B, K+1, H]
-            logits = target.compute_logits(
-                params_t, h.reshape(B * (K + 1), -1)
-            ).reshape(B, K + 1, -1)
-
-            # target's own sample at every position (lossless acceptance)
-            def tsample(j):
-                return sample(
-                    logits[:, j], sampling, jax.random.fold_in(key0, j)
-                )
-
-            t_samp = jnp.stack(
-                [tsample(j) for j in range(K + 1)], axis=1
-            )                                            # [B, K+1]
-
-            # accept d_j while it equals the target sample at j-1
-            matches = t_samp[:, :K] == drafts            # [B, K]
-            prefix_ok = jnp.cumprod(matches.astype(jnp.int32), axis=1)
-            accept = jnp.sum(prefix_ok, axis=1)          # [B] in [0, K]
-            # emitted tokens: d_1..d_accept then bonus = t_samp[:, accept]
-            jidx = jnp.arange(K + 1)[None, :]
-            bonus = jnp.take_along_axis(
-                t_samp, accept[:, None], axis=1
-            )                                            # [B, 1]
-            out_tokens = jnp.where(
-                jidx < accept[:, None],
-                jnp.pad(drafts, ((0, 0), (0, 1))),
-                jnp.where(jidx == accept[:, None], bonus, -1),
-            ).astype(jnp.int32)                          # [B, K+1]
-            logp = jax.nn.log_softmax(
-                logits.astype(jnp.float32), axis=-1
-            )
-            safe = jnp.maximum(out_tokens, 0)
-            out_logprobs = jnp.take_along_axis(
-                logp, safe[:, :, None], axis=2
-            )[..., 0]
-            return kv_t, kv_d, out_tokens, accept + 1, out_logprobs
+            return kv_t, kv_d, toks, counts, lps
 
         self._spec_step = jax.jit(
             spec_fn, donate_argnums=(1, 3), static_argnums=(6,)
@@ -201,10 +394,33 @@ class SpecWorker:
         )
 
     # ------------------------------------------------------------------
-    def forward_draft_extend(self, batch: ForwardBatch, sampling):
-        """Populate draft KV for a prefill/chunk batch."""
-        from sglang_fluentllm_tpu.runtime.packing import pack_batch
+    @property
+    def needs_prefill_hook(self) -> bool:
+        return self.algorithm in ("NEXTN", "EAGLE3")
 
+    def forward_prefill(self, batch: ForwardBatch, sampling,
+                        future_offset: int, req_idx: List[int]):
+        """NEXTN fused prefill (target + draft + hidden init)."""
+        r = self.runner
+        r.step_counter += 1
+        ints, floats, meta = pack_batch(batch, sampling)
+        ri = np.zeros((meta.B,), np.int32)
+        ri[: len(req_idx)] = req_idx
+        ints = np.concatenate(
+            [ints, ri, [future_offset % r.FUTURE_CAP, r.step_counter]]
+        ).astype(np.int32)
+        (r.kv_cache, self.draft_kv, self.hidden_state, r.future_map,
+         ids, logprobs) = self._spec_prefill(
+            r.params, r.kv_cache, self.draft_params, self.draft_kv,
+            self.hidden_state, r.future_map,
+            jnp.asarray(ints), jnp.asarray(floats), meta,
+        )
+        return ids, logprobs
+
+    def forward_draft_extend(self, batch: ForwardBatch, sampling):
+        """EAGLE: populate draft KV for a prefill/chunk batch."""
+        if self.algorithm == "PLD":
+            return
         ints, floats, meta = pack_batch(batch, sampling)
         ints = np.concatenate([ints, [0, 0]]).astype(np.int32)
         self.draft_kv = self._draft_extend(
@@ -212,14 +428,41 @@ class SpecWorker:
             jnp.asarray(ints), jnp.asarray(floats), meta,
         )
 
-    def forward_spec(self, batch: ForwardBatch, sampling) -> Tuple:
+    def forward_spec(self, batch: ForwardBatch, sampling,
+                     drafts: Optional[np.ndarray] = None,
+                     req_idx: Optional[List[int]] = None) -> Tuple:
         """Returns device arrays (tokens [B, K+1] -1-padded, counts [B],
         logprobs [B, K+1])."""
-        from sglang_fluentllm_tpu.runtime.packing import pack_batch
-
         r = self.runner
         r.step_counter += 1
         ints, floats, meta = pack_batch(batch, sampling)
+        if self.algorithm == "PLD":
+            K = meta.S - 1
+            d = np.zeros((meta.B, K), np.int32)
+            if drafts is not None:
+                d[: drafts.shape[0]] = drafts
+            ints = np.concatenate(
+                [ints, d.reshape(-1), [0, r.step_counter]]
+            ).astype(np.int32)
+            r.kv_cache, tokens, counts, logprobs = self._pld_step(
+                r.params, r.kv_cache,
+                jnp.asarray(ints), jnp.asarray(floats), meta,
+            )
+            return tokens, counts, logprobs
+        if self.algorithm in ("NEXTN", "EAGLE3"):
+            ri = np.zeros((meta.B,), np.int32)
+            if req_idx:
+                ri[: len(req_idx)] = req_idx
+            ints = np.concatenate(
+                [ints, ri, [0, r.step_counter]]
+            ).astype(np.int32)
+            (r.kv_cache, self.draft_kv, self.hidden_state, tokens,
+             counts, logprobs) = self._spec_step(
+                r.params, r.kv_cache, self.draft_params, self.draft_kv,
+                self.hidden_state,
+                jnp.asarray(ints), jnp.asarray(floats), meta,
+            )
+            return tokens, counts, logprobs
         ints = np.concatenate([ints, [0, r.step_counter]]).astype(np.int32)
         (r.kv_cache, self.draft_kv, tokens, counts,
          logprobs) = self._spec_step(

@@ -28,7 +28,9 @@ def make_case(B, Hq, Hk, D, page_size, max_pages, seq_lens, seed=0,
     from sglang_fluentllm_tpu.mem.kv_cache import padded_head_dim
 
     rng = np.random.RandomState(seed)
-    num_pages = B * max_pages + 1
+    # +16 slack pages: the big-DMA+fixup kernels may over-read one chunk
+    # past any page (RUN_SLACK_PAGES pool contract)
+    num_pages = B * max_pages + 1 + 16
     slots = num_pages * page_size
     Dp = padded_head_dim(D)
     k_cache = np.zeros((Hk, slots, Dp), np.float32)
@@ -38,8 +40,9 @@ def make_case(B, Hq, Hk, D, page_size, max_pages, seq_lens, seed=0,
     # zero the padding page so masked reads are benign
     k_cache[:, :page_size] = 0
     v_cache[:, :page_size] = 0
-    # each request gets its own distinct pages (shuffled, page 0 reserved)
-    perm = rng.permutation(num_pages - 1) + 1
+    # each request gets its own distinct pages (shuffled, page 0 reserved,
+    # slack pages at the pool end left free)
+    perm = rng.permutation(num_pages - 17) + 1
     page_tables = np.zeros((B, max_pages), np.int32)
     for i in range(B):
         n = -(-int(seq_lens[i]) // page_size)

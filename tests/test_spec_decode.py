@@ -92,3 +92,57 @@ class TestSpeculativeDecoding:
         # perfect draft: all full windows accept K+1 = 4
         assert req.spec_accept_lengths
         assert all(a == 4 for a in req.spec_accept_lengths[:-1])
+
+
+class TestPLD:
+    def test_pld_lossless(self, baseline):
+        e = tiny_engine(speculative_algorithm="PLD",
+                        speculative_num_steps=3)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+
+    def test_pld_repetitive_prompt_accepts(self):
+        """A looping sequence is exactly what prompt-lookup predicts:
+        accept length must beat 1 on average."""
+        e = tiny_engine(speculative_algorithm="PLD",
+                        speculative_num_steps=3)
+        rep = [5, 6, 7, 8] * 6
+        ref = tiny_engine().generate(
+            input_ids=rep, sampling_params={"max_new_tokens": 12,
+                                            "temperature": 0.0}
+        )["output_ids"]
+        out = e.generate(input_ids=rep,
+                         sampling_params={"max_new_tokens": 12,
+                                          "temperature": 0.0})
+        assert out["output_ids"] == ref
+
+    def test_pld_proposer(self):
+        from sglang_fluentllm_tpu.spec.spec_worker import propose_pld_drafts
+
+        d = propose_pld_drafts([1, 2, 3, 9, 1, 2, 3], k=3)
+        assert d.tolist() == [9, 1, 2]
+        d2 = propose_pld_drafts([4, 4, 4, 4], k=2)
+        assert d2.tolist() == [4, 0]  # continuation clipped at seq end
+        d3 = propose_pld_drafts([1, 2, 3], k=2)
+        assert d3.tolist() == [0, 0]  # no earlier occurrence
+
+
+class TestNextN:
+    def test_nextn_dummy_draft_lossless(self, baseline):
+        """NEXTN with RANDOM draft weights (no checkpoint): acceptance is
+        near zero but greedy output must still equal the target-only
+        run — the losslessness contract of MTP speculation."""
+        e = tiny_engine(speculative_algorithm="NEXTN",
+                        speculative_num_steps=2)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+
+    def test_nextn_batch(self, baseline):
+        e = tiny_engine(speculative_algorithm="NEXTN",
+                        speculative_num_steps=2)
+        outs = e.generate(
+            input_ids=[PROMPT, [9, 8, 7], list(range(1, 12))],
+            sampling_params=SP,
+        )
+        assert outs[0]["output_ids"] == baseline
+        assert all(len(o["output_ids"]) == 13 for o in outs)

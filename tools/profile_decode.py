@@ -148,12 +148,15 @@ def profile_full(runner):
         [0.0] * B, [1.0] * B, [-1] * B, [0.0] * B, batch.batch_size
     )
     results = {}
-    for label, backend in [
-        ("paged (current prod)", PagedAttentionBackend()),
-        ("ref dense-gather", RefAttentionBackend()),
-        ("stub write-only", StubBackend()),
-        ("stub no-write", StubNoWriteBackend()),
-    ]:
+    import os as _os
+    sel = _os.environ.get("PROF_BACKENDS", "paged,stub_nowrite").split(",")
+    all_b = {
+        "paged": ("paged (current prod)", PagedAttentionBackend()),
+        "ref": ("ref dense-gather", RefAttentionBackend()),
+        "stub_write": ("stub write-only", StubBackend()),
+        "stub_nowrite": ("stub no-write", StubNoWriteBackend()),
+    }
+    for label, backend in [all_b[k] for k in sel if k in all_b]:
         runner.model.attn = backend
         runner.attn_backend = backend
         runner._init_jit()
