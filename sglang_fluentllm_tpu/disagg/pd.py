@@ -24,6 +24,7 @@ import time
 from typing import Any, Dict, List, Optional
 
 from sglang_fluentllm_tpu.disagg.conn import (
+    ChunkedKVSender,
     HttpKVSender,
     KVPoll,
     deserialize_kv,
@@ -54,57 +55,79 @@ class PDManager:
         decode_url: Optional[str],
         decode_prefix_len: int = 0,
     ) -> Dict[str, Any]:
+        """Chunk-streamed prefill: every page-aligned chunk ships to the
+        decode server WHILE later chunks still compute (reference
+        prefill.py:599 send_kv_chunk / mooncake LayerWiseTask overlap);
+        the decode-side cached prefix (decode_prefix_len) is skipped."""
         sp = dict(sampling_params)
         sp["max_new_tokens"] = 1
         t0 = time.time()
-        out = await self.engine.generate(
-            input_ids=input_ids, sampling_params=sp
-        )
-        first_token = out["output_ids"][0] if out["output_ids"] else None
-
         ps = self.page_size
-        aligned = (len(input_ids) // ps) * ps
-        dpl = (decode_prefix_len // ps) * ps
-
-        def _extract():
-            sched = self.engine.scheduler
-            m = sched.tree_cache.match_prefix(list(input_ids[:aligned]))
-            if m.prefix_len < aligned:
-                # part of the prompt was evicted already; send what we have
-                pass
-            span_pages = m.page_ids[dpl // ps : m.prefix_len // ps]
-            if not span_pages:
-                return None, m.prefix_len
-            return self.engine.runner.extract_pages(span_pages), m.prefix_len
-
-        ok, res = await self.engine._run_rpc(_extract)
-        if not ok:
-            return {"success": False, "message": str(res)}
-        blob, have = res
-        pages_sent = 0
-        if decode_url:
-            num_pages = max(0, (have - dpl) // ps) if blob is not None else 0
-            meta = {
-                "room": room,
-                "first_token": first_token,
-                "token_ids": list(input_ids),
-                "start_page": dpl // ps,
-                "num_pages": num_pages,
+        if not decode_url:
+            out = await self.engine.generate(
+                input_ids=input_ids, sampling_params=sp
+            )
+            first = out["output_ids"][0] if out["output_ids"] else None
+            return {
+                "success": True, "first_token": first, "pages_sent": 0,
+                "prefill_latency": time.time() - t0,
             }
-            sender = HttpKVSender(
-                decode_url, api_key=self.engine.server_args.api_key
+
+        rid = f"pdp-{room}"
+        dpl = (decode_prefix_len // ps) * ps
+        max_page = len(input_ids) // ps
+        sender = ChunkedKVSender(
+            decode_url, room, api_key=self.engine.server_args.api_key
+        )
+        sent = {"pages": dpl // ps}
+        runner = self.engine.runner
+
+        def on_chunk(req, aligned, pages, final):
+            # scheduler thread: async device gather only; the sender's
+            # worker thread does the readback + POST
+            start = sent["pages"]
+            end = min(aligned // ps, max_page)
+            if end <= start:
+                return
+            dev, n = runner.extract_pages_device(pages[start:end])
+            sender.enqueue_device(dev, n, {
+                "start_page": start,
+                "num_pages": end - start,
+                "token_ids": list(input_ids[: end * ps]),
+                "last": False,
+            })
+            sent["pages"] = end
+
+        def _register():
+            self.engine.scheduler.chunk_listeners[rid] = on_chunk
+            return True
+
+        await self.engine._run_rpc(_register)
+        try:
+            out = await self.engine.generate(
+                input_ids=input_ids, sampling_params=sp, rid=rid
             )
-            payload = serialize_kv(blob if blob is not None else (), meta)
-            poll = await asyncio.get_running_loop().run_in_executor(
-                None, sender.send, payload
+        finally:
+            await self.engine._run_rpc(
+                lambda: self.engine.scheduler.chunk_listeners.pop(rid, None)
             )
-            if poll != KVPoll.Success:
-                return {"success": False, "message": "kv transfer failed"}
-            pages_sent = num_pages
+        first = out["output_ids"][0] if out["output_ids"] else None
+        sender.finish({
+            "start_page": sent["pages"], "num_pages": 0,
+            "token_ids": list(input_ids), "last": True,
+            "first_token": first,
+        })
+        poll = await asyncio.get_running_loop().run_in_executor(
+            None, sender.wait_done
+        )
+        if poll != KVPoll.Success:
+            return {"success": False, "message": "kv transfer failed",
+                    "chunks": sender.chunks_sent}
         return {
             "success": True,
-            "first_token": first_token,
-            "pages_sent": pages_sent,
+            "first_token": first,
+            "pages_sent": sent["pages"] - dpl // ps,
+            "chunks": sender.chunks_sent,
             "prefill_latency": time.time() - t0,
         }
 
@@ -130,6 +153,8 @@ class PDManager:
             "prefix_len": prefix_len if ok else 0,
             "event": asyncio.Event(),
             "result": None,
+            "chunks": 0,
+            "last_activity": time.time(),
         }
         return {"room": room, "decode_prefix_len": prefix_len if ok else 0}
 
@@ -195,11 +220,17 @@ class PDManager:
         ok, msg = await self.engine._run_rpc(_install)
         if not ok:
             return {"success": False, "message": str(msg)}
+        state["chunks"] += 1
+        state["last_activity"] = time.time()
+        if not meta.get("last", True):
+            # mid-stream chunk: more to come while prefill still computes
+            return {"success": True, "chunk": state["chunks"]}
 
-        # submit the continuation with the prefill-produced first token
+        # final chunk: submit the continuation with the prefill-produced
+        # first token
         state["first_token"] = meta.get("first_token")
         asyncio.get_running_loop().create_task(self._run_decode(room))
-        return {"success": True}
+        return {"success": True, "chunk": state["chunks"]}
 
     async def _run_decode(self, room: str):
         state = self.rooms[room]
@@ -220,13 +251,31 @@ class PDManager:
         finally:
             state["event"].set()
 
-    async def wait_result(self, room: str, timeout: float = 600.0):
+    async def wait_result(self, room: str, timeout: float = 600.0,
+                          stall_ttl: float = 60.0):
+        """Waits for the room's decode result. A room whose transfer goes
+        quiet for ``stall_ttl`` seconds before completion is FAILED
+        instead of hanging — the failure-detection role of the reference's
+        mooncake heartbeat (``conn.py:554-609``): a dead prefill peer
+        aborts the request, not the server."""
         state = self.rooms.get(room)
         if state is None:
             return {"error": f"unknown room {room}"}
-        try:
-            await asyncio.wait_for(state["event"].wait(), timeout)
-        except asyncio.TimeoutError:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                await asyncio.wait_for(state["event"].wait(), 2.0)
+                break
+            except asyncio.TimeoutError:
+                started = state.get("first_token") is not None
+                stalled = (
+                    not started
+                    and time.time() - state["last_activity"] > stall_ttl
+                )
+                if stalled:
+                    self.rooms.pop(room, None)
+                    return {"error": "pd transfer stalled (peer lost)"}
+        if not state["event"].is_set():
             return {"error": "pd decode timeout"}
         self.rooms.pop(room, None)
         return state["result"]

@@ -373,7 +373,11 @@ class HttpServer:
 
     async def pd_result(self, request: web.Request) -> web.Response:
         body = await request.json()
-        out = await self._pd().wait_result(body["room"])
+        out = await self._pd().wait_result(
+            body["room"],
+            timeout=float(body.get("timeout", 600.0)),
+            stall_ttl=float(body.get("stall_ttl", 60.0)),
+        )
         if out is None or "error" in (out or {}):
             return web.json_response(out or {}, status=500)
         return web.json_response(self._strip(out))

@@ -20,8 +20,11 @@ kernel).
 
 from __future__ import annotations
 
+import concurrent.futures
+import dataclasses
 import hashlib
 import logging
+import threading
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -38,29 +41,35 @@ def page_hash_chain(prev_hash: str, page_tokens: Sequence[int]) -> str:
 
 
 class HostKVPool:
-    """LRU host tier: page_hash -> per-page KV blob (numpy pytree)."""
+    """LRU host tier: page_hash -> per-page KV blob (numpy pytree).
+    Thread-safe: the async write-back worker puts while the scheduler
+    thread matches/gets (reference HiCacheController write queue role)."""
 
     def __init__(self, max_pages: int):
         self.max_pages = max_pages
         self._pages: "OrderedDict[str, Any]" = OrderedDict()
+        self._lock = threading.Lock()
 
     def get(self, key: str):
-        blob = self._pages.get(key)
-        if blob is not None:
-            self._pages.move_to_end(key)
-        return blob
+        with self._lock:
+            blob = self._pages.get(key)
+            if blob is not None:
+                self._pages.move_to_end(key)
+            return blob
 
     def put(self, key: str, blob) -> List[Tuple[str, Any]]:
         """Insert; returns (key, blob) pairs spilled past capacity."""
-        self._pages[key] = blob
-        self._pages.move_to_end(key)
-        spilled = []
-        while len(self._pages) > self.max_pages:
-            spilled.append(self._pages.popitem(last=False))
-        return spilled
+        with self._lock:
+            self._pages[key] = blob
+            self._pages.move_to_end(key)
+            spilled = []
+            while len(self._pages) > self.max_pages:
+                spilled.append(self._pages.popitem(last=False))
+            return spilled
 
     def __contains__(self, key):
-        return key in self._pages
+        with self._lock:
+            return key in self._pages
 
     def __len__(self):
         return len(self._pages)
@@ -78,6 +87,13 @@ class HiCacheController:
         self.page_size = page_size
         self.host = HostKVPool(max(1, host_size_tokens // page_size))
         self.storage = storage
+        # background movers (reference HiCacheController write/load
+        # queues + storage prefetch threads, cache_controller.py:232):
+        # the scheduler thread only LAUNCHES device programs; blocking
+        # device<->host transfers happen here
+        self._io = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="hicache-io"
+        )
         # stats
         self.num_write_back = 0
         self.num_host_hits = 0
@@ -186,7 +202,116 @@ class HiCacheController:
         )
         return end
 
+    # ---- async paths (reference LayerDoneCounter/queue analog) --------
+    def write_back_async(self, token_prefix: List[int], pages):
+        """Launch the page gather on-device (async dispatch), then hand
+        the device->host readback + host-pool insert to the IO thread so
+        eviction never blocks the scheduler. Safe because freed pages sit
+        in the deferred-free hazard window until in-flight forwards
+        resolve, and the gather is dispatched before any reuse."""
+        n = len(pages)
+        if n == 0:
+            return
+        token_prefix = list(token_prefix)
+        pages = list(pages)
+        dev, _ = self.runner.extract_pages_device(pages)
+
+        def _complete():
+            import jax
+
+            host = jax.device_get(dev)
+            blobs = tuple(np.asarray(x[:, :n]) for x in host)
+            self._store_blobs(token_prefix, pages, blobs)
+
+        self._io.submit(_complete)
+
+    def _store_blobs(self, token_prefix, pages, blobs):
+        ps = self.page_size
+        n = len(pages)
+        start_page = (len(token_prefix) - n * ps) // ps
+        h = self._chain_to(token_prefix, start_page)
+        for i in range(n):
+            lo = (start_page + i) * ps
+            h = page_hash_chain(h, token_prefix[lo : lo + ps])
+            spilled = self.host.put(h, self._slice_blob(blobs, i))
+            self.num_write_back += 1
+            if self.storage is not None:
+                for key, blob in spilled:
+                    self.storage.set(key, blob)
+
+    def start_load(self, fill_ids: List[int], prefix_len: int,
+                   allocator, tree_cache) -> Optional["HiCacheLoadJob"]:
+        """Phase 1 (scheduler thread): match the host tier, reserve
+        device pages, and kick the host->device staging transfer to the
+        IO thread. Returns None when there is nothing to load."""
+        keys, blobs = self.match_extra(fill_ids, prefix_len)
+        if not blobs:
+            return None
+        pages = allocator.alloc_pages(len(blobs))
+        if pages is None:
+            tree_cache.evict(
+                len(blobs) - allocator.available_pages(),
+                allocator.release_pages,
+                on_evict=self.write_back_async,
+            )
+            pages = allocator.alloc_pages(len(blobs))
+        if pages is None:
+            avail = allocator.available_pages()
+            if avail == 0:
+                return None
+            blobs = blobs[:avail]
+            pages = allocator.alloc_pages(len(blobs))
+            if pages is None:
+                return None
+
+        def _stage():
+            import jax.numpy as jnp
+
+            stacked = self.runner.stack_page_blobs(pages, blobs)
+            return tuple(jnp.asarray(x) for x in stacked)
+
+        return HiCacheLoadJob(
+            fill_ids=list(fill_ids),
+            prefix_len=prefix_len,
+            pages=list(pages),
+            n_tokens=len(blobs) * self.page_size,
+            staged=self._io.submit(_stage),
+        )
+
+    def finish_load(self, job: "HiCacheLoadJob", allocator,
+                    tree_cache) -> int:
+        """Phase 2 (scheduler thread, after job.ready()): async scatter
+        into the pool + radix insert. Returns the new prefix length."""
+        staged = job.staged.result()
+        self.runner.insert_staged(job.pages, staged)
+        ps = self.page_size
+        end = job.prefix_len + len(job.pages) * ps
+        m = tree_cache.match_prefix(job.fill_ids[: job.prefix_len])
+        dev_pages = m.page_ids + job.pages
+        dup = tree_cache.insert(job.fill_ids[:end], dev_pages)
+        if dup > job.prefix_len:
+            mm = tree_cache.match_prefix(job.fill_ids[:end])
+            extra = [p for p in job.pages if p not in set(mm.page_ids)]
+            allocator.release_pages(extra)
+        logger.debug("hicache async load: +%d tokens", job.n_tokens)
+        return end
+
     @staticmethod
     def _slice_blob(blobs, i):
         """blobs = tuple of arrays with the page axis second -> one page."""
         return tuple(np.ascontiguousarray(x[:, i]) for x in blobs)
+
+
+@dataclasses.dataclass
+class HiCacheLoadJob:
+    """An in-flight host->device prefix load (two-phase, reference
+    PrefetchOperation analog)."""
+
+    fill_ids: List[int]
+    prefix_len: int
+    pages: List[int]
+    n_tokens: int
+    staged: "concurrent.futures.Future"
+
+    def ready(self) -> bool:
+        return self.staged.done()

@@ -71,12 +71,13 @@ class MLAPagedBackend(RefMLABackend):
             q = jnp.zeros((B, H, r + tail_pad), jnp.float32)
             q = q.at[..., :r].set(q_abs)
             q = q.at[..., r : r + dr].set(q_pe[:, 0].astype(jnp.float32))
-            ctx = mla_decode_multirow_fp8(
+            ctx, ckv2, tail2 = mla_decode_multirow_fp8(
                 q, kv_cache.ckv, kv_cache.tail, layer_id,
                 batch.page_tables, batch.seq_lens,
                 page_size=batch.page_size, sm_scale=sm_scale, rope_dr=dr,
                 run_only=batch.pages_are_runs,
             )
+            kv_cache = MLAKVCacheFP8(ckv=ckv2, tail=tail2)
         else:
             assert isinstance(kv_cache, MLAKVCache)
             kv_cache = mla_write(
@@ -94,12 +95,14 @@ class MLAPagedBackend(RefMLABackend):
             q = q.at[..., r_pad : r_pad + dr].set(
                 q_pe[:, 0].astype(jnp.float32)
             )
-            ctx = mla_decode_multirow(
+            ctx, lat2 = mla_decode_multirow(
                 q, kv_cache.lat, layer_id,
                 batch.page_tables, batch.seq_lens,
                 page_size=batch.page_size, sm_scale=sm_scale, r_dim=r_pad,
                 run_only=batch.pages_are_runs,
-            )[..., :r]
+            )
+            ctx = ctx[..., :r]
+            kv_cache = MLAKVCache(lat=lat2)
 
         ctx = ctx.astype(jnp.float32)[..., :r]
         out = jnp.einsum("bhr,hrd->bhd", ctx, w_vc.astype(jnp.float32))

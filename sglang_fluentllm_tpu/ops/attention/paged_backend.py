@@ -63,13 +63,15 @@ class PagedAttentionBackend(RefAttentionBackend):
             paged_decode_multirow,
         )
 
-        # stacked-cache call: no per-layer dynamic-slice copy of the pool
-        out = paged_decode_multirow(
+        # stacked-cache call: no per-layer dynamic-slice copy of the pool;
+        # the pool threads THROUGH the kernel (aliased) to stay in place
+        out, k2, v2 = paged_decode_multirow(
             q2, kv_cache.k, kv_cache.v, layer_id,
             batch.page_tables, batch.seq_lens,
             page_size=batch.page_size, sm_scale=sm_scale,
             logit_cap=logit_cap, run_only=batch.pages_are_runs,
         )
+        kv_cache = MHAKVCache(k=k2, v=v2)
         return out[:, None, :, :D], kv_cache
 
     def _extend(self, kv_cache, layer_id, q, k_new, v_new, batch,
@@ -89,10 +91,11 @@ class PagedAttentionBackend(RefAttentionBackend):
         q2 = q
         if Dp != D:
             q2 = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
-        out = paged_prefill_attention(
+        out, k2, v2 = paged_prefill_attention(
             q2, kv_cache.k, kv_cache.v, layer_id,
             batch.page_tables, batch.seq_lens, batch.q_lens,
             page_size=batch.page_size, sm_scale=sm_scale,
             logit_cap=logit_cap, run_only=batch.pages_are_runs,
         )
+        kv_cache = MHAKVCache(k=k2, v=v2)
         return out[..., :D], kv_cache

@@ -54,6 +54,8 @@ def _mr_kernel(
     v_hbm,             # [L, Hk, slots, D] HBM
     # outputs
     o_ref,             # [rows, Hk, G_PAD, D] VMEM
+    k_out,             # aliased passthrough of k_hbm (keeps the pool
+    v_out,             # update chain in-place across the layer scan)
     # scratch
     k_buf,             # [2, Hk, chunk_t, D] VMEM
     v_buf,             # [2, Hk, chunk_t, D] VMEM
@@ -289,9 +291,13 @@ def paged_decode_multirow(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (rows, Hk, G_PAD, D), lambda blk, *_: (blk, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (rows, Hk, G_PAD, D), lambda blk, *_: (blk, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, Hk, chunk_t, D), k_cache.dtype),
@@ -312,10 +318,18 @@ def paged_decode_multirow(
         logit_cap=logit_cap,
         run_only=run_only,
     )
-    out = pl.pallas_call(
+    out, k_cache, v_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B_pad, Hk, G_PAD, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, Hk, G_PAD, D), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # cache operands alias through: the pool stays a single in-place
+        # buffer across the layer scan instead of being copied around the
+        # (read-only) pallas operand each layer
+        input_output_aliases={4: 1, 5: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -328,4 +342,4 @@ def paged_decode_multirow(
             transcendentals=B_pad * Hq * P_pad * page_size,
         ),
     )(layer_id, page_tables, seq_lens, qs, k_cache, v_cache)
-    return out[:B, :, :G, :].reshape(B, Hq, D)
+    return out[:B, :, :G, :].reshape(B, Hq, D), k_cache, v_cache

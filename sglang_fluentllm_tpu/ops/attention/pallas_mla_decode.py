@@ -63,9 +63,10 @@ def _mla_kernel(
     run_only: bool,
 ):
     if fp8:
-        c1_hbm, o_ref, b0, b1, acc_ref, m_ref, l_ref, sem = rest
+        (c1_hbm, o_ref, c0_out, c1_out, b0, b1, acc_ref, m_ref, l_ref,
+         sem) = rest
     else:
-        o_ref, b0, acc_ref, m_ref, l_ref, sem = rest
+        o_ref, c0_out, b0, acc_ref, m_ref, l_ref, sem = rest
         c1_hbm = None
         b1 = None
 
@@ -291,9 +292,12 @@ def mla_decode_multirow(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (rows, H, r_dim), lambda blk, *_: (blk, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (rows, H, r_dim), lambda blk, *_: (blk, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk_t, Dl), lat.dtype),
@@ -308,10 +312,14 @@ def mla_decode_multirow(
         max_chunks=max_chunks, r_dim=r_dim, rope_dr=0, fp8=False,
         run_only=run_only,
     )
-    out = pl.pallas_call(
+    out, lat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B_pad, H, r_dim), jnp.bfloat16),
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, H, r_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct(lat.shape, lat.dtype),
+        ),
+        input_output_aliases={4: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -323,7 +331,7 @@ def mla_decode_multirow(
             transcendentals=B_pad * H * max_chunks * chunk_t,
         ),
     )(layer_id, page_tables, seq_lens, qs, lat)
-    return out[:B]
+    return out[:B], lat
 
 
 @functools.partial(
@@ -366,9 +374,13 @@ def mla_decode_multirow_fp8(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (rows, H, r_dim), lambda blk, *_: (blk, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (rows, H, r_dim), lambda blk, *_: (blk, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk_t, r_dim), ckv8.dtype),
@@ -384,10 +396,15 @@ def mla_decode_multirow_fp8(
         max_chunks=max_chunks, r_dim=r_dim, rope_dr=rope_dr, fp8=True,
         run_only=run_only,
     )
-    out = pl.pallas_call(
+    out, ckv8, tail = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B_pad, H, r_dim), jnp.bfloat16),
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, H, r_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct(ckv8.shape, ckv8.dtype),
+            jax.ShapeDtypeStruct(tail.shape, tail.dtype),
+        ),
+        input_output_aliases={4: 1, 5: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -399,4 +416,4 @@ def mla_decode_multirow_fp8(
             transcendentals=B_pad * H * max_chunks * chunk_t,
         ),
     )(layer_id, page_tables, seq_lens, qs, ckv8, tail)
-    return out[:B]
+    return out[:B], ckv8, tail

@@ -49,6 +49,8 @@ def _prefill_kernel(
     v_hbm,             # [L, Hk, slots, D] HBM
     # outputs
     o_ref,             # [1, BQ, Hk, G_PAD, D] VMEM
+    k_out,             # aliased passthrough (in-place pool chain)
+    v_out,
     # scratch
     k_buf,             # [2, Hk, chunk_t, D]
     v_buf,             # [2, Hk, chunk_t, D]
@@ -261,10 +263,14 @@ def paged_prefill_attention(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, Hk, G_PAD, D),
-            lambda b, qb, *_: (b, qb, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, bq, Hk, G_PAD, D),
+                lambda b, qb, *_: (b, qb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, Hk, chunk_t, D), k_cache.dtype),
@@ -284,12 +290,15 @@ def paged_prefill_attention(
         logit_cap=logit_cap,
         run_only=run_only,
     )
-    out = pl.pallas_call(
+    out, k_cache, v_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (B, S_pad, Hk, G_PAD, D), q.dtype
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_pad, Hk, G_PAD, D), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
+        input_output_aliases={5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -302,4 +311,4 @@ def paged_prefill_attention(
             transcendentals=B * S_pad * Hq * P_pad * page_size,
         ),
     )(layer_id, page_tables, seq_lens, q_lens, qs, k_cache, v_cache)
-    return out[:, :S, :, :G, :].reshape(B, S, Hq, D)
+    return (out[:, :S, :, :G, :].reshape(B, S, Hq, D), k_cache, v_cache)

@@ -536,9 +536,10 @@ class ModelRunner:
                 out.append((leaf.reshape(L, S // ps, ps, D), 1))
         return out
 
-    def extract_pages(self, pages):
-        """Gather page KV across all layers -> tuple of numpy arrays with
-        the page axis SECOND: [L, n, ...]."""
+    def extract_pages_device(self, pages):
+        """Gather page KV across all layers; returns DEVICE arrays with
+        the page axis second ([L, nb, ...]) without any host sync — the
+        async-hicache write-back path device_gets them off-thread."""
         import jax.numpy as jnp
 
         from sglang_fluentllm_tpu.utils import next_power_of_2
@@ -560,19 +561,23 @@ class ModelRunner:
         if not hasattr(self, "_gather_pages_jit"):
             self._gather_pages_jit = jax.jit(gather)
         dev = self._gather_pages_jit(self.kv_cache, jnp.asarray(ids))
+        return dev, n
+
+    def extract_pages(self, pages):
+        """Gather page KV across all layers -> tuple of numpy arrays with
+        the page axis SECOND: [L, n, ...]."""
+        dev, n = self.extract_pages_device(pages)
         host = jax.device_get(dev)
         return tuple(np.asarray(x[:, :n]) for x in host)
 
-    def insert_pages(self, pages, blobs):
-        """Scatter per-page blobs (list of tuples) back into the pool."""
-        import jax.numpy as jnp
-
+    @staticmethod
+    def stack_page_blobs(pages, blobs):
+        """Host-side staging: per-page blob tuples -> padded stacked
+        arrays ([L, nb, ...]); runs on the hicache background thread."""
         from sglang_fluentllm_tpu.utils import next_power_of_2
 
         n = len(pages)
         nb = next_power_of_2(max(n, 1))
-        ids = np.zeros((nb,), np.int32)  # padding -> page 0 (scratch)
-        ids[:n] = pages
         stacked = []
         for ai in range(len(blobs[0])):
             arr = np.stack([b[ai] for b in blobs], axis=1)  # [L, n, ...]
@@ -580,6 +585,18 @@ class ModelRunner:
                 arr.shape[:1] + (nb - n,) + arr.shape[2:], arr.dtype
             )
             stacked.append(np.concatenate([arr, pad], axis=1))
+        return stacked
+
+    def insert_staged(self, pages, staged):
+        """Scatter staged (device or host) [L, nb, ...] arrays into the
+        pool at the given pages; async dispatch, no host sync."""
+        import jax.numpy as jnp
+
+        n = len(pages)
+        nb = staged[0].shape[1]
+        ids = np.zeros((nb,), np.int32)  # padding -> page 0 (scratch)
+        ids[:n] = pages
+        stacked = staged
 
         def scatter(kv, ids, vals):
             leaves, treedef = jax.tree.flatten(kv)
@@ -602,6 +619,10 @@ class ModelRunner:
             self.kv_cache, jnp.asarray(ids),
             tuple(jnp.asarray(x) for x in stacked),
         )
+
+    def insert_pages(self, pages, blobs):
+        """Scatter per-page blobs (list of tuples) back into the pool."""
+        self.insert_staged(pages, self.stack_page_blobs(pages, blobs))
 
     # ------------------------------------------------------------------
     # Weight update / memory RPCs (reference model_executor WeightMixin +

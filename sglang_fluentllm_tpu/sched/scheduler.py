@@ -152,6 +152,14 @@ class Scheduler:
             INIT_NEW_TOKEN_RATIO - MIN_NEW_TOKEN_RATIO
         ) / NEW_TOKEN_RATIO_DECAY_STEPS
 
+        # requests parked while a hicache host->device load is in flight
+        self._hicache_loading: List[tuple] = []
+        # per-rid chunk-completion listeners (PD layer-wise KV streaming:
+        # the prefill server registers a callback that ships each
+        # page-aligned chunk while later chunks still compute — reference
+        # prefill.py:599 send_kv_chunk / mooncake LayerWiseTask role)
+        self.chunk_listeners: Dict[str, Any] = {}
+
         # Deferred frees: a page freed while a forward is in flight may
         # still be read by that forward; it returns to the free list only
         # once every forward launched before the free has resolved
@@ -197,6 +205,7 @@ class Scheduler:
             or self.running_batch
             or self.chunked_req
             or self.pending
+            or self._hicache_loading
         )
 
     # ------------------------------------------------------------------
@@ -222,7 +231,7 @@ class Scheduler:
 
         def hook(token_prefix, pages):
             if self.hicache is not None:
-                self.hicache.write_back(token_prefix, pages)
+                self.hicache.write_back_async(token_prefix, pages)
             if self.kv_events is not None:
                 n = len(pages) * self.page_size
                 self.kv_events.block_removed(token_prefix[-n:], pages)
@@ -282,12 +291,19 @@ class Scheduler:
                 assert req.req_pool_idx is not None
                 m = self.tree_cache.match_prefix(req.fill_ids)
                 if self.hicache is not None:
-                    new_len = self.hicache.load_into(
+                    job = self.hicache.start_load(
                         req.fill_ids, m.prefix_len,
                         self.allocator, self.tree_cache,
                     )
-                    if new_len > m.prefix_len:
-                        m = self.tree_cache.match_prefix(req.fill_ids)
+                    if job is not None:
+                        # park until the host->device staging lands; the
+                        # scheduler keeps stepping running decodes
+                        # (reference HiCacheController prefetch queue)
+                        self.req_pool.free(req.req_pool_idx)
+                        req.req_pool_idx = None
+                        self._hicache_loading.append((job, req))
+                        reqs.remove(req)
+                        continue
                 # never match the *entire* sequence (need >=1 token to
                 # compute logits); back off one page if so
                 while m.prefix_len >= req.seq_len and m.page_ids:
@@ -476,6 +492,13 @@ class Scheduler:
             self.tree_cache.dec_lock_ref(old_node)
         req.last_node = m.last_node
 
+        cb = self.chunk_listeners.get(req.rid)
+        if cb is not None:
+            try:
+                cb(req, aligned, list(tree_pages), not unfinished)
+            except Exception:  # noqa: BLE001
+                logger.exception("chunk listener failed for %s", req.rid)
+
         if not unfinished:
             # free the unaligned tail (incl. zombie overlap slots)
             self.allocator.free_req_pages(
@@ -515,6 +538,7 @@ class Scheduler:
             self.max_inflight = saved
 
     def _step_inner(self) -> List[StepOutput]:
+        self._poll_hicache_loads()
         if len(self.pending) < self.max_inflight:
             launched = self._launch_next()
             if launched is not None:
@@ -541,9 +565,27 @@ class Scheduler:
         self._collect_free_group()
         return outputs
 
+    def _poll_hicache_loads(self):
+        """Complete finished host->device prefix loads: async scatter into
+        the pool + radix insert, then put the request back in front of the
+        queue (it now matches the longer device prefix)."""
+        if not self._hicache_loading:
+            return
+        still = []
+        for job, req in self._hicache_loading:
+            if job.ready():
+                self.hicache.finish_load(
+                    job, self.allocator, self.tree_cache
+                )
+                self.waiting_queue.insert(0, req)
+            else:
+                still.append((job, req))
+        self._hicache_loading = still
+
     def _has_launchable_work(self) -> bool:
         return bool(
             self.waiting_queue or self.running_batch or self.chunked_req
+            or self._hicache_loading
         )
 
     def _collect_free_group(self):

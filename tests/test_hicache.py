@@ -83,3 +83,76 @@ class TestHiCacheEngine:
     def test_disabled_by_default(self):
         e = tiny_engine()
         assert e.scheduler.hicache is None
+
+
+class TestAsyncHiCache:
+    def test_decodes_continue_while_load_in_flight(self):
+        """VERDICT #9 done criterion: a parked host->device load must not
+        stall running decodes — other requests keep producing tokens
+        while the staging future is (artificially) slow."""
+        import threading
+        import time as _time
+
+        import numpy as np
+
+        from sglang_fluentllm_tpu.sched.req import Req
+        from sglang_fluentllm_tpu.sched.sampling_params import (
+            SamplingParams,
+        )
+
+        e = tiny_engine(max_total_tokens=512,
+                        enable_hierarchical_cache=True)
+        base = e.generate(input_ids=LONG_PROMPT, sampling_params=SP)
+        for i in range(12):
+            filler = [int(x) for x in
+                      np.random.RandomState(100 + i).randint(0, 128, 40)]
+            e.generate(input_ids=filler, sampling_params=SP)
+
+        # a running decode companion
+        comp = Req(rid="comp", input_ids=[9, 8, 7, 6],
+                   sampling_params=SamplingParams.from_dict(
+                       {"max_new_tokens": 40, "temperature": 0.0}),
+                   eos_token_ids=set())
+        e.scheduler.add_request(comp)
+        for _ in range(3):
+            e.scheduler.step()
+        assert comp in e.scheduler.running_batch
+
+        # slow down staging artificially
+        hc = e.scheduler.hicache
+        orig_start = hc.start_load
+        gate = threading.Event()
+
+        def slow_start(*a, **kw):
+            job = orig_start(*a, **kw)
+            if job is not None:
+                real = job.staged
+
+                class SlowFuture:
+                    def done(self):
+                        return gate.is_set() and real.done()
+
+                    def result(self):
+                        return real.result()
+
+                job.staged = SlowFuture()
+            return job
+
+        hc.start_load = slow_start
+        victim = Req(rid="victim", input_ids=LONG_PROMPT,
+                     sampling_params=SamplingParams.from_dict(SP),
+                     eos_token_ids=set())
+        e.scheduler.add_request(victim)
+        tokens_before = len(comp.output_ids)
+        for _ in range(6):
+            e.scheduler.step()
+        # victim parked, companion still decoding
+        assert len(e.scheduler._hicache_loading) == 1
+        assert len(comp.output_ids) > tokens_before
+        gate.set()
+        for _ in range(40):
+            e.scheduler.step()
+            if victim.finished():
+                break
+            _time.sleep(0.01)
+        assert victim.output_ids == base["output_ids"]

@@ -155,7 +155,7 @@ def _multirow(q, kst, vst, layer_id, pt, sl, page_size, sm_scale, **kw):
     D = q.shape[-1]
     Dp = kst.shape[-1]
     q2 = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D))) if Dp != D else q
-    out = paged_decode_multirow(
+    out, _k, _v = paged_decode_multirow(
         q2, kst, vst, jnp.int32(layer_id), pt, sl,
         page_size=page_size, sm_scale=sm_scale, **kw,
     )
@@ -339,7 +339,7 @@ def test_paged_prefill_matches_ref(B, Hq, Hk, D, ps, seqs, qls,
         out = paged_prefill_attention(
             q2, kst, vst, jnp.int32(1), pt, sl, ql,
             page_size=ps, sm_scale=sm, bq=bq,
-        )[..., :D]
+        )[0][..., :D]
     # compare only valid (s < q_len) positions
     for i in range(B):
         n = int(ql[i])

@@ -113,3 +113,108 @@ class TestPDDisaggregation:
         }, timeout=600)
         assert r.status_code == 200, r.text
         assert len(r.json()["output_ids"]) == 1
+
+
+class TestChunkStreamedTransfer:
+    """Layer-wise/chunked KV streaming (reference mooncake LayerWiseTask /
+    send_kv_chunk overlap) + failure detection."""
+
+    def test_transfer_overlaps_prefill(self):
+        """With a small chunked-prefill size and a multi-chunk prompt, the
+        decode server must receive MULTIPLE /pd/receive_kv posts, i.e.
+        transfer starts before the prefill finishes (VERDICT #7 done
+        criterion: event ordering)."""
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+        p_proc, p_url = popen_launch_server(
+            model_dir, other_args=[
+                "--disaggregation-mode", "prefill",
+                "--chunked-prefill-size", "8",
+                "--page-size", "4",
+            ]
+        )
+        d_proc, d_url = popen_launch_server(
+            model_dir, other_args=["--disaggregation-mode", "decode",
+                                   "--page-size", "4"]
+        )
+        try:
+            long_prompt = list(range(2, 34))  # 32 tokens, 4 chunks of 8
+            room = "chunktest1"
+            r = httpx.post(f"{d_url}/pd/start", json={
+                "room": room, "input_ids": long_prompt,
+                "sampling_params": SP,
+            }, timeout=60)
+            assert r.status_code == 200
+            r = httpx.post(f"{p_url}/pd/prefill", json={
+                "room": room, "input_ids": long_prompt,
+                "sampling_params": SP,
+                "decode_url": d_url,
+                "decode_prefix_len": r.json()["decode_prefix_len"],
+            }, timeout=300)
+            assert r.status_code == 200, r.text
+            info = r.json()
+            assert info["success"], info
+            # at least one MID-STREAM chunk before the final marker:
+            # transfer started while prefill still computed (the overlap
+            # pipeline may coalesce resolved chunks into fewer sends)
+            assert info["chunks"] >= 2, info
+            r = httpx.post(f"{d_url}/pd/result", json={"room": room},
+                           timeout=300)
+            out = r.json()
+            assert len(out["output_ids"]) == SP["max_new_tokens"]
+        finally:
+            kill_server(p_proc)
+            kill_server(d_proc)
+
+    def test_dead_decode_server_fails_room(self):
+        """A killed decode peer must FAIL the prefill-side transfer
+        quickly instead of hanging (reference heartbeat/KVPoll.Failed
+        semantics)."""
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+        p_proc, p_url = popen_launch_server(
+            model_dir, other_args=["--disaggregation-mode", "prefill",
+                                   "--page-size", "4"]
+        )
+        try:
+            dead_url = "http://127.0.0.1:9"  # discard port: refuses
+            t0 = time.time()
+            r = httpx.post(f"{p_url}/pd/prefill", json={
+                "room": "deadroom", "input_ids": PROMPT,
+                "sampling_params": SP,
+                "decode_url": dead_url,
+                "decode_prefix_len": 0,
+            }, timeout=300)
+            dt = time.time() - t0
+            assert r.status_code == 500  # success: False -> 500
+            info = r.json()
+            assert info["success"] is False
+            assert dt < 120
+        finally:
+            kill_server(p_proc)
+
+    def test_stalled_room_fails_on_decode_side(self):
+        """/pd/result for a room whose prefill peer never sends returns a
+        stall error instead of blocking for the full timeout."""
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+        d_proc, d_url = popen_launch_server(
+            model_dir, other_args=["--disaggregation-mode", "decode",
+                                   "--page-size", "4"]
+        )
+        try:
+            room = "ghostroom"
+            httpx.post(f"{d_url}/pd/start", json={
+                "room": room, "input_ids": PROMPT,
+                "sampling_params": SP,
+            }, timeout=60)
+            t0 = time.time()
+            r = httpx.post(f"{d_url}/pd/result",
+                           json={"room": room, "stall_ttl": 3},
+                           timeout=120)
+            dt = time.time() - t0
+            out = r.json()
+            assert "error" in out, out
+            assert dt < 60
+        finally:
+            kill_server(d_proc)
