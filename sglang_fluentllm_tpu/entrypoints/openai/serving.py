@@ -157,27 +157,83 @@ class OpenAIServing:
         rid = f"chatcmpl-{uuid.uuid4().hex}"
         first = True
         last_meta = None
-        async for chunk in self.engine.generate_stream(
-            input_ids=input_ids, sampling_params=sp, rid=rid
-        ):
-            last_meta = chunk["meta_info"]
-            delta = DeltaMessage(content=chunk["delta_text"])
-            if first:
-                delta.role = "assistant"
-                first = False
-            fr = (
-                finish_reason_to_openai(last_meta["finish_reason"])
-                if chunk["meta_info"]["finish_reason"]
-                else None
+        # streaming tool-call parsing (reference serving_chat.py:911-1073):
+        # text streams until a tool-call trigger, then buffers and emits
+        # structured tool_call deltas when each call completes
+        tool_parser = None
+        saw_tool_call = False
+        if request.tools and request.tool_choice != "none":
+            from sglang_fluentllm_tpu.function_call.parser import (
+                FunctionCallParser,
             )
-            resp = ChatCompletionStreamResponse(
+
+            try:
+                tool_parser = FunctionCallParser(
+                    request.tools,
+                    self.engine.server_args.tool_call_parser,
+                )
+            except ValueError:
+                tool_parser = None
+
+        def _mk(delta, fr=None):
+            return ChatCompletionStreamResponse(
                 id=rid,
                 model=request.model or self.model_name,
                 choices=[ChatCompletionStreamChoice(
                     index=0, delta=delta, finish_reason=fr,
                 )],
             )
-            yield f"data: {resp.model_dump_json(exclude_none=True)}\n\n"
+
+        def _tool_deltas(calls):
+            out = []
+            for it in calls:
+                out.append(DeltaMessage(tool_calls=[{
+                    "index": it.tool_index,
+                    "id": f"call_{uuid.uuid4().hex[:16]}",
+                    "type": "function",
+                    "function": {"name": it.name,
+                                 "arguments": it.parameters},
+                }]))
+            return out
+
+        async for chunk in self.engine.generate_stream(
+            input_ids=input_ids, sampling_params=sp, rid=rid
+        ):
+            last_meta = chunk["meta_info"]
+            deltas = []
+            if tool_parser is not None:
+                r = tool_parser.parse_stream_chunk(chunk["delta_text"])
+                if r.normal_text:
+                    deltas.append(DeltaMessage(content=r.normal_text))
+                if r.calls:
+                    saw_tool_call = True
+                    deltas.extend(_tool_deltas(r.calls))
+            else:
+                deltas.append(DeltaMessage(content=chunk["delta_text"]))
+            finished = chunk["meta_info"]["finish_reason"]
+            if finished and tool_parser is not None:
+                r = tool_parser.parse_stream_final()
+                if r.normal_text:
+                    deltas.append(DeltaMessage(content=r.normal_text))
+                if r.calls:
+                    saw_tool_call = True
+                    deltas.extend(_tool_deltas(r.calls))
+            fr = None
+            if finished:
+                fr = ("tool_calls" if saw_tool_call else
+                      finish_reason_to_openai(last_meta["finish_reason"]))
+            if not deltas:
+                deltas = [DeltaMessage(content="")]
+            for i, delta in enumerate(deltas):
+                if first:
+                    delta.role = "assistant"
+                    first = False
+                resp = _mk(
+                    delta, fr if i == len(deltas) - 1 else None
+                )
+                yield (
+                    f"data: {resp.model_dump_json(exclude_none=True)}\n\n"
+                )
         if (request.stream_options or {}).get("include_usage") and last_meta:
             usage_resp = ChatCompletionStreamResponse(
                 id=rid, model=request.model or self.model_name, choices=[],

@@ -191,6 +191,77 @@ class DeepSeekV3Detector(BaseFormatDetector):
         return normal.strip(), self._to_items(objs, tools)
 
 
+class LongcatDetector(BaseFormatDetector):
+    """LongCat flagship tool-call format (reference
+    ``function_call/longcat_detector.py``): one JSON object per
+    ``<longcat_tool_call>\n{...}\n</longcat_tool_call>`` block, blocks
+    back to back."""
+
+    name = "longcat"
+    bot_token = "<longcat_tool_call>"
+    eot_token = "</longcat_tool_call>"
+
+    def detect_and_parse(self, text, tools):
+        normal = []
+        objs = []
+        rest = text
+        while True:
+            i = rest.find(self.bot_token)
+            if i == -1:
+                normal.append(rest)
+                break
+            normal.append(rest[:i])
+            j = rest.find(self.eot_token, i)
+            body = rest[i + len(self.bot_token): j if j != -1 else None]
+            obj, ok = _try_parse_json(body.strip())
+            if ok:
+                objs.append(obj)
+            rest = rest[j + len(self.eot_token):] if j != -1 else ""
+        return "".join(normal).strip(), self._to_items(objs, tools)
+
+
+class LongcatXMLDetector(BaseFormatDetector):
+    """LongCat XML arg format (reference
+    ``function_call/longcat_xml_detector.py``):
+
+        <longcat_tool_call>name
+        <longcat_arg_key>k</longcat_arg_key>
+        <longcat_arg_value>v</longcat_arg_value>...
+        </longcat_tool_call>
+
+    Arg values parse as JSON when possible, else raw strings."""
+
+    name = "longcat_xml"
+    bot_token = "<longcat_tool_call>"
+    eot_token = "</longcat_tool_call>"
+    ARG_RE = re.compile(
+        r"<longcat_arg_key>(.*?)</longcat_arg_key>\s*"
+        r"<longcat_arg_value>(.*?)</longcat_arg_value>",
+        re.S,
+    )
+
+    def detect_and_parse(self, text, tools):
+        normal = []
+        objs = []
+        rest = text
+        while True:
+            i = rest.find(self.bot_token)
+            if i == -1:
+                normal.append(rest)
+                break
+            normal.append(rest[:i])
+            j = rest.find(self.eot_token, i)
+            body = rest[i + len(self.bot_token): j if j != -1 else None]
+            name, _, arg_text = body.partition("\n")
+            args = {}
+            for k, v in self.ARG_RE.findall(arg_text):
+                val, ok = _try_parse_json(v.strip())
+                args[k.strip()] = val if ok else v.strip()
+            objs.append({"name": name.strip(), "arguments": args})
+            rest = rest[j + len(self.eot_token):] if j != -1 else ""
+        return "".join(normal).strip(), self._to_items(objs, tools)
+
+
 class GenericJsonDetector(BaseFormatDetector):
     """Fallback: any top-level {"name": ..., "arguments"/"parameters": ...}."""
 
@@ -223,8 +294,19 @@ DETECTORS = {
     "llama32": Llama32Detector,
     "mistral": MistralDetector,
     "deepseekv3": DeepSeekV3Detector,
+    "longcat": LongcatDetector,
+    "longcat_xml": LongcatXMLDetector,
     "json": GenericJsonDetector,
 }
+
+
+@dataclasses.dataclass
+class StreamingParseResult:
+    """One streaming step's output (reference base_format_detector
+    ``parse_streaming_increment`` contract)."""
+
+    normal_text: str = ""
+    calls: List[ToolCallItem] = dataclasses.field(default_factory=list)
 
 
 class FunctionCallParser:
@@ -246,3 +328,53 @@ class FunctionCallParser:
 
     def parse_non_stream(self, text: str) -> Tuple[str, List[ToolCallItem]]:
         return self.detector.detect_and_parse(text, self.tools)
+
+    # ---- streaming (reference parse_streaming_increment) --------------
+    def parse_stream_chunk(self, delta_text: str) -> "StreamingParseResult":
+        """Incremental parse (reference base_format_detector
+        ``parse_streaming_increment``): text before a tool-call trigger
+        streams through; once triggered, text buffers and each tool call
+        is emitted as its closing marker arrives. Detectors without a
+        closing marker emit at ``parse_stream_final``."""
+        if not hasattr(self, "_buf"):
+            self._buf = ""
+            self._emitted = 0
+        self._buf += delta_text
+        det = self.detector
+        if not det.bot_token:
+            return StreamingParseResult()  # flushed at final
+        idx = self._buf.find(det.bot_token)
+        if idx == -1:
+            # emit everything except a tail that could begin the trigger
+            hold = 0
+            for k in range(min(len(det.bot_token) - 1, len(self._buf)),
+                           0, -1):
+                if self._buf.endswith(det.bot_token[:k]):
+                    hold = k
+                    break
+            cut = len(self._buf) - hold
+            normal, self._buf = self._buf[:cut], self._buf[cut:]
+            return StreamingParseResult(normal_text=normal)
+        normal = self._buf[:idx]
+        pending = self._buf[idx:]
+        self._buf = pending
+        calls = []
+        if det.eot_token:
+            n_complete = pending.count(det.eot_token)
+            if n_complete > self._emitted:
+                _, items = det.detect_and_parse(pending, self.tools)
+                calls = items[self._emitted:n_complete]
+                self._emitted = n_complete
+        return StreamingParseResult(normal_text=normal, calls=calls)
+
+    def parse_stream_final(self) -> "StreamingParseResult":
+        """Flush: parse whatever is still buffered (tool calls for
+        markerless detectors, trailing text otherwise)."""
+        buf = getattr(self, "_buf", "")
+        emitted = getattr(self, "_emitted", 0)
+        self._buf, self._emitted = "", 0
+        if not buf:
+            return StreamingParseResult()
+        normal, items = self.detector.detect_and_parse(buf, self.tools)
+        return StreamingParseResult(normal_text=normal,
+                                    calls=items[emitted:])

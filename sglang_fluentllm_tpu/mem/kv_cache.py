@@ -131,26 +131,35 @@ def mha_write(cache: MHAKVCache, layer_id: int, loc: jax.Array,
     )
 
 
-def mla_write(cache: MLAKVCache, layer_id: int, loc: jax.Array,
-              ckv: jax.Array, krope: jax.Array) -> MLAKVCache:
-    """ckv [T, r], krope [T, rope] -> combined lane-padded row."""
+def mla_pack_rows(ckv: jax.Array, krope: jax.Array, total: int,
+                  dtype) -> jax.Array:
+    """ckv [T, r] + krope [T, rope] -> combined lane-padded rows
+    [T, total] (lat = ckv | 0-pad | rope | 0-pad)."""
     T, r = ckv.shape
     rope = krope.shape[-1]
     r_pad = padded_head_dim(r)
-    total = cache.lat.shape[-1]
-    row = jnp.zeros((T, total), cache.lat.dtype)
-    row = row.at[:, :r].set(ckv.astype(cache.lat.dtype))
-    row = row.at[:, r_pad : r_pad + rope].set(krope.astype(cache.lat.dtype))
+    row = jnp.zeros((T, total), dtype)
+    row = row.at[:, :r].set(ckv.astype(dtype))
+    row = row.at[:, r_pad : r_pad + rope].set(krope.astype(dtype))
+    return row
+
+
+def mla_write(cache: MLAKVCache, layer_id: int, loc: jax.Array,
+              ckv: jax.Array, krope: jax.Array) -> MLAKVCache:
+    """ckv [T, r], krope [T, rope] -> combined lane-padded row."""
+    row = mla_pack_rows(
+        ckv, krope, cache.lat.shape[-1], cache.lat.dtype
+    )
     return MLAKVCache(lat=cache.lat.at[layer_id, loc].set(row))
 
 
 FP8_MAX = 448.0  # float8_e4m3fn max
 
 
-def mla_write_fp8(cache: MLAKVCacheFP8, layer_id: int, loc: jax.Array,
-                  ckv: jax.Array, krope: jax.Array) -> MLAKVCacheFP8:
-    """Per-token quantize-on-write (SnapMLA-style, reference
-    flashmla fp8 per-token KV — ``flashmla_backend.py:127``)."""
+def mla_pack_fp8_rows(ckv: jax.Array, krope: jax.Array, tail_pad: int):
+    """Per-token fp8 quantization + packed bf16 tail rows
+    (SnapMLA-style, reference flashmla fp8 per-token KV —
+    ``flashmla_backend.py:127``). Returns (ckv8 [T, r], tail [T, tail_pad])."""
     T = ckv.shape[0]
     dr = krope.shape[-1]
     amax = jnp.max(jnp.abs(ckv.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -158,10 +167,17 @@ def mla_write_fp8(cache: MLAKVCacheFP8, layer_id: int, loc: jax.Array,
     q = (ckv.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
     hi = scale.astype(jnp.bfloat16)
     lo = (scale - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    tail = jnp.zeros((T, cache.tail.shape[-1]), cache.tail.dtype)
-    tail = tail.at[:, :dr].set(krope.astype(cache.tail.dtype))
+    tail = jnp.zeros((T, tail_pad), jnp.bfloat16)
+    tail = tail.at[:, :dr].set(krope.astype(jnp.bfloat16))
     tail = tail.at[:, dr].set(hi[:, 0])
     tail = tail.at[:, dr + 1].set(lo[:, 0])
+    return q, tail
+
+
+def mla_write_fp8(cache: MLAKVCacheFP8, layer_id: int, loc: jax.Array,
+                  ckv: jax.Array, krope: jax.Array) -> MLAKVCacheFP8:
+    """Per-token quantize-on-write (scatter form)."""
+    q, tail = mla_pack_fp8_rows(ckv, krope, cache.tail.shape[-1])
     return MLAKVCacheFP8(
         ckv=cache.ckv.at[layer_id, loc].set(q),
         tail=cache.tail.at[layer_id, loc].set(tail),

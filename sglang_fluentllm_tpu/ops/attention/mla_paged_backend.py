@@ -58,38 +58,43 @@ class MLAPagedBackend(RefMLABackend):
             w_kc.astype(jnp.float32),
         )
 
+        new_slots = batch.out_cache_loc[:, 0]
         if isinstance(kv_cache, MLAKVCacheFP8):
-            kv_cache = mla_write_fp8(
-                kv_cache, layer_id, loc,
-                ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
-            )
+            from sglang_fluentllm_tpu.mem.kv_cache import mla_pack_fp8_rows
             from sglang_fluentllm_tpu.ops.attention.pallas_mla_decode import (
                 mla_decode_multirow_fp8,
             )
 
             tail_pad = kv_cache.tail.shape[-1]
+            ckv8_new, tail_new = mla_pack_fp8_rows(
+                ckv_new.reshape(B, r), kpe_new.reshape(B, dr), tail_pad
+            )
             q = jnp.zeros((B, H, r + tail_pad), jnp.float32)
             q = q.at[..., :r].set(q_abs)
             q = q.at[..., r : r + dr].set(q_pe[:, 0].astype(jnp.float32))
+            # fused write: the kernel itself stores the current token's
+            # quantized row (keeps the pool an aliased in-place chain)
             ctx, ckv2, tail2 = mla_decode_multirow_fp8(
                 q, kv_cache.ckv, kv_cache.tail, layer_id,
                 batch.page_tables, batch.seq_lens,
+                ckv8_new=ckv8_new, tail_new=tail_new, new_slots=new_slots,
                 page_size=batch.page_size, sm_scale=sm_scale, rope_dr=dr,
                 run_only=batch.pages_are_runs,
             )
             kv_cache = MLAKVCacheFP8(ckv=ckv2, tail=tail2)
         else:
             assert isinstance(kv_cache, MLAKVCache)
-            kv_cache = mla_write(
-                kv_cache, layer_id, loc,
-                ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
-            )
+            from sglang_fluentllm_tpu.mem.kv_cache import mla_pack_rows
             from sglang_fluentllm_tpu.ops.attention.pallas_mla_decode import (
                 mla_decode_multirow,
             )
 
             r_pad = padded_head_dim(r)
             Dl = kv_cache.lat.shape[-1]
+            lat_new = mla_pack_rows(
+                ckv_new.reshape(B, r), kpe_new.reshape(B, dr), Dl,
+                kv_cache.lat.dtype,
+            )
             q = jnp.zeros((B, H, Dl), jnp.float32)
             q = q.at[..., :r].set(q_abs)
             q = q.at[..., r_pad : r_pad + dr].set(
@@ -98,6 +103,7 @@ class MLAPagedBackend(RefMLABackend):
             ctx, lat2 = mla_decode_multirow(
                 q, kv_cache.lat, layer_id,
                 batch.page_tables, batch.seq_lens,
+                lat_new=lat_new, new_slots=new_slots,
                 page_size=batch.page_size, sm_scale=sm_scale, r_dim=r_pad,
                 run_only=batch.pages_are_runs,
             )

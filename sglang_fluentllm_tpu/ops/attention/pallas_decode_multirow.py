@@ -48,10 +48,13 @@ def _mr_kernel(
     layer_ref,         # [1] int32
     page_tables_ref,   # [B, P] int32 (SMEM)
     seq_lens_ref,      # [B] int32 (SMEM)
+    new_slots_ref,     # [B] int32 (fused write; all-zero when unused)
     # inputs
     q_ref,             # [rows, Hk, G_PAD, D] VMEM (scaled)
     k_hbm,             # [L, Hk, slots, D] HBM
     v_hbm,             # [L, Hk, slots, D] HBM
+    kn_ref,            # [rows, Hk, GK, D] VMEM (current-token K, sublane-
+    vn_ref,            # duplicated x GK; dummy zeros when not fused)
     # outputs
     o_ref,             # [rows, Hk, G_PAD, D] VMEM
     k_out,             # aliased passthrough of k_hbm (keeps the pool
@@ -62,7 +65,10 @@ def _mr_kernel(
     acc_ref,           # [Hk, G_PAD, D] VMEM f32
     m_ref,             # [Hk, G_PAD, 128] VMEM f32
     l_ref,             # [Hk, G_PAD, 128] VMEM f32
+    kpair,             # [rows, Hk, GK, D] VMEM (fused-write RMW staging)
+    vpair,             # [rows, Hk, GK, D] VMEM
     sem,               # DMA sems [2, 2]
+    wsem,              # fused-write DMA sem
     *,
     rows: int,
     page_size: int,
@@ -71,6 +77,7 @@ def _mr_kernel(
     num_kv_heads: int,
     logit_cap: float,
     run_only: bool,
+    fused_write: bool,
 ):
     blk = pl.program_id(0)
     layer = layer_ref[0]
@@ -152,22 +159,79 @@ def _mr_kernel(
                 for dma in grp:
                     dma.wait()
 
+    def hist(b):
+        # tokens read from the pool: when the kernel itself stores the
+        # current token, history excludes it (it is INJECTED into the
+        # softmax init instead, so pool reads never wait on the write)
+        sl = seq_lens_ref[b]
+        return sl - 1 if fused_write else sl
+
     def valid(t):
         # t is clamped by callers so row_of(t) stays in range
         b = row_of(t)
-        nc = pl.cdiv(seq_lens_ref[b], chunk_t)
+        nc = pl.cdiv(hist(b), chunk_t)
         return chunk_of(t) < nc
 
     o_ref[:] = jnp.zeros_like(o_ref)
+
+    def rmw_dmas(read):
+        # Current-token KV write as a read-modify-write of the
+        # tile-aligned group [base, base+GK) around the slot: Mosaic
+        # forbids slicing the pool's slot dim below its 8-sublane XLA
+        # tile, so a single token row cannot be DMA'd directly.  Groups
+        # never span pages (GK divides page_size) and a decode row's
+        # newest page is exclusively its own, so groups never collide
+        # across rows; padded rows all target the reserved padding page 0
+        # and merge identical values (benign same-byte races).
+        GK = kpair.shape[2]
+        dmas = []
+        for r in range(rows):
+            slot = new_slots_ref[blk * rows + r]
+            base = (slot // GK) * GK
+            for h in range(Hk):
+                pk = k_hbm.at[layer, h, pl.ds(base, GK), :]
+                pv = v_hbm.at[layer, h, pl.ds(base, GK), :]
+                if read:
+                    dmas.append(pltpu.make_async_copy(
+                        pk, kpair.at[r, h], wsem))
+                    dmas.append(pltpu.make_async_copy(
+                        pv, vpair.at[r, h], wsem))
+                else:
+                    dmas.append(pltpu.make_async_copy(
+                        kpair.at[r, h], pk, wsem))
+                    dmas.append(pltpu.make_async_copy(
+                        vpair.at[r, h], pv, wsem))
+        return dmas
 
     @pl.when(valid(0))
     def _():
         start(0, 0)
 
+    if fused_write:
+        # the write only needs to be visible to the NEXT kernel call
+        # (this one injects the token from VMEM), so the whole RMW
+        # overlaps chunk DMAs + compute; the final wait is at block end
+        rd = rmw_dmas(True)
+        for dma in rd:
+            dma.start()
+        for dma in rd:
+            dma.wait()
+        GK = kpair.shape[2]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (GK, 1), 0)
+        for r in range(rows):
+            slot = new_slots_ref[blk * rows + r]
+            msk = sub == slot % GK
+            for h in range(Hk):
+                kpair[r, h] = jnp.where(msk, kn_ref[r, h], kpair[r, h])
+                vpair[r, h] = jnp.where(msk, vn_ref[r, h], vpair[r, h])
+        wr = rmw_dmas(False)
+        for dma in wr:
+            dma.start()
+
     def body(t, carry):
         b = row_of(t)
         c = chunk_of(t)
-        nc = pl.cdiv(seq_lens_ref[b], chunk_t)
+        nc = pl.cdiv(hist(b), chunk_t)
         slot = jax.lax.rem(t, 2)
 
         t_next = jnp.minimum(t + 1, n_work - 1)
@@ -182,11 +246,34 @@ def _mr_kernel(
 
             @pl.when(c == 0)
             def _():
-                acc_ref[:] = jnp.zeros_like(acc_ref)
-                m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-                l_ref[:] = jnp.zeros_like(l_ref)
+                if not fused_write:
+                    acc_ref[:] = jnp.zeros_like(acc_ref)
+                    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+                    l_ref[:] = jnp.zeros_like(l_ref)
+                else:
+                    # softmax state starts from the INJECTED current
+                    # token: m = s_new, l = 1, acc = v_new
+                    rr = t // max_chunks
+                    for h in range(Hk):
+                        qh = q_ref[rr, h]              # [G_PAD, D]
+                        kn = kn_ref[rr, h][0:1]        # [1, D]
+                        vn = vn_ref[rr, h][0:1]
+                        # multiply-reduce, not dot_general: Mosaic's
+                        # N=1 dot lowering emits an invalid cast
+                        s_new = jnp.sum(
+                            qh.astype(jnp.float32) * kn.astype(jnp.float32),
+                            axis=1, keepdims=True,
+                        )                              # [G_PAD, 1]
+                        if logit_cap > 0:
+                            s_new = logit_cap * jnp.tanh(s_new / logit_cap)
+                        m_ref[h] = jnp.broadcast_to(s_new, m_ref.shape[1:])
+                        l_ref[h] = jnp.ones_like(l_ref[h])
+                        acc_ref[h] = (
+                            vn.astype(jnp.float32)
+                            + jnp.zeros(acc_ref.shape[1:], jnp.float32)
+                        )
 
-            seq_len = seq_lens_ref[b]
+            seq_len = hist(b)
             r = t // max_chunks  # row within the block
             col = (
                 c * chunk_t
@@ -232,6 +319,10 @@ def _mr_kernel(
 
     jax.lax.fori_loop(0, n_work, body, 0)
 
+    if fused_write:
+        for dma in rmw_dmas(False):
+            dma.wait()
+
 
 @functools.partial(
     jax.jit,
@@ -246,7 +337,10 @@ def paged_decode_multirow(
     v_cache: jax.Array,      # [L, Hk, slots, D]
     layer_id: jax.Array,     # scalar int32
     page_tables: jax.Array,  # [B, P] int32
-    seq_lens: jax.Array,     # [B] int32
+    seq_lens: jax.Array,     # [B] int32 (INCLUDING the current token)
+    k_new: jax.Array = None,  # [B, Hk, D] fused write (current token)
+    v_new: jax.Array = None,
+    new_slots: jax.Array = None,  # [B] pool slots for the current token
     *,
     page_size: int,
     sm_scale: float,
@@ -268,10 +362,30 @@ def paged_decode_multirow(
     max_chunks = P_pad // pages_per_chunk
     rows = max(1, min(rows, B))
     B_pad = math.ceil(B / rows) * rows
+    fused_write = k_new is not None
+    # RMW group: slices of the HBM pool's slot dim must align to its XLA
+    # tile (8 sublanes); 8 divides page_size so groups never span pages
+    GK = 8
+    if not fused_write:
+        k_new = jnp.zeros((B, Hk, D), k_cache.dtype)
+        v_new = jnp.zeros((B, Hk, D), v_cache.dtype)
+        new_slots = jnp.zeros((B,), jnp.int32)
+    else:
+        k_new = k_new.astype(k_cache.dtype)
+        v_new = v_new.astype(v_cache.dtype)
     if B_pad != B:
         q = jnp.pad(q, ((0, B_pad - B), (0, 0), (0, 0)))
         page_tables = jnp.pad(page_tables, ((0, B_pad - B), (0, 0)))
         seq_lens = jnp.pad(seq_lens, (0, B_pad - B))
+        k_new = jnp.pad(k_new, ((0, B_pad - B), (0, 0), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, B_pad - B), (0, 0), (0, 0)))
+        # padded rows write into slot 0 (the scratch/padding page)
+        new_slots = jnp.pad(new_slots, (0, B_pad - B))
+    new_slots = jnp.asarray(new_slots, jnp.int32)
+    # sublane-duplicate the staging rows so the kernel's [GK, D] vector
+    # reads are tile-aligned (see the RMW comment in _mr_kernel)
+    k_new = jnp.broadcast_to(k_new[:, :, None], (B_pad, Hk, GK, D))
+    v_new = jnp.broadcast_to(v_new[:, :, None], (B_pad, Hk, GK, D))
 
     layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
@@ -281,7 +395,7 @@ def paged_decode_multirow(
 
     chunk_t = pages_per_chunk * page_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B_pad // rows,),
         in_specs=[
             pl.BlockSpec(
@@ -290,6 +404,14 @@ def paged_decode_multirow(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (rows, Hk, GK, D), lambda blk, *_: (blk, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rows, Hk, GK, D), lambda blk, *_: (blk, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -305,7 +427,10 @@ def paged_decode_multirow(
             pltpu.VMEM((Hk, G_PAD, D), jnp.float32),
             pltpu.VMEM((Hk, G_PAD, 128), jnp.float32),
             pltpu.VMEM((Hk, G_PAD, 128), jnp.float32),
+            pltpu.VMEM((rows, Hk, GK, D), k_cache.dtype),
+            pltpu.VMEM((rows, Hk, GK, D), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
@@ -317,6 +442,7 @@ def paged_decode_multirow(
         num_kv_heads=Hk,
         logit_cap=logit_cap,
         run_only=run_only,
+        fused_write=fused_write,
     )
     out, k_cache, v_cache = pl.pallas_call(
         kernel,
@@ -329,7 +455,7 @@ def paged_decode_multirow(
         # cache operands alias through: the pool stays a single in-place
         # buffer across the layer scan instead of being copied around the
         # (read-only) pallas operand each layer
-        input_output_aliases={4: 1, 5: 2},
+        input_output_aliases={5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -341,5 +467,6 @@ def paged_decode_multirow(
             ),
             transcendentals=B_pad * Hq * P_pad * page_size,
         ),
-    )(layer_id, page_tables, seq_lens, qs, k_cache, v_cache)
+    )(layer_id, page_tables, seq_lens, new_slots, qs, k_cache, v_cache,
+      k_new, v_new)
     return out[:B, :, :G, :].reshape(B, Hq, D), k_cache, v_cache

@@ -48,6 +48,7 @@ def _mla_kernel(
     layer_ref,         # [1] int32
     page_tables_ref,   # [B, P] int32
     seq_lens_ref,      # [B] int32
+    new_slots_ref,     # [B] int32 (fused write)
     # inputs
     q_ref,             # [rows, H, Dq] VMEM (scaled q_eff)
     c0_hbm,            # lat [L, slots, Dl] | ckv8 [L, slots, r]
@@ -61,13 +62,17 @@ def _mla_kernel(
     rope_dr: int,
     fp8: bool,
     run_only: bool,
+    fused_write: bool,
 ):
     if fp8:
-        (c1_hbm, o_ref, c0_out, c1_out, b0, b1, acc_ref, m_ref, l_ref,
-         sem) = rest
+        (c1_hbm, n0_ref, n1_ref, o_ref, c0_out, c1_out, b0, b1,
+         acc_ref, m_ref, l_ref, g0_ref, g1_ref, sem, wsem) = rest
     else:
-        o_ref, c0_out, b0, acc_ref, m_ref, l_ref, sem = rest
+        (n0_ref, o_ref, c0_out, b0, acc_ref, m_ref, l_ref, g0_ref,
+         sem, wsem) = rest
         c1_hbm = None
+        n1_ref = None
+        g1_ref = None
         b1 = None
 
     blk = pl.program_id(0)
@@ -149,6 +154,51 @@ def _mla_kernel(
         return chunk_of(t) < nc
 
     o_ref[:] = jnp.zeros_like(o_ref)
+
+    if fused_write:
+        # In-kernel write of the current token's latent row, as an RMW on
+        # the tile-aligned group containing the slot (Mosaic forbids
+        # slicing the pool's slot dim below its 8-sublane XLA tile; see
+        # pallas_decode_multirow._mr_kernel).  Groups never span pages and
+        # a decode row's newest page is its own, so no cross-row races.
+        GK = g0_ref.shape[1]
+
+        def rmw(read):
+            dmas = []
+            for r in range(rows):
+                slot = new_slots_ref[blk * rows + r]
+                base = (slot // GK) * GK
+                p0 = c0_hbm.at[layer, pl.ds(base, GK), :]
+                pairs = [(p0, g0_ref.at[r])]
+                if fp8:
+                    p1 = c1_hbm.at[layer, pl.ds(base, GK), :]
+                    pairs.append((p1, g1_ref.at[r]))
+                for hbm, vmem in pairs:
+                    if read:
+                        dmas.append(pltpu.make_async_copy(hbm, vmem, wsem))
+                    else:
+                        dmas.append(pltpu.make_async_copy(vmem, hbm, wsem))
+            for dma in dmas:
+                dma.start()
+            for dma in dmas:
+                dma.wait()
+
+        rmw(True)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (GK, 1), 0)
+        for r in range(rows):
+            slot = new_slots_ref[blk * rows + r]
+            msk = sub == slot % GK
+            if fp8:
+                # select in bf16 (8-bit select is unsupported on the VPU;
+                # e4m3 -> bf16 -> e4m3 is exact)
+                g0_ref[r] = jnp.where(
+                    msk, n0_ref[r].astype(jnp.bfloat16),
+                    g0_ref[r].astype(jnp.bfloat16),
+                ).astype(g0_ref.dtype)
+                g1_ref[r] = jnp.where(msk, n1_ref[r], g1_ref[r])
+            else:
+                g0_ref[r] = jnp.where(msk, n0_ref[r], g0_ref[r])
+        rmw(False)
 
     @pl.when(valid(0))
     def _():
@@ -268,6 +318,8 @@ def mla_decode_multirow(
     layer_id: jax.Array,
     page_tables: jax.Array,  # [B, P]
     seq_lens: jax.Array,     # [B]
+    lat_new: jax.Array = None,   # [B, Dl] fused write (current token row)
+    new_slots: jax.Array = None,
     *,
     page_size: int,
     sm_scale: float,
@@ -278,19 +330,33 @@ def mla_decode_multirow(
 ) -> jax.Array:
     """bf16 path; returns latent context [B, H, r_dim]."""
     B, H, Dl = q_eff.shape
+    fused_write = lat_new is not None
+    GK = 8  # pool slot-dim slices must align to the 8-sublane XLA tile
+    if not fused_write:
+        lat_new = jnp.zeros((B, Dl), lat.dtype)
+        new_slots = jnp.zeros((B,), jnp.int32)
+    lat_new = lat_new.astype(lat.dtype)
+    B_in = B
     (q_eff, page_tables, seq_lens, ppc, max_chunks, rows, B_pad) = _common(
         q_eff, page_tables, seq_lens, page_size, pages_per_chunk, rows
     )
+    if B_pad != B_in:
+        lat_new = jnp.pad(lat_new, ((0, B_pad - B_in), (0, 0)))
+        new_slots = jnp.pad(new_slots, (0, B_pad - B_in))
+    new_slots = jnp.asarray(new_slots, jnp.int32)
+    lat_new = jnp.broadcast_to(lat_new[:, None], (B_pad, GK, Dl))
     layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
     qs = (q_eff.astype(jnp.float32) * sm_scale).astype(lat.dtype)
     chunk_t = ppc * page_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B_pad // rows,),
         in_specs=[
             pl.BlockSpec((rows, H, Dl), lambda blk, *_: (blk, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, GK, Dl), lambda blk, *_: (blk, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -304,13 +370,15 @@ def mla_decode_multirow(
             pltpu.VMEM((H, r_dim), jnp.float32),
             pltpu.VMEM((H, 128), jnp.float32),
             pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((rows, GK, Dl), lat.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
         _mla_kernel, rows=rows, page_size=page_size, pages_per_chunk=ppc,
         max_chunks=max_chunks, r_dim=r_dim, rope_dr=0, fp8=False,
-        run_only=run_only,
+        run_only=run_only, fused_write=fused_write,
     )
     out, lat = pl.pallas_call(
         kernel,
@@ -319,7 +387,7 @@ def mla_decode_multirow(
             jax.ShapeDtypeStruct((B_pad, H, r_dim), jnp.bfloat16),
             jax.ShapeDtypeStruct(lat.shape, lat.dtype),
         ),
-        input_output_aliases={4: 1},
+        input_output_aliases={5: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -330,7 +398,7 @@ def mla_decode_multirow(
             ),
             transcendentals=B_pad * H * max_chunks * chunk_t,
         ),
-    )(layer_id, page_tables, seq_lens, qs, lat)
+    )(layer_id, page_tables, seq_lens, new_slots, qs, lat, lat_new)
     return out[:B], lat
 
 
@@ -346,6 +414,9 @@ def mla_decode_multirow_fp8(
     layer_id: jax.Array,
     page_tables: jax.Array,
     seq_lens: jax.Array,
+    ckv8_new: jax.Array = None,  # [B, r] fp8 fused-write row
+    tail_new: jax.Array = None,  # [B, tail_pad] bf16
+    new_slots: jax.Array = None,
     *,
     page_size: int,
     sm_scale: float,
@@ -359,20 +430,38 @@ def mla_decode_multirow_fp8(
     r_dim = ckv8.shape[-1]
     tail_pad = tail.shape[-1]
     assert Dq == r_dim + tail_pad
+    fused_write = ckv8_new is not None
+    GK = 8  # pool slot-dim slices must align to the 8-sublane XLA tile
+    if not fused_write:
+        ckv8_new = jnp.zeros((B, r_dim), ckv8.dtype)
+        tail_new = jnp.zeros((B, tail_pad), tail.dtype)
+        new_slots = jnp.zeros((B,), jnp.int32)
+    B_in = B
     (q_eff, page_tables, seq_lens, ppc, max_chunks, rows, B_pad) = _common(
         q_eff, page_tables, seq_lens, page_size, pages_per_chunk, rows
     )
+    if B_pad != B_in:
+        ckv8_new = jnp.pad(ckv8_new, ((0, B_pad - B_in), (0, 0)))
+        tail_new = jnp.pad(tail_new, ((0, B_pad - B_in), (0, 0)))
+        new_slots = jnp.pad(new_slots, (0, B_pad - B_in))
+    new_slots = jnp.asarray(new_slots, jnp.int32)
+    ckv8_new = jnp.broadcast_to(ckv8_new[:, None], (B_pad, GK, r_dim))
+    tail_new = jnp.broadcast_to(tail_new[:, None], (B_pad, GK, tail_pad))
     layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
     qs = (q_eff.astype(jnp.float32) * sm_scale).astype(jnp.bfloat16)
     chunk_t = ppc * page_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B_pad // rows,),
         in_specs=[
             pl.BlockSpec((rows, H, Dq), lambda blk, *_: (blk, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, GK, r_dim), lambda blk, *_: (blk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, GK, tail_pad), lambda blk, *_: (blk, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -388,13 +477,16 @@ def mla_decode_multirow_fp8(
             pltpu.VMEM((H, r_dim), jnp.float32),
             pltpu.VMEM((H, 128), jnp.float32),
             pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((rows, GK, r_dim), ckv8.dtype),
+            pltpu.VMEM((rows, GK, tail_pad), tail.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
         _mla_kernel, rows=rows, page_size=page_size, pages_per_chunk=ppc,
         max_chunks=max_chunks, r_dim=r_dim, rope_dr=rope_dr, fp8=True,
-        run_only=run_only,
+        run_only=run_only, fused_write=fused_write,
     )
     out, ckv8, tail = pl.pallas_call(
         kernel,
@@ -404,7 +496,7 @@ def mla_decode_multirow_fp8(
             jax.ShapeDtypeStruct(ckv8.shape, ckv8.dtype),
             jax.ShapeDtypeStruct(tail.shape, tail.dtype),
         ),
-        input_output_aliases={4: 1, 5: 2},
+        input_output_aliases={5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -415,5 +507,6 @@ def mla_decode_multirow_fp8(
             ),
             transcendentals=B_pad * H * max_chunks * chunk_t,
         ),
-    )(layer_id, page_tables, seq_lens, qs, ckv8, tail)
+    )(layer_id, page_tables, seq_lens, new_slots, qs, ckv8, tail,
+      ckv8_new, tail_new)
     return out[:B], ckv8, tail

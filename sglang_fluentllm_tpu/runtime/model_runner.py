@@ -73,6 +73,12 @@ def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
         )
 
         return PagedAttentionBackend()
+    if name == "paged_stock":
+        from sglang_fluentllm_tpu.ops.attention.paged_backend import (
+            StockPagedAttentionBackend,
+        )
+
+        return StockPagedAttentionBackend()
     if name == "mla_paged":
         from sglang_fluentllm_tpu.ops.attention.mla_paged_backend import (
             MLAPagedBackend,

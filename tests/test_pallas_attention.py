@@ -347,3 +347,64 @@ def test_paged_prefill_matches_ref(B, Hq, Hk, D, ps, seqs, qls,
             np.asarray(out)[i, :n], np.asarray(ref)[i, :n],
             rtol=3e-5, atol=3e-5,
         )
+
+
+def test_multirow_fused_write_matches_ref():
+    """Fused-write mode: the kernel itself writes the current token's KV
+    into the pool (replacing the host scatter) and attends over it."""
+    from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+        paged_decode_multirow,
+    )
+
+    B, Hq, Hk, D, ps = 4, 8, 2, 128, 16
+    seqs = [33, 60, 3, 17]  # INCLUDING the current token
+    max_pages = 4
+    rng = np.random.RandomState(5)
+    num_pages = B * max_pages + 1 + 16
+    slots = num_pages * ps
+    kc = np.zeros((2, Hk, slots, D), np.float32)
+    vc = np.zeros((2, Hk, slots, D), np.float32)
+    kc[:] = rng.standard_normal(kc.shape)
+    vc[:] = rng.standard_normal(vc.shape)
+    pt = np.zeros((B, max_pages), np.int32)
+    for i in range(B):
+        n = -(-seqs[i] // ps)
+        pt[i, :n] = 1 + i * max_pages + np.arange(n)
+    k_new = rng.standard_normal((B, Hk, D)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hk, D)).astype(np.float32)
+    new_slots = np.asarray(
+        [pt[i, (seqs[i] - 1) // ps] * ps + (seqs[i] - 1) % ps
+         for i in range(B)], np.int32,
+    )
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32)
+    sl = np.asarray(seqs, np.int32)
+
+    # reference: cache WITH the token already written
+    kc_ref = kc.copy()
+    vc_ref = vc.copy()
+    for i in range(B):
+        kc_ref[1, :, new_slots[i]] = k_new[i]
+        vc_ref[1, :, new_slots[i]] = v_new[i]
+    ref = ref_decode(jnp.asarray(q), jnp.asarray(kc_ref[1]),
+                     jnp.asarray(vc_ref[1]), jnp.asarray(pt),
+                     jnp.asarray(sl), ps, 0.088)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, k2, v2 = paged_decode_multirow(
+            jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+            jnp.int32(1), jnp.asarray(pt), jnp.asarray(sl),
+            k_new=jnp.asarray(k_new), v_new=jnp.asarray(v_new),
+            new_slots=jnp.asarray(new_slots),
+            page_size=ps, sm_scale=0.088, rows=2,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+    # the pool now contains the written rows
+    for i in range(B):
+        np.testing.assert_allclose(
+            np.asarray(k2)[1, :, new_slots[i]], k_new[i], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2)[1, :, new_slots[i]], v_new[i], rtol=1e-6
+        )

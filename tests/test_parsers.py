@@ -119,3 +119,92 @@ class TestReasoningParser:
         r2, t2 = p.parse_stream("more")
         assert r + r2 == ""
         assert t + t2 == "plain text more"
+
+
+class TestLongcatDetectors:
+    def test_longcat_json(self):
+        from sglang_fluentllm_tpu.function_call.parser import (
+            FunctionCallParser,
+        )
+
+        p = FunctionCallParser(None, "longcat")
+        text = (
+            'let me check.<longcat_tool_call>\n'
+            '{"name": "get_weather", "arguments": {"city": "SF"}}\n'
+            '</longcat_tool_call><longcat_tool_call>\n'
+            '{"name": "get_time", "arguments": {}}\n'
+            '</longcat_tool_call>'
+        )
+        normal, calls = p.parse_non_stream(text)
+        assert normal == "let me check."
+        assert [c.name for c in calls] == ["get_weather", "get_time"]
+        import json as _json
+
+        assert _json.loads(calls[0].parameters) == {"city": "SF"}
+
+    def test_longcat_xml(self):
+        from sglang_fluentllm_tpu.function_call.parser import (
+            FunctionCallParser,
+        )
+
+        p = FunctionCallParser(None, "longcat_xml")
+        text = (
+            "<longcat_tool_call>get_weather\n"
+            "<longcat_arg_key>city</longcat_arg_key>"
+            "<longcat_arg_value>SF</longcat_arg_value>"
+            "<longcat_arg_key>days</longcat_arg_key>"
+            "<longcat_arg_value>3</longcat_arg_value>"
+            "</longcat_tool_call>"
+        )
+        normal, calls = p.parse_non_stream(text)
+        assert normal == ""
+        assert calls[0].name == "get_weather"
+        import json as _json
+
+        assert _json.loads(calls[0].parameters) == {"city": "SF", "days": 3}
+
+
+class TestStreamingToolParse:
+    def test_streaming_emits_text_then_call(self):
+        from sglang_fluentllm_tpu.function_call.parser import (
+            FunctionCallParser,
+        )
+
+        p = FunctionCallParser(None, "qwen25")
+        chunks = [
+            "Sure, ", "let me look. ", "<tool_", "call>",
+            '\n{"name": "f1", ', '"arguments": {"x": 1}}\n',
+            "</tool_call>", " done",
+        ]
+        texts, calls = [], []
+        for c in chunks:
+            r = p.parse_stream_chunk(c)
+            texts.append(r.normal_text)
+            calls.extend(r.calls)
+        r = p.parse_stream_final()
+        texts.append(r.normal_text)
+        calls.extend(r.calls)
+        # the prefix streamed out BEFORE the call completed
+        assert "".join(texts).startswith("Sure, let me look. ")
+        assert len(calls) == 1 and calls[0].name == "f1"
+
+    def test_streaming_longcat(self):
+        from sglang_fluentllm_tpu.function_call.parser import (
+            FunctionCallParser,
+        )
+
+        p = FunctionCallParser(None, "longcat")
+        full = (
+            'hi<longcat_tool_call>\n{"name": "a", "arguments": {}}\n'
+            '</longcat_tool_call>'
+        )
+        calls = []
+        text = ""
+        for i in range(0, len(full), 7):
+            r = p.parse_stream_chunk(full[i : i + 7])
+            text += r.normal_text
+            calls.extend(r.calls)
+        r = p.parse_stream_final()
+        calls.extend(r.calls)
+        assert text.startswith("hi")
+        assert len(calls) == 1 and calls[0].name == "a"
