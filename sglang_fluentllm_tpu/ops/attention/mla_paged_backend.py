@@ -14,8 +14,10 @@ Decode dispatch:
   ``flash_mla_ckv_fp8_per_token``) -> ``mla_decode_multirow_fp8`` with the
   per-token dequant fused into the kernel's K/V load.
 
-Prefill falls back to the reference jnp paths (see the ragged Pallas
-prefill kernel for the extend-side story).
+Extend (S > 4, no spec tree mask) runs the "normal" MLA path with the
+quadratic-score-free ragged flash kernel: per-layer latent decompression +
+``dense_flash_prefill`` (see ``_extend_flash``); tiny extends and
+spec-verify keep the reference absorbed path.
 """
 
 from __future__ import annotations
@@ -41,8 +43,15 @@ class MLAPagedBackend(RefMLABackend):
     def __call__(self, kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
                  batch, w_kc, w_vc, sm_scale) -> Tuple[jax.Array, object]:
         if not batch.mode.is_decode():
-            # prefill falls back to the reference paths
-            return super().__call__(
+            S = q_nope.shape[1]
+            if batch.custom_mask is not None or S <= 4:
+                # spec-verify tree masks / tiny extends: reference paths
+                # (absorbed for short query blocks)
+                return super().__call__(
+                    kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
+                    batch, w_kc, w_vc, sm_scale,
+                )
+            return self._extend_flash(
                 kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
                 batch, w_kc, w_vc, sm_scale,
             )
@@ -113,3 +122,54 @@ class MLAPagedBackend(RefMLABackend):
         ctx = ctx.astype(jnp.float32)[..., :r]
         out = jnp.einsum("bhr,hrd->bhd", ctx, w_vc.astype(jnp.float32))
         return out[:, None].astype(q_nope.dtype), kv_cache
+
+    def _extend_flash(self, kv_cache, layer_id, q_nope, q_pe, ckv_new,
+                      kpe_new, batch, w_kc, w_vc, sm_scale):
+        """MLA extend via per-layer latent decompression + ragged flash.
+
+        The "normal" MLA path (reference ``deepseek_v2.py`` forward_normal,
+        FA3 extend) done TPU-first: gather the latent sequence dense (cheap
+        — latents are ~1/H of the per-head KV), decompress ONCE per layer
+        through the kv_b projections (two MXU matmuls), then flash-attend
+        the dense KV with the online-softmax Pallas kernel — no O(S*T)
+        score materialization, and KV chunks stream with merged softmax
+        (reference ``chunker.py:53`` chunked-prefill role)."""
+        B, S, H, dn = q_nope.shape
+        dr = kpe_new.shape[-1]
+        kv_cache, ckv, kpe = self._write_gather(
+            kv_cache, layer_id, ckv_new, kpe_new, batch
+        )
+        dtype = q_nope.dtype
+        # decompress head-minor so the pool transpose fuses into the GEMM
+        k_nope = jnp.einsum(
+            "btr,hrd->bthd", ckv, w_kc.astype(jnp.float32)
+        ).astype(dtype)                                  # [B, T, H, dn]
+        v = jnp.einsum(
+            "btr,hrd->bthd", ckv, w_vc.astype(jnp.float32)
+        ).astype(dtype)                                  # [B, T, H, dv]
+        T = k_nope.shape[1]
+        k = jnp.concatenate(
+            [
+                k_nope,
+                jnp.broadcast_to(
+                    kpe.astype(dtype)[:, :, None, :], (B, T, H, dr)
+                ),
+            ],
+            axis=-1,
+        )                                                # [B, T, H, dn+dr]
+        q = jnp.concatenate([q_nope, q_pe.astype(dtype)], axis=-1)
+        # lane-pad the K head dim (dn+dr is rarely a lane multiple)
+        Dk = dn + dr
+        Dk_pad = padded_head_dim(Dk)
+        if Dk_pad != Dk:
+            q = jnp.pad(q, [(0, 0), (0, 0), (0, 0), (0, Dk_pad - Dk)])
+            k = jnp.pad(k, [(0, 0), (0, 0), (0, 0), (0, Dk_pad - Dk)])
+
+        from sglang_fluentllm_tpu.ops.attention.pallas_prefill import (
+            dense_flash_prefill,
+        )
+
+        out = dense_flash_prefill(
+            q, k, v, batch.seq_lens, batch.q_lens, sm_scale=sm_scale
+        )
+        return out.astype(q_nope.dtype), kv_cache

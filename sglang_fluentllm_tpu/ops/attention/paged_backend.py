@@ -75,13 +75,39 @@ class PagedAttentionBackend(RefAttentionBackend):
 
     def _extend(self, kv_cache, layer_id, q, k_new, v_new, batch,
                 sm_scale, logit_cap):
-        """Extend path: dense-gather reference attention (the write+gather
-        stays a scatter-only chain, which XLA keeps in place; a fused-write
-        ragged prefill kernel is the follow-up)."""
-        return RefAttentionBackend.__call__(
-            self, kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
-            logit_cap,
+        """Extend path: scatter the new KV into the pool, then run the
+        ragged Pallas flash prefill directly over the paged pool — no dense
+        per-layer gather and no O(S*T) score materialization (reference
+        ``flash_attention_backend.py`` extend role). Spec-decode tree masks
+        (``custom_mask``) fall back to the dense reference path."""
+        B, S, Hk, D = k_new.shape
+        Hq = q.shape[2]
+        if batch.custom_mask is not None or Hq % Hk:
+            return RefAttentionBackend.__call__(
+                self, kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
+                logit_cap,
+            )
+        loc = batch.out_cache_loc.reshape(-1)
+        kv_cache = mha_write(
+            kv_cache, layer_id, loc,
+            k_new.reshape(B * S, Hk, D), v_new.reshape(B * S, Hk, D),
         )
+        Dp = kv_cache.k.shape[-1]
+        q2 = q
+        if Dp != D:
+            q2 = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+
+        from sglang_fluentllm_tpu.ops.attention.pallas_prefill import (
+            paged_prefill_attention,
+        )
+
+        out, k2, v2 = paged_prefill_attention(
+            q2, kv_cache.k, kv_cache.v, layer_id,
+            batch.page_tables, batch.seq_lens, batch.q_lens,
+            page_size=batch.page_size, sm_scale=sm_scale,
+            logit_cap=logit_cap, run_only=batch.pages_are_runs,
+        )
+        return out[..., :D], MHAKVCache(k=k2, v=v2)
 
 
 class StockPagedAttentionBackend(RefAttentionBackend):

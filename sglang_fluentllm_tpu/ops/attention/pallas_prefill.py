@@ -1,22 +1,28 @@
-"""Ragged paged flash prefill/extend attention (MHA/GQA) in Pallas.
+"""Ragged paged flash prefill/extend attention (MHA/GQA/MLA-dense) in Pallas.
 
 TPU-native analog of the reference's FA3/flashinfer ragged prefill path
 (``layers/attention/flash_attention_backend.py``): extend-mode attention
-runs directly over the paged KV pool — no dense per-layer gather is ever
-materialized (round-1 VERDICT missing #3: every extend paid O(T x layers)
-extra HBM traffic through ``ref_backend.page_gather_mha``).
+runs directly over the paged KV pool — no dense per-layer gather and no
+O(S*T) score materialization is ever written to HBM (round-1 VERDICT
+missing #3: every extend paid O(T x layers) extra HBM traffic through
+``ref_backend.page_gather_mha``).
 
-Shape model: queries are the dense padded ``[B, S, Hq, D]`` extend block
-(runtime/forward_batch.py layout); each row's new token s sits at global
-position ``seq_len - q_len + s``. KV (prefix + freshly written new tokens)
-streams from the stacked pool chunk-by-chunk with the same page-run
-coalesced DMA + per-page fallback as the decode kernels, and the causal
-softmax is computed online per (row, q-block) — chunked long-context
-prefill with streamed softmax merge falls out of the same loop (reference
-``layers/attention/chunker.py:53`` role).
+Layout: queries travel head-major ``[B, Hk, S*G, D]`` so one kernel grid
+cell reads a clean ``[BQG, D]`` (rows, lanes) tile per kv head with the
+EXACT group size G — no G->8 sublane padding (the decode kernels pay that
+pad on one token; prefill would pay it on every token: 8x wasted MXU work
+for MLA's G=1, 2x for llama's G=4). Each query row r of a block encodes
+``(s, g) = (r // G, r % G)``; its global position is
+``seq_len - q_len + s``. K and V head dims may differ (``Dv`` follows the
+v pool): the MLA extend path decompresses latents once per layer and
+flash-attends the dense KV through this same kernel via identity page
+tables (``dense_flash_prefill``), giving streamed-softmax chunk merge for
+long MLA prompts (reference ``layers/attention/chunker.py:53`` role).
 
-Scores are computed KV-major (``s[t, q]``) so the running max/sum reduce
-over sublanes and the accumulators stay lane-efficient.
+KV (prefix + freshly written new tokens) streams from the stacked pool
+chunk-by-chunk with the same page-run coalesced DMA + per-page fallback as
+the decode kernels, and the causal softmax is computed online per
+(row, q-block).
 """
 
 from __future__ import annotations
@@ -30,7 +36,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
-    G_PAD,
     RUN_SLACK_PAGES,  # noqa: F401  (shared pool contract)
 )
 
@@ -44,22 +49,23 @@ def _prefill_kernel(
     seq_lens_ref,      # [B] int32 (total incl. new tokens)
     q_lens_ref,        # [B] int32 (new tokens this extend)
     # inputs
-    q_ref,             # [1, BQ, Hk, G_PAD, D] VMEM (scaled)
+    q_ref,             # [1, Hk, BQG, D] VMEM (scaled)
     k_hbm,             # [L, Hk, slots, D] HBM
-    v_hbm,             # [L, Hk, slots, D] HBM
+    v_hbm,             # [L, Hk, slots, Dv] HBM
     # outputs
-    o_ref,             # [1, BQ, Hk, G_PAD, D] VMEM
+    o_ref,             # [1, Hk, BQG, Dv] VMEM
     k_out,             # aliased passthrough (in-place pool chain)
     v_out,
     # scratch
     k_buf,             # [2, Hk, chunk_t, D]
-    v_buf,             # [2, Hk, chunk_t, D]
-    acc_ref,           # [Hk, BQ * G_PAD, D] f32
-    m_ref,             # [Hk, BQ * G_PAD, 128] f32
-    l_ref,             # [Hk, BQ * G_PAD, 128] f32
+    v_buf,             # [2, Hk, chunk_t, Dv]
+    acc_ref,           # [Hk, BQG, Dv] f32
+    m_ref,             # [Hk, BQG, 128] f32
+    l_ref,             # [Hk, BQG, 128] f32
     sem,               # DMA sems [2, 2]
     *,
     bq: int,
+    g: int,
     page_size: int,
     pages_per_chunk: int,
     num_kv_heads: int,
@@ -73,7 +79,7 @@ def _prefill_kernel(
     ppc = pages_per_chunk
     chunk_t = ppc * ps
     Hk = num_kv_heads
-    BQG = bq * G_PAD
+    BQG = bq * g
 
     seq_len = seq_lens_ref[b]
     q_len = q_lens_ref[b]
@@ -150,10 +156,10 @@ def _prefill_kernel(
     def _():
         start(0, 0)
 
-    # q-major layout (same as the decode kernels — lane->sublane relayouts
-    # do not lower on Mosaic): score s[q, t] with q = s_row * G_PAD + g
+    # row r of this block = (s, g) = ((qb*BQG + r) // g mapping): score
+    # s[r, t] keeps rows in sublanes and kv tokens in lanes
     q_idx = jax.lax.broadcasted_iota(jnp.int32, (BQG, chunk_t), 0)
-    s_row = qb * bq + q_idx // G_PAD
+    s_row = (qb * BQG + q_idx) // g
     q_pos = prefix + s_row
     t_base = jax.lax.broadcasted_iota(jnp.int32, (BQG, chunk_t), 1)
 
@@ -170,8 +176,8 @@ def _prefill_kernel(
         mask = (t_pos <= q_pos) & (s_row < q_len)
         for h in range(Hk):
             k = k_buf[slot, h]                       # [chunk_t, D]
-            v = v_buf[slot, h]
-            qh = q_ref[0, :, h].reshape(BQG, -1)     # [BQG, D]
+            v = v_buf[slot, h]                       # [chunk_t, Dv]
+            qh = q_ref[0, h]                         # [BQG, D]
             s = jax.lax.dot_general(
                 qh, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -202,9 +208,7 @@ def _prefill_kernel(
         for h in range(Hk):
             l = l_ref[h, :, :1]                      # [BQG, 1]
             out = acc_ref[h] / jnp.maximum(l, 1e-20)
-            o_ref[0, :, h] = out.reshape(
-                bq, G_PAD, out.shape[-1]
-            ).astype(o_ref.dtype)
+            o_ref[0, h] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -217,7 +221,7 @@ def _prefill_kernel(
 def paged_prefill_attention(
     q: jax.Array,            # [B, S, Hq, D] (unscaled; D lane-padded)
     k_cache: jax.Array,      # [L, Hk, slots, D]
-    v_cache: jax.Array,      # [L, Hk, slots, D]
+    v_cache: jax.Array,      # [L, Hk, slots, Dv]
     layer_id: jax.Array,
     page_tables: jax.Array,  # [B, P]
     seq_lens: jax.Array,     # [B] total tokens incl. new
@@ -232,8 +236,8 @@ def paged_prefill_attention(
 ) -> jax.Array:
     B, S, Hq, D = q.shape
     Hk = k_cache.shape[1]
+    Dv = v_cache.shape[-1]
     G = Hq // Hk
-    assert G <= G_PAD, f"q-group {G} > {G_PAD}"
     P = page_tables.shape[1]
     if pages_per_chunk <= 0:
         pages_per_chunk = max(1, min(P, 256 // page_size))
@@ -245,19 +249,21 @@ def paged_prefill_attention(
 
     layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-    qs = qs.reshape(B, S, Hk, G, D)
-    pads = [(0, 0), (0, S_pad - S), (0, 0), (0, G_PAD - G), (0, 0)]
-    if any(p != (0, 0) for p in pads):
-        qs = jnp.pad(qs, pads)
+    if S_pad != S:
+        qs = jnp.pad(qs, [(0, 0), (0, S_pad - S), (0, 0), (0, 0)])
+    # head-major exact-G layout: [B, S, Hk, G, D] -> [B, Hk, S*G, D]
+    qs = qs.reshape(B, S_pad, Hk, G, D).transpose(0, 2, 1, 3, 4)
+    qs = qs.reshape(B, Hk, S_pad * G, D)
 
+    BQG = bq * G
     chunk_t = pages_per_chunk * page_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, S_pad // bq),
         in_specs=[
             pl.BlockSpec(
-                (1, bq, Hk, G_PAD, D),
-                lambda b, qb, *_: (b, qb, 0, 0, 0),
+                (1, Hk, BQG, D),
+                lambda b, qb, *_: (b, 0, qb, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -265,8 +271,8 @@ def paged_prefill_attention(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, bq, Hk, G_PAD, D),
-                lambda b, qb, *_: (b, qb, 0, 0, 0),
+                (1, Hk, BQG, Dv),
+                lambda b, qb, *_: (b, 0, qb, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -274,16 +280,17 @@ def paged_prefill_attention(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, Hk, chunk_t, D), k_cache.dtype),
-            pltpu.VMEM((2, Hk, chunk_t, D), v_cache.dtype),
-            pltpu.VMEM((Hk, bq * G_PAD, D), jnp.float32),
-            pltpu.VMEM((Hk, bq * G_PAD, 128), jnp.float32),
-            pltpu.VMEM((Hk, bq * G_PAD, 128), jnp.float32),
+            pltpu.VMEM((2, Hk, chunk_t, Dv), v_cache.dtype),
+            pltpu.VMEM((Hk, BQG, Dv), jnp.float32),
+            pltpu.VMEM((Hk, BQG, 128), jnp.float32),
+            pltpu.VMEM((Hk, BQG, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(
         _prefill_kernel,
         bq=bq,
+        g=G,
         page_size=page_size,
         pages_per_chunk=pages_per_chunk,
         num_kv_heads=Hk,
@@ -294,7 +301,7 @@ def paged_prefill_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, S_pad, Hk, G_PAD, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hk, S_pad * G, Dv), q.dtype),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
@@ -303,12 +310,56 @@ def paged_prefill_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * S_pad * Hq * D * P_pad * page_size * 2,
+            flops=2 * B * S_pad * Hq * (D + Dv) * P_pad * page_size,
             bytes_accessed=(
-                B * (S_pad // bq) * Hk * P_pad * page_size * D * 2
+                B * (S_pad // bq) * Hk * P_pad * page_size * (D + Dv)
                 * k_cache.dtype.itemsize
             ),
             transcendentals=B * S_pad * Hq * P_pad * page_size,
         ),
     )(layer_id, page_tables, seq_lens, q_lens, qs, k_cache, v_cache)
-    return (out[:, :S, :, :G, :].reshape(B, S, Hq, D), k_cache, v_cache)
+    out = out.reshape(B, Hk, S_pad, G, Dv).transpose(0, 2, 1, 3, 4)
+    return (out[:, :S].reshape(B, S, Hq, Dv), k_cache, v_cache)
+
+
+def dense_flash_prefill(
+    q: jax.Array,          # [B, S, Hq, D]
+    k: jax.Array,          # [B, T, Hk, D]
+    v: jax.Array,          # [B, T, Hk, Dv]
+    seq_lens: jax.Array,   # [B] valid kv length (incl. new tokens)
+    q_lens: jax.Array,     # [B] new tokens (queries are the LAST q_len)
+    *,
+    sm_scale: float,
+    logit_cap: float = 0.0,
+    page_size: int = 64,
+) -> jax.Array:
+    """Flash attention over dense per-batch KV via the paged kernel with
+    identity page tables (consecutive runs by construction -> coalesced
+    run-DMA fast path, no fixups). Used by the MLA extend path after
+    per-layer latent decompression; the online softmax over kv chunks is
+    the streamed chunk merge of the reference's ``chunker.py``."""
+    B, T, Hk, D = k.shape
+    Dv = v.shape[-1]
+    ps = page_size
+    ppc = max(1, 256 // ps)
+    chunk_t = ppc * ps
+    # per-row region padded to a whole chunk so over-reads stay in-row
+    T_pad = math.ceil(max(T, 1) / chunk_t) * chunk_t
+    pad_t = [(0, 0), (0, T_pad - T), (0, 0), (0, 0)]
+    if T_pad != T:
+        k = jnp.pad(k, pad_t)
+        v = jnp.pad(v, pad_t)
+    # pool layout [1, Hk, B*T_pad, D] (head-major, then rows by (b, t))
+    k_pool = k.transpose(2, 0, 1, 3).reshape(Hk, B * T_pad, D)[None]
+    v_pool = v.transpose(2, 0, 1, 3).reshape(Hk, B * T_pad, Dv)[None]
+    P = T_pad // ps
+    pt = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * P
+        + jnp.arange(P, dtype=jnp.int32)[None, :]
+    )
+    out, _, _ = paged_prefill_attention(
+        q, k_pool, v_pool, jnp.int32(0), pt, seq_lens, q_lens,
+        page_size=ps, sm_scale=sm_scale, logit_cap=logit_cap,
+        pages_per_chunk=ppc, run_only=True,
+    )
+    return out

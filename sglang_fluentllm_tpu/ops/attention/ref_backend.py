@@ -173,11 +173,30 @@ class RefMLABackend:
         sm_scale: float,
     ) -> Tuple[jax.Array, object]:
         B, S, H, dn = q_nope.shape
-        r = ckv_new.shape[-1]
+        kv_cache, ckv, kpe = self._write_gather(
+            kv_cache, layer_id, ckv_new, kpe_new, batch
+        )
+
+        # absorbed path wins when the query block is short (decode/verify);
+        # normal path amortizes the latent decompression over long prefills
+        if batch.mode.is_decode() or S <= 4:
+            out = self._absorbed(
+                q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale
+            )
+        else:
+            out = self._normal(
+                q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale
+            )
+        return out, kv_cache
+
+    def _write_gather(self, kv_cache, layer_id, ckv_new, kpe_new, batch):
+        """Write the new latents into the pool and gather the full dense
+        latent sequence [B, T, r] / rope keys [B, T, dr] (f32, dequantized
+        for FP8 pools)."""
+        B, S, r = ckv_new.shape
         dr = kpe_new.shape[-1]
         loc = batch.out_cache_loc.reshape(-1)
-        fp8 = isinstance(kv_cache, MLAKVCacheFP8)
-        if fp8:
+        if isinstance(kv_cache, MLAKVCacheFP8):
             kv_cache = mla_write_fp8(
                 kv_cache, layer_id, loc,
                 ckv_new.reshape(B * S, r),
@@ -204,20 +223,7 @@ class RefMLABackend:
                               batch.page_size)      # [B, T, r_pad+rope_pad]
             ckv = lat[..., :r]
             kpe = lat[..., r_pad : r_pad + dr]
-        ckv = ckv.astype(jnp.float32)
-        kpe = kpe.astype(jnp.float32)
-
-        # absorbed path wins when the query block is short (decode/verify);
-        # normal path amortizes the latent decompression over long prefills
-        if batch.mode.is_decode() or S <= 4:
-            out = self._absorbed(
-                q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale
-            )
-        else:
-            out = self._normal(
-                q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale
-            )
-        return out, kv_cache
+        return kv_cache, ckv.astype(jnp.float32), kpe.astype(jnp.float32)
 
     def _absorbed(self, q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale):
         qf = q_nope.astype(jnp.float32)

@@ -106,3 +106,85 @@ class TestMLAPagedBackend:
         with pltpu.force_tpu_interpret_mode():
             out = e_k.generate(input_ids=PROMPT, sampling_params=sp)
         assert out["output_ids"] == ref["output_ids"]
+
+
+class TestMLAFlashExtend:
+    def test_mla_extend_flash_matches_ref(self):
+        """MLAPagedBackend extend (latent decompress + dense flash kernel)
+        == RefMLABackend normal path, incl. a radix-prefix row."""
+        from jax.experimental.pallas import tpu as pltpu
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            MLAKVCache, padded_head_dim,
+        )
+        from sglang_fluentllm_tpu.ops.attention.mla_paged_backend import (
+            MLAPagedBackend,
+        )
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            RefMLABackend,
+        )
+        from sglang_fluentllm_tpu.runtime.forward_batch import (
+            ForwardBatch, ForwardMode,
+        )
+
+        rng = np.random.RandomState(3)
+        B, S, H, dn, dr, r, dv, ps, L = 2, 24, 4, 32, 16, 64, 32, 8, 2
+        seqs = [40, 24]
+        qls = [24, 24]  # row 0 has a 16-token cached prefix
+        P = max(-(-s // ps) for s in seqs)
+        num_pages = B * P + 1 + 16
+        pt = np.zeros((B, P), np.int32)
+        out_loc = np.zeros((B, S), np.int32)
+        nxt = 1
+        for i, (sl_i, ql_i) in enumerate(zip(seqs, qls)):
+            npg = -(-sl_i // ps)
+            pt[i, :npg] = np.arange(nxt, nxt + npg)
+            nxt += npg
+            prefix = sl_i - ql_i
+            for j in range(ql_i):
+                pos = prefix + j
+                out_loc[i, j] = pt[i, pos // ps] * ps + pos % ps
+
+        r_pad = padded_head_dim(r)
+        Dl = r_pad + padded_head_dim(dr)
+        lat = rng.standard_normal(
+            (L, num_pages * ps, Dl)
+        ).astype(np.float32) * 0.3
+        lat[:, :ps] = 0
+        batch = ForwardBatch(
+            input_ids=jnp.zeros((B, S), jnp.int32),
+            positions=jnp.zeros((B, S), jnp.int32),
+            out_cache_loc=jnp.asarray(out_loc),
+            page_tables=jnp.asarray(pt),
+            seq_lens=jnp.asarray(np.asarray(seqs, np.int32)),
+            q_lens=jnp.asarray(np.asarray(qls, np.int32)),
+            mode=ForwardMode.EXTEND,
+            page_size=ps,
+            pages_are_runs=True,
+        )
+        q_nope = rng.standard_normal((B, S, H, dn)).astype(np.float32)
+        q_pe = rng.standard_normal((B, S, H, dr)).astype(np.float32)
+        ckv_new = rng.standard_normal((B, S, r)).astype(np.float32) * 0.3
+        kpe_new = rng.standard_normal((B, S, dr)).astype(np.float32) * 0.3
+        w_kc = rng.standard_normal((H, r, dn)).astype(np.float32) * 0.2
+        w_vc = rng.standard_normal((H, r, dv)).astype(np.float32) * 0.2
+        sm = 1.0 / np.sqrt(dn + dr)
+
+        args = (
+            1, jnp.asarray(q_nope), jnp.asarray(q_pe),
+            jnp.asarray(ckv_new), jnp.asarray(kpe_new), batch,
+            jnp.asarray(w_kc), jnp.asarray(w_vc), sm,
+        )
+        ref_out, _ = RefMLABackend()(
+            MLAKVCache(lat=jnp.asarray(lat)), *args
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out, _ = MLAPagedBackend()(
+                MLAKVCache(lat=jnp.asarray(lat)), *args
+            )
+        for i, ql_i in enumerate(qls):
+            np.testing.assert_allclose(
+                np.asarray(out)[i, :ql_i], np.asarray(ref_out)[i, :ql_i],
+                rtol=2e-4, atol=2e-4,
+            )

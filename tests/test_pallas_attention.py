@@ -408,3 +408,83 @@ def test_multirow_fused_write_matches_ref():
         np.testing.assert_allclose(
             np.asarray(v2)[1, :, new_slots[i]], v_new[i], rtol=1e-6
         )
+
+
+def test_paged_backend_extend_matches_ref():
+    """Backend-level parity: PagedAttentionBackend extend (scatter +
+    ragged Pallas prefill over the pool) == RefAttentionBackend, incl.
+    radix-prefix rows, non-run page tables, and lane padding (D=64)."""
+    from sglang_fluentllm_tpu.mem.kv_cache import (
+        MHAKVCache, padded_head_dim,
+    )
+    from sglang_fluentllm_tpu.ops.attention.paged_backend import (
+        PagedAttentionBackend,
+    )
+    from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+        RefAttentionBackend,
+    )
+    from sglang_fluentllm_tpu.runtime.forward_batch import (
+        ForwardBatch, ForwardMode,
+    )
+
+    rng = np.random.RandomState(5)
+    B, S, Hq, Hk, D, ps, L = 3, 48, 8, 2, 64, 16, 2
+    Dp = padded_head_dim(D)
+    seqs = [70, 48, 5]      # total incl. new
+    qls = [40, 48, 5]       # new tokens this extend (row 0 has a prefix)
+    P = max(-(-s // ps) for s in seqs)
+    num_pages = B * P + 1 + 16
+    # scattered (non-run) page tables
+    perm = rng.permutation(np.arange(1, num_pages - 16))
+    pt = np.zeros((B, P), np.int32)
+    out_loc = np.zeros((B, S), np.int32)
+    for i, (sl_i, ql_i) in enumerate(zip(seqs, qls)):
+        npg = -(-sl_i // ps)
+        pt[i, :npg] = perm[i * P : i * P + npg]
+        prefix = sl_i - ql_i
+        for j in range(ql_i):
+            pos = prefix + j
+            out_loc[i, j] = pt[i, pos // ps] * ps + pos % ps
+
+    def make_pool():
+        k = np.zeros((L, Hk, num_pages * ps, Dp), np.float32)
+        v = np.zeros((L, Hk, num_pages * ps, Dp), np.float32)
+        k[..., :D] = rng.standard_normal((L, Hk, num_pages * ps, D))
+        v[..., :D] = rng.standard_normal((L, Hk, num_pages * ps, D))
+        k[:, :, :ps] = 0
+        v[:, :, :ps] = 0
+        return MHAKVCache(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    q = rng.standard_normal((B, S, Hq, D)).astype(np.float32)
+    k_new = rng.standard_normal((B, S, Hk, D)).astype(np.float32)
+    v_new = rng.standard_normal((B, S, Hk, D)).astype(np.float32)
+    batch = ForwardBatch(
+        input_ids=jnp.zeros((B, S), jnp.int32),
+        positions=jnp.zeros((B, S), jnp.int32),
+        out_cache_loc=jnp.asarray(out_loc),
+        page_tables=jnp.asarray(pt),
+        seq_lens=jnp.asarray(np.asarray(seqs, np.int32)),
+        q_lens=jnp.asarray(np.asarray(qls, np.int32)),
+        mode=ForwardMode.EXTEND,
+        page_size=ps,
+        pages_are_runs=False,
+    )
+    pool = make_pool()
+    sm = 1.0 / np.sqrt(D)
+    ref_out, ref_pool = RefAttentionBackend()(
+        pool, 1, jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        batch, sm,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, new_pool = PagedAttentionBackend()(
+            pool, 1, jnp.asarray(q), jnp.asarray(k_new),
+            jnp.asarray(v_new), batch, sm,
+        )
+    for i, ql_i in enumerate(qls):
+        np.testing.assert_allclose(
+            np.asarray(out)[i, :ql_i], np.asarray(ref_out)[i, :ql_i],
+            rtol=3e-5, atol=3e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_pool.k), np.asarray(ref_pool.k), rtol=1e-6
+    )
