@@ -45,6 +45,16 @@ class GemmaForCausalLM:
         )
         self.attn_logit_cap = hf.get("attn_logit_softcapping", 0.0) or 0.0
         self.final_logit_cap = hf.get("final_logit_softcapping", 0.0) or 0.0
+        # gemma2 interleaves sliding-window layers (even idx) with full
+        # attention layers (reference srt/models/gemma2.py sliding pattern)
+        w = config.sliding_window or 0
+        if self.is_gemma2 and w:
+            self.windows = jnp.asarray(
+                [w if i % 2 == 0 else 0
+                 for i in range(config.num_hidden_layers)], jnp.int32,
+            )
+        else:
+            self.windows = None
         self.rope = RotaryEmbedding(
             config.head_dim,
             max(config.context_length or 0, config.max_position_embeddings),
@@ -134,6 +144,8 @@ class GemmaForCausalLM:
             attn_out, kv_cache = self.attn(
                 kv_cache, layer_id, q, k, v, batch, self.sm_scale,
                 self.attn_logit_cap,
+                window=(self.windows[layer_id]
+                        if self.windows is not None else None),
             )
             attn_out = attn_out.reshape(B, S, Hq * D) @ lp["o_proj"]
             if self.is_gemma2:

@@ -36,11 +36,22 @@ from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
 class LlamaForCausalLM:
     has_qkv_bias = False
     supports_fp8_weights = True
+    # hooks used by derived architectures (granite/minicpm multipliers)
+    embed_scale = 1.0
+    residual_scale = 1.0
+    logits_scale = 1.0
+
+    def extra_name_map(self):
+        """Per-layer weight-name additions for derived architectures:
+        {hf_suffix: (param_key, transpose)}."""
+        return {}
 
     def __init__(self, config: ModelConfig, attn_backend):
         self.config = config
         self.attn = attn_backend
         self.sm_scale = 1.0 / math.sqrt(config.head_dim)
+        # uniform sliding window (Mistral-style); 0/None = full attention
+        self.window = config.sliding_window or 0
         rotary_dim = int(config.head_dim * config.partial_rotary_factor)
         self.rope = RotaryEmbedding(
             rotary_dim,
@@ -129,10 +140,9 @@ class LlamaForCausalLM:
         # keep norms ~1
         params["norm"] = jnp.ones_like(params["norm"])
         lyr = params["layers"]
-        lyr["input_layernorm"] = jnp.ones_like(lyr["input_layernorm"])
-        lyr["post_attention_layernorm"] = jnp.ones_like(
-            lyr["post_attention_layernorm"]
-        )
+        for name in ("input_layernorm", "post_attention_layernorm"):
+            if name in lyr:  # variants may drop one (e.g. commandr)
+                lyr[name] = jnp.ones_like(lyr[name])
         return params
 
     # ------------------------------------------------------------------
@@ -145,8 +155,11 @@ class LlamaForCausalLM:
         eps = c.rms_norm_eps
 
         h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
+        if self.embed_scale != 1.0:
+            h = h * jnp.asarray(self.embed_scale, h.dtype)
         cos = self.rope.cos[batch.positions]
         sin = self.rope.sin[batch.positions]
+        res_scale = self.residual_scale
 
         def layer_fn(carry, xs):
             h, kv_cache = carry
@@ -173,14 +186,20 @@ class LlamaForCausalLM:
             ) if rd < D else apply_rope(k, cos, sin)
 
             attn_out, kv_cache = self.attn(
-                kv_cache, layer_id, q, k, v, batch, self.sm_scale
+                kv_cache, layer_id, q, k, v, batch, self.sm_scale,
+                window=self.window if self.window else None,
             )
-            h = h + matmul(attn_out.reshape(B, S, Hq * D), lp["o_proj"])
+            attn_o = matmul(attn_out.reshape(B, S, Hq * D), lp["o_proj"])
+            if res_scale != 1.0:
+                attn_o = attn_o * jnp.asarray(res_scale, h.dtype)
+            h = h + attn_o
 
             normed2 = rms_norm(h, lp["post_attention_layernorm"], eps)
             gate = matmul(normed2, lp["gate_proj"])
             up = matmul(normed2, lp["up_proj"])
             mlp = matmul(jax.nn.silu(gate) * up, lp["down_proj"])
+            if res_scale != 1.0:
+                mlp = mlp * jnp.asarray(res_scale, h.dtype)
             h = h + mlp
             return (h, kv_cache), None
 
@@ -199,7 +218,10 @@ class LlamaForCausalLM:
             w = params["embed_tokens"].T
         else:
             w = params["lm_head"]
-        return (hidden @ w).astype(jnp.float32)
+        logits = (hidden @ w).astype(jnp.float32)
+        if self.logits_scale != 1.0:
+            logits = logits * self.logits_scale
+        return logits
 
     # ------------------------------------------------------------------
     def load_weights(
@@ -234,6 +256,7 @@ class LlamaForCausalLM:
             "post_attention_layernorm.weight": (
                 "post_attention_layernorm", False),
         }
+        name_map.update(self.extra_name_map())
 
         for name, w in named_tensors:
             if name.startswith("model."):

@@ -39,11 +39,13 @@ class PagedAttentionBackend(RefAttentionBackend):
         batch: ForwardBatch,
         sm_scale: float,
         logit_cap: float = 0.0,
+        window=None,
+        sinks=None,
     ) -> Tuple[jax.Array, MHAKVCache]:
         if not batch.mode.is_decode():
             return self._extend(
                 kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
-                logit_cap,
+                logit_cap, window, sinks,
             )
         B, S, Hk, D = k_new.shape
         assert S == 1
@@ -67,6 +69,7 @@ class PagedAttentionBackend(RefAttentionBackend):
             batch.page_tables, batch.seq_lens,
             k_new=k_new[:, 0], v_new=v_new[:, 0],
             new_slots=batch.out_cache_loc[:, 0],
+            window=window if window is not None else 0, sinks=sinks,
             page_size=batch.page_size, sm_scale=sm_scale,
             logit_cap=logit_cap, run_only=batch.pages_are_runs,
         )
@@ -74,7 +77,7 @@ class PagedAttentionBackend(RefAttentionBackend):
         return out[:, None, :, :D], kv_cache
 
     def _extend(self, kv_cache, layer_id, q, k_new, v_new, batch,
-                sm_scale, logit_cap):
+                sm_scale, logit_cap, window=None, sinks=None):
         """Extend path: scatter the new KV into the pool, then run the
         ragged Pallas flash prefill directly over the paged pool — no dense
         per-layer gather and no O(S*T) score materialization (reference
@@ -85,13 +88,8 @@ class PagedAttentionBackend(RefAttentionBackend):
         if batch.custom_mask is not None or Hq % Hk:
             return RefAttentionBackend.__call__(
                 self, kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
-                logit_cap,
+                logit_cap, window=window, sinks=sinks,
             )
-        loc = batch.out_cache_loc.reshape(-1)
-        kv_cache = mha_write(
-            kv_cache, layer_id, loc,
-            k_new.reshape(B * S, Hk, D), v_new.reshape(B * S, Hk, D),
-        )
         Dp = kv_cache.k.shape[-1]
         q2 = q
         if Dp != D:
@@ -101,9 +99,14 @@ class PagedAttentionBackend(RefAttentionBackend):
             paged_prefill_attention,
         )
 
+        # fused write: the kernel itself stores the new tokens' KV from a
+        # page-aligned staging — a host-side scatter before an aliased
+        # pallas call would make XLA copy the whole pool every layer
         out, k2, v2 = paged_prefill_attention(
             q2, kv_cache.k, kv_cache.v, layer_id,
             batch.page_tables, batch.seq_lens, batch.q_lens,
+            k_new=k_new, v_new=v_new,
+            window=window if window is not None else 0, sinks=sinks,
             page_size=batch.page_size, sm_scale=sm_scale,
             logit_cap=logit_cap, run_only=batch.pages_are_runs,
         )
@@ -118,11 +121,12 @@ class StockPagedAttentionBackend(RefAttentionBackend):
     name = "paged_stock"
 
     def __call__(self, kv_cache, layer_id, q, k_new, v_new, batch,
-                 sm_scale, logit_cap=0.0):
-        if not batch.mode.is_decode():
+                 sm_scale, logit_cap=0.0, window=None, sinks=None):
+        if not batch.mode.is_decode() or window is not None \
+                or sinks is not None:
             return RefAttentionBackend.__call__(
                 self, kv_cache, layer_id, q, k_new, v_new, batch,
-                sm_scale, logit_cap,
+                sm_scale, logit_cap, window=window, sinks=sinks,
             )
         B, S, Hk, D = k_new.shape
         assert S == 1

@@ -45,7 +45,7 @@ G_PAD = 8  # query-group dim padded to one f32 sublane tile
 
 def _mr_kernel(
     # scalar prefetch
-    layer_ref,         # [1] int32
+    layer_ref,         # [2] int32: [layer, sliding_window (0 = full)]
     page_tables_ref,   # [B, P] int32 (SMEM)
     seq_lens_ref,      # [B] int32 (SMEM)
     new_slots_ref,     # [B] int32 (fused write; all-zero when unused)
@@ -53,6 +53,8 @@ def _mr_kernel(
     q_ref,             # [rows, Hk, G_PAD, D] VMEM (scaled)
     k_hbm,             # [L, Hk, slots, D] HBM
     v_hbm,             # [L, Hk, slots, D] HBM
+    sinks_ref,         # [Hk, G_PAD, 128] f32 (attention-sink logits;
+                       # zeros dummy when use_sinks is False)
     kn_ref,            # [rows, Hk, GK, D] VMEM (current-token K, sublane-
     vn_ref,            # duplicated x GK; dummy zeros when not fused)
     # outputs
@@ -78,9 +80,11 @@ def _mr_kernel(
     logit_cap: float,
     run_only: bool,
     fused_write: bool,
+    use_sinks: bool,
 ):
     blk = pl.program_id(0)
     layer = layer_ref[0]
+    window = layer_ref[1]
     ps = page_size
     ppc = pages_per_chunk
     chunk_t = ppc * ps
@@ -166,11 +170,19 @@ def _mr_kernel(
         sl = seq_lens_ref[b]
         return sl - 1 if fused_write else sl
 
+    def lo(b):
+        # sliding window: only positions >= seq_len - window are attended
+        # (window includes the current token); 0 disables
+        sl = seq_lens_ref[b]
+        return jnp.where(
+            window > 0, jnp.maximum(sl - window, 0), 0
+        )
+
     def valid(t):
         # t is clamped by callers so row_of(t) stays in range
         b = row_of(t)
         nc = pl.cdiv(hist(b), chunk_t)
-        return chunk_of(t) < nc
+        return (chunk_of(t) < nc) & (chunk_of(t) >= lo(b) // chunk_t)
 
     o_ref[:] = jnp.zeros_like(o_ref)
 
@@ -244,7 +256,7 @@ def _mr_kernel(
         def _():
             wait_and_fixup(slot, t)
 
-            @pl.when(c == 0)
+            @pl.when(c == lo(b) // chunk_t)
             def _():
                 if not fused_write:
                     acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -291,7 +303,9 @@ def _mr_kernel(
                 )                                  # [G_PAD, chunk_t]
                 if logit_cap > 0:
                     s = logit_cap * jnp.tanh(s / logit_cap)
-                s = jnp.where(col < seq_len, s, NEG_INF)
+                s = jnp.where(
+                    (col < seq_len) & (col >= lo(b)), s, NEG_INF
+                )
                 m_prev = m_ref[h, :, :1]
                 l_prev = l_ref[h, :, :1]
                 m_new = jnp.maximum(
@@ -311,6 +325,10 @@ def _mr_kernel(
             def _():
                 for h in range(Hk):
                     l = l_ref[h, :, :1]
+                    if use_sinks:
+                        # sink logit joins the denominator only
+                        m = m_ref[h, :, :1]
+                        l = l + jnp.exp(sinks_ref[h, :, :1] - m)
                     o_ref[r, h] = (
                         acc_ref[h] / jnp.maximum(l, 1e-20)
                     ).astype(o_ref.dtype)
@@ -341,6 +359,9 @@ def paged_decode_multirow(
     k_new: jax.Array = None,  # [B, Hk, D] fused write (current token)
     v_new: jax.Array = None,
     new_slots: jax.Array = None,  # [B] pool slots for the current token
+    window: jax.Array = 0,   # sliding window (scalar, may be traced; 0 =
+                             # full attention; includes the current token)
+    sinks: jax.Array = None,  # [Hq] f32 attention-sink logits (gpt-oss)
     *,
     page_size: int,
     sm_scale: float,
@@ -387,7 +408,18 @@ def paged_decode_multirow(
     k_new = jnp.broadcast_to(k_new[:, :, None], (B_pad, Hk, GK, D))
     v_new = jnp.broadcast_to(v_new[:, :, None], (B_pad, Hk, GK, D))
 
-    layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    layer_id = jnp.stack([
+        jnp.asarray(layer_id, jnp.int32).reshape(()),
+        jnp.asarray(window, jnp.int32).reshape(()),
+    ])
+    use_sinks = sinks is not None
+    if use_sinks:
+        sk = sinks.astype(jnp.float32).reshape(Hk, G)
+        if G != G_PAD:
+            sk = jnp.pad(sk, ((0, 0), (0, G_PAD - G)))
+        sinks_in = jnp.broadcast_to(sk[:, :, None], (Hk, G_PAD, 128))
+    else:
+        sinks_in = jnp.zeros((Hk, G_PAD, 128), jnp.float32)
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qs = qs.reshape(B_pad, Hk, G, D)
     if G != G_PAD:
@@ -404,6 +436,10 @@ def paged_decode_multirow(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (Hk, G_PAD, 128), lambda blk, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (rows, Hk, GK, D), lambda blk, *_: (blk, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -443,6 +479,7 @@ def paged_decode_multirow(
         logit_cap=logit_cap,
         run_only=run_only,
         fused_write=fused_write,
+        use_sinks=use_sinks,
     )
     out, k_cache, v_cache = pl.pallas_call(
         kernel,
@@ -468,5 +505,5 @@ def paged_decode_multirow(
             transcendentals=B_pad * Hq * P_pad * page_size,
         ),
     )(layer_id, page_tables, seq_lens, new_slots, qs, k_cache, v_cache,
-      k_new, v_new)
+      sinks_in, k_new, v_new)
     return out[:B, :, :G, :].reshape(B, Hq, D), k_cache, v_cache

@@ -44,7 +44,7 @@ NEG_INF = -1e30
 
 def _prefill_kernel(
     # scalar prefetch
-    layer_ref,         # [1] int32
+    layer_ref,         # [2] int32: [layer, sliding_window (0 = full)]
     page_tables_ref,   # [B, P] int32
     seq_lens_ref,      # [B] int32 (total incl. new tokens)
     q_lens_ref,        # [B] int32 (new tokens this extend)
@@ -52,6 +52,9 @@ def _prefill_kernel(
     q_ref,             # [1, Hk, BQG, D] VMEM (scaled)
     k_hbm,             # [L, Hk, slots, D] HBM
     v_hbm,             # [L, Hk, slots, Dv] HBM
+    sinks_ref,         # [Hk, BQG, 128] f32 (zeros dummy when unused)
+    kn_hbm,            # [B, Hk, Sg, D] page-aligned new-KV staging (HBM;
+    vn_hbm,            # zero-size dummy when fused_write is off)
     # outputs
     o_ref,             # [1, Hk, BQG, Dv] VMEM
     k_out,             # aliased passthrough (in-place pool chain)
@@ -62,7 +65,10 @@ def _prefill_kernel(
     acc_ref,           # [Hk, BQG, Dv] f32
     m_ref,             # [Hk, BQG, 128] f32
     l_ref,             # [Hk, BQG, 128] f32
+    kw_buf,            # [2, Hk, ps, D] fused-write page staging
+    vw_buf,            # [2, Hk, ps, Dv]
     sem,               # DMA sems [2, 2]
+    wsem,              # fused-write DMA sem
     *,
     bq: int,
     g: int,
@@ -71,10 +77,13 @@ def _prefill_kernel(
     num_kv_heads: int,
     logit_cap: float,
     run_only: bool,
+    fused_write: bool,
+    use_sinks: bool,
 ):
     b = pl.program_id(0)
     qb = pl.program_id(1)
     layer = layer_ref[0]
+    window = layer_ref[1]
     ps = page_size
     ppc = pages_per_chunk
     chunk_t = ppc * ps
@@ -89,6 +98,14 @@ def _prefill_kernel(
     nc = pl.cdiv(blk_last_pos, chunk_t)
     has_work = (qb * bq < q_len)
     nc = jnp.where(has_work, nc, 0)
+    # sliding window: the first kv position this block may see is
+    # (block's first query pos) - window + 1 -> earlier chunks are skipped
+    lo_blk = jnp.where(
+        window > 0,
+        jnp.maximum(prefix + qb * bq - window + 1, 0),
+        0,
+    )
+    c0 = jnp.minimum(lo_blk // chunk_t, nc)
 
     def big_dmas(slot, c):
         first = page_tables_ref[b, c * ppc]
@@ -152,9 +169,89 @@ def _prefill_kernel(
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when(nc > 0)
+    if fused_write:
+        # Write this block's new-token KV into the pool from the page-
+        # aligned staging BEFORE any chunk read: whole-page DMAs (staging
+        # holds the full row, so straddled pages are written complete and
+        # re-writes are idempotent); the very first new page merges with
+        # the existing prefix tokens via an RMW. Replaces the host-side
+        # scatter, which forced XLA to copy the whole pool every layer
+        # (same lesson as the fused-write decode kernels).
+        P_tab = page_tables_ref.shape[1]
+        first_page = prefix // ps
+        pre_off = prefix - first_page * ps
+        np0 = (qb * bq + pre_off) // ps
+        staged_end = jnp.minimum(q_len, (qb + 1) * bq) + pre_off
+        np1 = pl.cdiv(staged_end, ps)
+        MAXP = (bq - 1) // ps + 2
+
+        def stg(src, h, np_):
+            return src.at[b, h, pl.ds(np_ * ps, ps), :]
+
+        def poolp(dst, h, page):
+            return dst.at[layer, h, pl.ds(page * ps, ps), :]
+
+        for i in range(MAXP):
+            np_ = np0 + i
+            live = (np_ < np1) & has_work
+            pg_idx = jnp.minimum(first_page + np_, P_tab - 1)
+            page = page_tables_ref[b, pg_idx]
+            is_rmw = (np_ == 0) & (pre_off > 0)
+
+            @pl.when(live & jnp.logical_not(is_rmw))
+            def _():
+                dmas = []
+                for h in range(Hk):
+                    dmas.append(pltpu.make_async_copy(
+                        stg(kn_hbm, h, np_), poolp(k_hbm, h, page), wsem))
+                    dmas.append(pltpu.make_async_copy(
+                        stg(vn_hbm, h, np_), poolp(v_hbm, h, page), wsem))
+                for d in dmas:
+                    d.start()
+                for d in dmas:
+                    d.wait()
+
+            @pl.when(live & is_rmw)
+            def _():
+                rd = []
+                for h in range(Hk):
+                    rd.append(pltpu.make_async_copy(
+                        poolp(k_hbm, h, page), kw_buf.at[0, h], wsem))
+                    rd.append(pltpu.make_async_copy(
+                        poolp(v_hbm, h, page), vw_buf.at[0, h], wsem))
+                    rd.append(pltpu.make_async_copy(
+                        stg(kn_hbm, h, np_), kw_buf.at[1, h], wsem))
+                    rd.append(pltpu.make_async_copy(
+                        stg(vn_hbm, h, np_), vw_buf.at[1, h], wsem))
+                for d in rd:
+                    d.start()
+                for d in rd:
+                    d.wait()
+                keep_old = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
+                    < pre_off
+                )
+                for h in range(Hk):
+                    kw_buf[1, h] = jnp.where(
+                        keep_old, kw_buf[0, h], kw_buf[1, h]
+                    )
+                    vw_buf[1, h] = jnp.where(
+                        keep_old, vw_buf[0, h], vw_buf[1, h]
+                    )
+                wr = []
+                for h in range(Hk):
+                    wr.append(pltpu.make_async_copy(
+                        kw_buf.at[1, h], poolp(k_hbm, h, page), wsem))
+                    wr.append(pltpu.make_async_copy(
+                        vw_buf.at[1, h], poolp(v_hbm, h, page), wsem))
+                for d in wr:
+                    d.start()
+                for d in wr:
+                    d.wait()
+
+    @pl.when(nc > c0)
     def _():
-        start(0, 0)
+        start(jax.lax.rem(c0, 2), c0)
 
     # row r of this block = (s, g) = ((qb*BQG + r) // g mapping): score
     # s[r, t] keeps rows in sublanes and kv tokens in lanes
@@ -174,6 +271,9 @@ def _prefill_kernel(
 
         t_pos = c * chunk_t + t_base
         mask = (t_pos <= q_pos) & (s_row < q_len)
+        if True:  # sliding window lower bound (no-op when window == 0)
+            w_eff = jnp.where(window > 0, window, jnp.int32(2**30))
+            mask &= t_pos > q_pos - w_eff
         for h in range(Hk):
             k = k_buf[slot, h]                       # [chunk_t, D]
             v = v_buf[slot, h]                       # [chunk_t, Dv]
@@ -201,12 +301,16 @@ def _prefill_kernel(
             l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
         return carry
 
-    jax.lax.fori_loop(0, nc, body, 0)
+    jax.lax.fori_loop(c0, nc, body, 0)
 
-    @pl.when(nc > 0)
+    @pl.when(nc > c0)
     def _():
         for h in range(Hk):
             l = l_ref[h, :, :1]                      # [BQG, 1]
+            if use_sinks:
+                # sink logit joins the denominator only (gpt-oss)
+                m = m_ref[h, :, :1]
+                l = l + jnp.exp(sinks_ref[h, :, :1] - m)
             out = acc_ref[h] / jnp.maximum(l, 1e-20)
             o_ref[0, h] = out.astype(o_ref.dtype)
 
@@ -226,6 +330,11 @@ def paged_prefill_attention(
     page_tables: jax.Array,  # [B, P]
     seq_lens: jax.Array,     # [B] total tokens incl. new
     q_lens: jax.Array,       # [B] new tokens this extend
+    k_new: jax.Array = None,  # [B, S, Hk, D] fused write (new tokens'
+    v_new: jax.Array = None,  # KV, stored by the kernel itself)
+    window: jax.Array = 0,    # sliding window (scalar, may be traced;
+                              # 0 = full; includes self)
+    sinks: jax.Array = None,  # [Hq] f32 attention-sink logits
     *,
     page_size: int,
     sm_scale: float,
@@ -239,6 +348,7 @@ def paged_prefill_attention(
     Dv = v_cache.shape[-1]
     G = Hq // Hk
     P = page_tables.shape[1]
+    ps = page_size
     if pages_per_chunk <= 0:
         pages_per_chunk = max(1, min(P, 256 // page_size))
     P_pad = math.ceil(P / pages_per_chunk) * pages_per_chunk
@@ -247,7 +357,10 @@ def paged_prefill_attention(
     bq = min(bq, max(32, S))
     S_pad = math.ceil(S / bq) * bq
 
-    layer_id = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    layer_id = jnp.stack([
+        jnp.asarray(layer_id, jnp.int32).reshape(()),
+        jnp.asarray(window, jnp.int32).reshape(()),
+    ])
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     if S_pad != S:
         qs = jnp.pad(qs, [(0, 0), (0, S_pad - S), (0, 0), (0, 0)])
@@ -255,7 +368,50 @@ def paged_prefill_attention(
     qs = qs.reshape(B, S_pad, Hk, G, D).transpose(0, 2, 1, 3, 4)
     qs = qs.reshape(B, Hk, S_pad * G, D)
 
+    fused_write = k_new is not None
+    if fused_write:
+        # page-aligned staging: staged index = token index + (prefix % ps),
+        # so every pool page covered by new tokens can be written as ONE
+        # whole-page DMA straight out of this array (first page RMW-merged
+        # with the prefix in-kernel)
+        pre_off = ((seq_lens - q_lens) % ps).astype(jnp.int32)
+        Sg = S_pad + ps
+        # shift each row by its pre_off with ONE dynamic_slice per row —
+        # a token-axis take_along_axis gather lowers to a per-row loop on
+        # TPU (~ms per layer); front/back zero padding doubles as the
+        # validity mask
+        pads = [(0, 0), (ps, S_pad - S + ps), (0, 0), (0, 0)]
+        kn = jnp.pad(k_new.astype(k_cache.dtype), pads)
+        vn = jnp.pad(v_new.astype(v_cache.dtype), pads)
+        starts = ps - pre_off  # in [1, ps]
+
+        def shift(x, st):
+            return jax.lax.dynamic_slice(
+                x, (st, 0, 0), (Sg, x.shape[1], x.shape[2])
+            )
+
+        kn = jax.vmap(shift)(kn, starts)
+        vn = jax.vmap(shift)(vn, starts)
+        kn = kn.transpose(0, 2, 1, 3)                         # [B,Hk,Sg,D]
+        vn = vn.transpose(0, 2, 1, 3)
+        if kn.shape[-1] != D:
+            kn = jnp.pad(kn, [(0, 0)] * 3 + [(0, D - kn.shape[-1])])
+        if vn.shape[-1] != Dv:
+            vn = jnp.pad(vn, [(0, 0)] * 3 + [(0, Dv - vn.shape[-1])])
+    else:
+        kn = jnp.zeros((B, Hk, ps, D), k_cache.dtype)
+        vn = jnp.zeros((B, Hk, ps, Dv), v_cache.dtype)
+
     BQG = bq * G
+    use_sinks = sinks is not None
+    if use_sinks:
+        # row r of a block is (s, g) = (r // G, r % G): tile the per-group
+        # sink logits bq times so sinks_in[h, r] == sinks[h*G + r % G]
+        sk = sinks.astype(jnp.float32).reshape(Hk, G)
+        sk = jnp.tile(sk, (1, bq))                       # [Hk, BQG]
+        sinks_in = jnp.broadcast_to(sk[:, :, None], (Hk, BQG, 128))
+    else:
+        sinks_in = jnp.zeros((Hk, BQG, 128), jnp.float32)
     chunk_t = pages_per_chunk * page_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -264,6 +420,12 @@ def paged_prefill_attention(
             pl.BlockSpec(
                 (1, Hk, BQG, D),
                 lambda b, qb, *_: (b, 0, qb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (Hk, BQG, 128), lambda b, qb, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -284,7 +446,10 @@ def paged_prefill_attention(
             pltpu.VMEM((Hk, BQG, Dv), jnp.float32),
             pltpu.VMEM((Hk, BQG, 128), jnp.float32),
             pltpu.VMEM((Hk, BQG, 128), jnp.float32),
+            pltpu.VMEM((2, Hk, ps, D), k_cache.dtype),
+            pltpu.VMEM((2, Hk, ps, Dv), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
@@ -296,6 +461,8 @@ def paged_prefill_attention(
         num_kv_heads=Hk,
         logit_cap=logit_cap,
         run_only=run_only,
+        fused_write=fused_write,
+        use_sinks=use_sinks,
     )
     out, k_cache, v_cache = pl.pallas_call(
         kernel,
@@ -317,7 +484,8 @@ def paged_prefill_attention(
             ),
             transcendentals=B * S_pad * Hq * P_pad * page_size,
         ),
-    )(layer_id, page_tables, seq_lens, q_lens, qs, k_cache, v_cache)
+    )(layer_id, page_tables, seq_lens, q_lens, qs, k_cache, v_cache,
+      sinks_in, kn, vn)
     out = out.reshape(B, Hk, S_pad, G, Dv).transpose(0, 2, 1, 3, 4)
     return (out[:, :S].reshape(B, S, Hq, Dv), k_cache, v_cache)
 

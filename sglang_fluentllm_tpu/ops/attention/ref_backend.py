@@ -66,14 +66,21 @@ def _causal_mask(
     S: int,
     T: int,
     custom_mask: Optional[jax.Array] = None,
+    window: Optional[jax.Array] = None,
 ) -> jax.Array:
     """[B, S, T] bool: new token s (global pos seq_len - q_len + s) may
-    attend kv position t iff t <= pos(s) and t < seq_len and s < q_len."""
+    attend kv position t iff t <= pos(s) and t < seq_len and s < q_len.
+    ``window`` (scalar, 0/None = full) restricts to the last ``window``
+    positions including self (HF sliding_window semantics)."""
     s_idx = jnp.arange(S, dtype=jnp.int32)[None, :, None]       # [1,S,1]
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, None, :]       # [1,1,T]
     prefix = (seq_lens - q_lens)[:, None, None]                  # [B,1,1]
     mask = (t_idx <= prefix + s_idx) & (t_idx < seq_lens[:, None, None])
     mask &= s_idx < q_lens[:, None, None]
+    if window is not None:
+        w = jnp.asarray(window, jnp.int32)
+        w = jnp.where(w > 0, w, jnp.int32(2**30))
+        mask &= t_idx > prefix + s_idx - w
     if custom_mask is not None:
         # custom mask over the new-token block (spec-decode tree mask):
         # kv position prefix + j corresponds to draft token j.
@@ -98,6 +105,8 @@ def mha_attend(
     sm_scale: float,
     custom_mask: Optional[jax.Array] = None,
     logit_cap: float = 0.0,
+    window: Optional[jax.Array] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, S, Hq, D = q.shape
     Hk = k.shape[2]
@@ -107,9 +116,22 @@ def mha_attend(
     scores = jnp.einsum("bskgd,btkd->bkgst", qf, kf) * sm_scale
     if logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
-    mask = _causal_mask(seq_lens, q_lens, S, k.shape[1], custom_mask)
+    mask = _causal_mask(
+        seq_lens, q_lens, S, k.shape[1], custom_mask, window
+    )
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # attention sinks (gpt-oss): a learned per-head logit joins the
+        # softmax denominator but contributes no value (reference
+        # srt/layers/attention/ sink handling)
+        sk = sinks.astype(jnp.float32).reshape(Hk, G)
+        sk = sk[None, :, :, None, None]                  # [1,Hk,G,1,1]
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sk)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sk - m)
+        probs = e / denom
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v.astype(jnp.float32))
     return out.reshape(B, S, Hq, v.shape[-1]).astype(q.dtype)
 
@@ -129,6 +151,8 @@ class RefAttentionBackend:
         batch: ForwardBatch,
         sm_scale: float,
         logit_cap: float = 0.0,
+        window: Optional[jax.Array] = None,
+        sinks: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, MHAKVCache]:
         B, S, Hk, D = k_new.shape
         loc = batch.out_cache_loc.reshape(-1)
@@ -142,7 +166,7 @@ class RefAttentionBackend:
                             batch.page_size)[..., :D]
         out = mha_attend(
             q, k, v, batch.seq_lens, batch.q_lens, sm_scale,
-            batch.custom_mask, logit_cap,
+            batch.custom_mask, logit_cap, window=window, sinks=sinks,
         )
         return out, kv_cache
 

@@ -75,6 +75,8 @@ class DpShardedAttention:
         batch: ForwardBatch,
         sm_scale: float,
         logit_cap: float = 0.0,
+        window=None,
+        sinks=None,
     ) -> Tuple[jax.Array, object]:
         try:
             from jax import shard_map
@@ -96,8 +98,15 @@ class DpShardedAttention:
         )
         if batch.custom_mask is not None:
             arrays["custom_mask"] = batch.custom_mask
+        # window/sinks may be traced (per-layer window tables), so they
+        # ride along as explicit replicated operands, not closure captures
+        extras = {}
+        if window is not None:
+            extras["window"] = jnp.asarray(window, jnp.int32)
+        if sinks is not None:
+            extras["sinks"] = sinks
 
-        def local(kv, layer, q_l, k_l, v_l, arr):
+        def local(kv, layer, q_l, k_l, v_l, arr, ex):
             kv = jax.tree.map(lambda x: x[0], kv)   # drop group dim
             b = ForwardBatch(
                 custom_mask=arr.get("custom_mask"),
@@ -105,7 +114,8 @@ class DpShardedAttention:
                 **statics,
             )
             out, kv = inner(kv, layer, q_l, k_l, v_l, b, sm_scale,
-                            logit_cap)
+                            logit_cap, window=ex.get("window"),
+                            sinks=ex.get("sinks"))
             kv = jax.tree.map(lambda x: x[None], kv)
             return out, kv
 
@@ -122,11 +132,12 @@ class DpShardedAttention:
         out, kv_cache = shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(kv_spec, P(), P("dp"), P("dp"), P("dp"), arr_spec),
+            in_specs=(kv_spec, P(), P("dp"), P("dp"), P("dp"), arr_spec,
+                      {k: P() for k in extras}),
             out_specs=(P("dp"), kv_spec),
             **kwargs,
         )(kv_cache, jnp.asarray(layer_id, jnp.int32), q, k_new, v_new,
-          arrays)
+          arrays, extras)
         return out, kv_cache
 
 

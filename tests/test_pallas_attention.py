@@ -485,6 +485,116 @@ def test_paged_backend_extend_matches_ref():
             np.asarray(out)[i, :ql_i], np.asarray(ref_out)[i, :ql_i],
             rtol=3e-5, atol=3e-5,
         )
-    np.testing.assert_allclose(
-        np.asarray(new_pool.k), np.asarray(ref_pool.k), rtol=1e-6
+    # pool parity on every VALID token slot (the fused write zero-fills
+    # page tails beyond seq_len and skips the padding page — positions the
+    # contract says are never read)
+    got_k = np.asarray(new_pool.k)
+    want_k = np.asarray(ref_pool.k)
+    for i, sl_i in enumerate(seqs):
+        for pos in range(sl_i):
+            slot = pt[i, pos // ps] * ps + pos % ps
+            np.testing.assert_allclose(
+                got_k[:, :, slot], want_k[:, :, slot], rtol=1e-6,
+                err_msg=f"row {i} pos {pos}",
+            )
+
+
+# ----------------------------------------------------------------------
+# Sliding-window + attention-sink variants
+# ----------------------------------------------------------------------
+
+def _ref_swa_decode(q, kc, vc, pt, sl, ps, sm, window=None, sinks=None):
+    D = q.shape[-1]
+    k = page_gather_mha(kc, pt, ps)[..., :D]
+    v = page_gather_mha(vc, pt, ps)[..., :D]
+    q_lens = (sl > 0).astype(jnp.int32)
+    out = mha_attend(q[:, None], k, v, sl, q_lens, sm,
+                     window=window, sinks=sinks)
+    return out[:, 0]
+
+
+@pytest.mark.parametrize("window", [8, 48, 300])
+def test_multirow_decode_sliding_window(window):
+    from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+        paged_decode_multirow,
     )
+
+    B, Hq, Hk, D, ps = 3, 8, 2, 64, 16
+    seqs = [100, 37, 5]
+    q, kc, vc, pt, sl = make_case(B, Hq, Hk, D, ps, 8, seqs)
+    rng = np.random.RandomState(11)
+    kst, vst = _stack_layers(kc, vc, 2, 1, rng)
+    Dp = kst.shape[-1]
+    q2 = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+    sm = 1.0 / np.sqrt(D)
+    ref = _ref_swa_decode(q, kc, vc, pt, sl, ps, sm,
+                          window=jnp.int32(window))
+    with pltpu.force_tpu_interpret_mode():
+        out, _, _ = paged_decode_multirow(
+            q2, kst, vst, jnp.int32(1), pt, sl,
+            window=jnp.int32(window),
+            page_size=ps, sm_scale=sm, rows=2,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out)[..., :D], np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_multirow_decode_sinks():
+    from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+        paged_decode_multirow,
+    )
+
+    B, Hq, Hk, D, ps = 2, 8, 2, 64, 16
+    seqs = [60, 13]
+    q, kc, vc, pt, sl = make_case(B, Hq, Hk, D, ps, 5, seqs)
+    rng = np.random.RandomState(12)
+    kst, vst = _stack_layers(kc, vc, 2, 1, rng)
+    Dp = kst.shape[-1]
+    q2 = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+    sm = 1.0 / np.sqrt(D)
+    sinks = jnp.asarray(rng.standard_normal(Hq).astype(np.float32))
+    ref = _ref_swa_decode(q, kc, vc, pt, sl, ps, sm, sinks=sinks)
+    with pltpu.force_tpu_interpret_mode():
+        out, _, _ = paged_decode_multirow(
+            q2, kst, vst, jnp.int32(1), pt, sl, sinks=sinks,
+            page_size=ps, sm_scale=sm, rows=2,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out)[..., :D], np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+
+
+@pytest.mark.parametrize("window", [8, 40])
+def test_paged_prefill_sliding_window(window):
+    from sglang_fluentllm_tpu.ops.attention.pallas_prefill import (
+        paged_prefill_attention,
+    )
+
+    B, Hq, Hk, D, ps = 2, 8, 2, 64, 16
+    seqs, qls = [90, 33], [60, 33]
+    q, kc, vc, pt, sl, ql = _make_prefill_case(
+        B, Hq, Hk, D, ps, seqs, qls
+    )
+    rng = np.random.RandomState(13)
+    kst, vst = _stack_layers(kc, vc, 2, 1, rng)
+    sm = 1.0 / np.sqrt(D)
+    k = page_gather_mha(kc, pt, ps)[..., :D]
+    v = page_gather_mha(vc, pt, ps)[..., :D]
+    sinks = jnp.asarray(rng.standard_normal(Hq).astype(np.float32))
+    ref = mha_attend(q, k, v, sl, ql, sm, window=jnp.int32(window),
+                     sinks=sinks)
+    Dp = kst.shape[-1]
+    q2 = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+    with pltpu.force_tpu_interpret_mode():
+        out = paged_prefill_attention(
+            q2, kst, vst, jnp.int32(1), pt, sl, ql,
+            window=jnp.int32(window), sinks=sinks,
+            page_size=ps, sm_scale=sm, bq=32,
+        )[0][..., :D]
+    for i in range(B):
+        n = int(ql[i])
+        np.testing.assert_allclose(
+            np.asarray(out)[i, :n], np.asarray(ref)[i, :n],
+            rtol=3e-5, atol=3e-5,
+        )
