@@ -305,11 +305,18 @@ class ModelRunner:
         # negative input ids are placeholders resolved on-device, so decode
         # steps chain without any host sync (SURVEY A.4 TPU translation).
         self.future_map = jnp.zeros((cap,), jnp.int32)
+        # Parallel ring of post-step sequence lengths: slot s holds the
+        # request's seq_len right after the token in future_map[s] was
+        # emitted. Speculative windows (data-dependent growth) read their
+        # base seq from here, which is what lets spec enter the overlap
+        # pipeline (reference eagle_worker_overlap.py:86 device-resident
+        # accept lengths).
+        self.future_seq = jnp.zeros((cap,), jnp.int32)
 
         base_key = self.rng_base
 
-        def step_fn(params, kv_cache, future_map, ints, floats, meta,
-                    custom_mask):
+        def step_fn(params, kv_cache, future_map, future_seq, ints, floats,
+                    meta, custom_mask):
             # unpack the single-transfer batch (runtime/packing.py); the
             # trailing two ints are [future_write_offset, step_counter]
             batch, sampling = unpack_batch(
@@ -345,7 +352,10 @@ class ModelRunner:
             future_map = jax.lax.dynamic_update_slice(
                 future_map, ids, (write_offset,)
             )
-            return (kv_cache, future_map, ids, logprobs,
+            future_seq = jax.lax.dynamic_update_slice(
+                future_seq, batch.seq_lens + 1, (write_offset,)
+            )
+            return (kv_cache, future_map, future_seq, ids, logprobs,
                     (tk_vals, tk_ids, inp_lp))
 
         def _input_logprobs(params, h, input_ids):
@@ -379,10 +389,11 @@ class ModelRunner:
             return out.reshape(Tp)[:T].reshape(B, S)
 
         self._step = jax.jit(
-            step_fn, donate_argnums=(1, 2), static_argnums=(5,)
+            step_fn, donate_argnums=(1, 2, 3), static_argnums=(6,)
         )
 
-        def multi_step_fn(params, kv_cache, future_map, ints, floats, meta):
+        def multi_step_fn(params, kv_cache, future_map, future_seq, ints,
+                          floats, meta):
             """k fused decode steps (meta.S == k): one dispatch, one
             transfer, k sampled tokens per row. The [B, k] batch fields
             carry per-step slots; positions/seq_lens advance on-device."""
@@ -430,11 +441,15 @@ class ModelRunner:
             future_map = jax.lax.dynamic_update_slice(
                 future_map, last_ids, (write_offset,)
             )
+            future_seq = jax.lax.dynamic_update_slice(
+                future_seq, batch.seq_lens + k_steps, (write_offset,)
+            )
             extras = (all_tk[0], all_tk[1], jnp.zeros((0,), jnp.float32))
-            return kv_cache, future_map, all_ids, all_logprobs, extras
+            return (kv_cache, future_map, future_seq, all_ids,
+                    all_logprobs, extras)
 
         self._multi_step = jax.jit(
-            multi_step_fn, donate_argnums=(1, 2), static_argnums=(5,)
+            multi_step_fn, donate_argnums=(1, 2, 3), static_argnums=(6,)
         )
 
         def hidden_fn(params, kv_cache, batch: ForwardBatch):
@@ -482,18 +497,19 @@ class ModelRunner:
 
         if meta.mode == ForwardMode.DECODE and meta.S > 1:
             # fused multi-step decode: ids/logprobs come back [k, B]
-            self.kv_cache, self.future_map, ids, logprobs, extras = (
-                self._multi_step(
-                    self.params, self.kv_cache, self.future_map,
-                    jnp.asarray(ints), jnp.asarray(floats), meta,
-                )
+            (self.kv_cache, self.future_map, self.future_seq, ids,
+             logprobs, extras) = self._multi_step(
+                self.params, self.kv_cache, self.future_map,
+                self.future_seq, jnp.asarray(ints), jnp.asarray(floats),
+                meta,
             )
             return ids, logprobs, extras
         cm = batch.custom_mask
         if cm is not None:
             cm = jnp.asarray(cm)
-        self.kv_cache, self.future_map, ids, logprobs, extras = self._step(
-            self.params, self.kv_cache, self.future_map,
+        (self.kv_cache, self.future_map, self.future_seq, ids, logprobs,
+         extras) = self._step(
+            self.params, self.kv_cache, self.future_map, self.future_seq,
             jnp.asarray(ints), jnp.asarray(floats), meta, cm,
         )
         return ids, logprobs, extras

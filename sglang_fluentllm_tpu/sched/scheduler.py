@@ -110,10 +110,14 @@ class Scheduler:
         self.overlap = not server_args.disable_overlap_schedule
         self.max_inflight = MAX_INFLIGHT_BATCHES if self.overlap else 1
         self._launch_seq = 0
-        # speculative decoding runs windows synchronously (accept lengths
-        # drive the next window's shapes)
+        # Speculative windows PIPELINE (spec x overlap): accept lengths and
+        # last-accepted tokens stay device-resident in the runner's future
+        # rings, so window n+1 launches while window n is unresolved
+        # (reference eagle_worker_overlap.py:86). PLD is the exception —
+        # its drafts come from the host-side token history, which needs
+        # resolved tokens, so it stays synchronous.
         self.spec = runner.spec_worker
-        if self.spec is not None:
+        if self.spec is not None and self.spec.algorithm == "PLD":
             self.max_inflight = 1
 
         # KV block events for external KV-aware routers
@@ -546,6 +550,9 @@ class Scheduler:
                 launched.seq = self._launch_seq
                 self.pending.append(launched)
 
+        self.max_pending_seen = max(
+            getattr(self, "max_pending_seen", 0), len(self.pending)
+        )
         outputs: List[StepOutput] = []
         # Resolve every batch whose results are already on host, and force-
         # resolve the oldest when the pipeline is full (or draining).
@@ -656,12 +663,18 @@ class Scheduler:
         while i < len(self.running_batch):
             req = self.running_batch[i]
             if (
-                len(req.output_ids) >= req.sampling_params.max_new_tokens
+                len(req.output_ids) + req.inflight
+                >= req.sampling_params.max_new_tokens
             ):
                 i += 1
                 continue
-            assert req.inflight == 0  # spec windows resolve synchronously
-            total = req.seq_len
+            if pld and req.inflight > 0:
+                # PLD drafts need the resolved host token history
+                i += 1
+                continue
+            # host upper bound on seq while windows are in flight: each
+            # unresolved window accepted at most K+1 tokens
+            total = req.seq_len + req.inflight
             end = total + K  # slots cover positions [total-1, total-1+K]
             if end > req.alloced_len:
                 slots = self._evict_and_alloc(
@@ -671,13 +684,25 @@ class Scheduler:
                     self._retract_decode(min_idx=i)
                     continue
                 req.alloced_len = end
-            window_slots = self.allocator.token_slots(
-                req.req_pool_idx, total - 1, total + K
-            )
+            if pld:
+                window_slots = self.allocator.token_slots(
+                    req.req_pool_idx, total - 1, total + K
+                )
+                input_id = req.output_ids[-1]
+            else:
+                # NEXTN/EAGLE compute the true window slots on-device from
+                # the ring seq + page table; host slots are placeholders
+                window_slots = np.zeros((K + 1,), np.int32)
+                if req.last_future_slot is not None:
+                    input_id = -(
+                        req.last_future_slot % self.runner.FUTURE_CAP + 1
+                    )
+                else:
+                    input_id = req.output_ids[-1]
             items.append(
                 DecodeItem(
-                    input_id=req.output_ids[-1],
-                    seq_len=total,
+                    input_id=input_id,
+                    seq_len=req.seq_len if req.inflight == 0 else total,
                     slots=window_slots,
                     pages=self.allocator.req_pages(req.req_pool_idx, end),
                 )
@@ -705,13 +730,18 @@ class Scheduler:
             items, mode=FM.TARGET_VERIFY
         )
         sampling = self._sampling_meta(reqs, batch.batch_size)
+        offset = self.runner.claim_future_slots(batch.batch_size)
         tokens, counts, logprobs = self.spec.forward_spec(
             batch, sampling, drafts=drafts,
             req_idx=[r.req_pool_idx for r in reqs],
+            future_offset=offset,
         )
-        for req in reqs:
+        pld = self.spec.algorithm == "PLD"
+        for i, req in enumerate(reqs):
             req.inflight += K + 1
-            req.num_computed_tokens = req.seq_len - 1 + K + 1
+            req.num_computed_tokens = req.seq_len + req.inflight - 1
+            if not pld:
+                req.last_future_slot = offset + i
         return InFlightBatch(
             reqs=list(reqs),
             mode=FM.TARGET_VERIFY,
@@ -719,6 +749,7 @@ class Scheduler:
             logprobs_dev=logprobs,
             this_extends=[K + 1] * len(reqs),
             counts_dev=counts,
+            future_offset=None if pld else offset,
         )
 
     def _move_ready_grammar_requests(self):
@@ -1033,6 +1064,11 @@ class Scheduler:
         for i, req in enumerate(batch.reqs):
             n_window = batch.this_extends[i]
             req.inflight -= n_window
+            if (
+                batch.future_offset is not None
+                and req.last_future_slot == batch.future_offset + i
+            ):
+                req.last_future_slot = None
             if req.finished():
                 if req.inflight == 0 and req.req_pool_idx is not None:
                     self._finalize_req(req)

@@ -164,6 +164,32 @@ class SpecWorker:
         draft = self.draft_model
         base_key = self.runner.rng_base
         algo = self.algorithm
+        cap = self.runner.FUTURE_CAP
+
+        def _ring_resolve(future_map, future_seq, batch):
+            """Resolve the window's input token AND base sequence length
+            from the device rings: negative input ids reference the slot
+            the PREVIOUS window (or prefill) wrote, so spec windows chain
+            with pipeline depth > 1 and no host sync on accept lengths
+            (reference eagle_worker_overlap.py:86)."""
+            raw = batch.input_ids[:, 0]
+            neg = raw < 0
+            slot = (-raw - 1) % cap
+            t_last = jnp.where(neg, future_map[slot], raw)
+            base_seq = jnp.where(neg, future_seq[slot], batch.seq_lens)
+            return t_last, base_seq
+
+        def _window_slots(page_tables, base_seq, K, ps):
+            """KV slots for window positions [base_seq-1, base_seq-1+K],
+            computed on-device from the page table (the host only knows an
+            upper bound on seq while windows are in flight)."""
+            pos = (
+                base_seq[:, None] - 1
+                + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+            )
+            pos = jnp.maximum(pos, 0)  # padded rows -> padding page 0
+            pages = jnp.take_along_axis(page_tables, pos // ps, axis=1)
+            return pages * ps + pos % ps
 
         def _verify(params_t, kv_t, batch, window, sampling, key0, K, B):
             """One target extend over [t_last, d_1..d_K]; exact-match
@@ -237,17 +263,24 @@ class SpecWorker:
 
         if algo in ("NEXTN", "EAGLE3"):
             def nextn_fn(params_t, kv_t, params_d, kv_d, hid_state,
-                         ints, floats, meta):
+                         future_map, future_seq, ints, floats, meta):
                 K = meta.S - 1
                 B = meta.B
-                req_idx = ints[-(B + 1):-1]
+                req_idx = ints[-(B + 2):-2]
+                write_offset = ints[-2]
                 batch, sampling = unpack_batch(
                     ints[: -(B + 2)], floats, meta, None
                 )
                 key0 = jax.random.fold_in(base_key, ints[-1])
-                t_last = batch.input_ids[:, 0]
-                slots = batch.out_cache_loc
-                base_seq = batch.seq_lens
+                t_last, base_seq = _ring_resolve(
+                    future_map, future_seq, batch
+                )
+                slots = _window_slots(
+                    batch.page_tables, base_seq, K, meta.page_size
+                )
+                batch = dataclasses.replace(
+                    batch, seq_lens=base_seq, out_cache_loc=slots
+                )
                 hid0 = hid_state[req_idx]                # [B, H]
 
                 def dstep(carry, j):
@@ -292,14 +325,27 @@ class SpecWorker:
                     h, (counts - 1)[:, None, None], axis=1
                 )[:, 0].astype(hid_state.dtype)
                 hid_state = hid_state.at[req_idx].set(new_hid)
-                return kv_t, kv_d, hid_state, toks, counts, lps
+                # ring write: last accepted token + post-window seq, read
+                # by the NEXT window while this one is still unresolved
+                last_tok = jnp.take_along_axis(
+                    toks, (counts - 1)[:, None], axis=1
+                )[:, 0]
+                future_map = jax.lax.dynamic_update_slice(
+                    future_map, last_tok, (write_offset,)
+                )
+                future_seq = jax.lax.dynamic_update_slice(
+                    future_seq, base_seq + counts, (write_offset,)
+                )
+                return (kv_t, kv_d, hid_state, future_map, future_seq,
+                        toks, counts, lps)
 
             self._spec_step = jax.jit(
-                nextn_fn, donate_argnums=(1, 3, 4), static_argnums=(7,)
+                nextn_fn, donate_argnums=(1, 3, 4, 5, 6),
+                static_argnums=(9,),
             )
 
             def nextn_prefill(params_t, kv_t, params_d, kv_d, hid_state,
-                              future_map, ints, floats, meta):
+                              future_map, future_seq, ints, floats, meta):
                 """Target prefill + sample + draft-layer prefill + hidden
                 state init, fused (reference forward_prefill_spec +
                 capture_hidden_mode=FULL)."""
@@ -328,23 +374,33 @@ class SpecWorker:
                 future_map = jax.lax.dynamic_update_slice(
                     future_map, ids, (write_offset,)
                 )
-                return kv_t, kv_d, hid_state, future_map, ids, logprobs
+                future_seq = jax.lax.dynamic_update_slice(
+                    future_seq, batch.seq_lens + 1, (write_offset,)
+                )
+                return (kv_t, kv_d, hid_state, future_map, future_seq,
+                        ids, logprobs)
 
             self._spec_prefill = jax.jit(
-                nextn_prefill, donate_argnums=(1, 3, 4, 5),
-                static_argnums=(8,),
+                nextn_prefill, donate_argnums=(1, 3, 4, 5, 6),
+                static_argnums=(9,),
             )
             return
 
         # ---- EAGLE (standalone draft model) ----
-        def spec_fn(params_t, kv_t, params_d, kv_d, ints, floats, meta):
+        def spec_fn(params_t, kv_t, params_d, kv_d, future_map, future_seq,
+                    ints, floats, meta):
             batch, sampling = unpack_batch(ints[:-2], floats, meta, None)
+            write_offset = ints[-2]
             key0 = jax.random.fold_in(base_key, ints[-1])
             K = meta.S - 1
             B = meta.B
-            t_last = batch.input_ids[:, 0]
-            slots = batch.out_cache_loc
-            base_seq = batch.seq_lens
+            t_last, base_seq = _ring_resolve(future_map, future_seq, batch)
+            slots = _window_slots(
+                batch.page_tables, base_seq, K, meta.page_size
+            )
+            batch = dataclasses.replace(
+                batch, seq_lens=base_seq, out_cache_loc=slots
+            )
 
             def dstep(carry, j):
                 kv_d, tok = carry
@@ -375,10 +431,19 @@ class SpecWorker:
             kv_t, _h, toks, counts, lps = _verify(
                 params_t, kv_t, batch, window, sampling, key0, K, B
             )
-            return kv_t, kv_d, toks, counts, lps
+            last_tok = jnp.take_along_axis(
+                toks, (counts - 1)[:, None], axis=1
+            )[:, 0]
+            future_map = jax.lax.dynamic_update_slice(
+                future_map, last_tok, (write_offset,)
+            )
+            future_seq = jax.lax.dynamic_update_slice(
+                future_seq, base_seq + counts, (write_offset,)
+            )
+            return kv_t, kv_d, future_map, future_seq, toks, counts, lps
 
         self._spec_step = jax.jit(
-            spec_fn, donate_argnums=(1, 3), static_argnums=(6,)
+            spec_fn, donate_argnums=(1, 3, 4, 5), static_argnums=(8,)
         )
 
         def draft_extend_fn(params_d, kv_d, ints, floats, meta):
@@ -410,9 +475,9 @@ class SpecWorker:
             [ints, ri, [future_offset % r.FUTURE_CAP, r.step_counter]]
         ).astype(np.int32)
         (r.kv_cache, self.draft_kv, self.hidden_state, r.future_map,
-         ids, logprobs) = self._spec_prefill(
+         r.future_seq, ids, logprobs) = self._spec_prefill(
             r.params, r.kv_cache, self.draft_params, self.draft_kv,
-            self.hidden_state, r.future_map,
+            self.hidden_state, r.future_map, r.future_seq,
             jnp.asarray(ints), jnp.asarray(floats), meta,
         )
         return ids, logprobs
@@ -430,13 +495,19 @@ class SpecWorker:
 
     def forward_spec(self, batch: ForwardBatch, sampling,
                      drafts: Optional[np.ndarray] = None,
-                     req_idx: Optional[List[int]] = None) -> Tuple:
+                     req_idx: Optional[List[int]] = None,
+                     future_offset: int = 0) -> Tuple:
         """Returns device arrays (tokens [B, K+1] -1-padded, counts [B],
-        logprobs [B, K+1])."""
+        logprobs [B, K+1]) WITHOUT syncing. The window's last accepted
+        token and post-window seq_len are written into the future rings at
+        ``future_offset`` so the next window can launch before this one
+        resolves (spec x overlap)."""
         r = self.runner
         r.step_counter += 1
         ints, floats, meta = pack_batch(batch, sampling)
         if self.algorithm == "PLD":
+            # PLD drafts come from the HOST token history, so windows stay
+            # synchronous (depth 1) — n-gram lookup needs resolved tokens
             K = meta.S - 1
             d = np.zeros((meta.B, K), np.int32)
             if drafts is not None:
@@ -449,24 +520,28 @@ class SpecWorker:
                 jnp.asarray(ints), jnp.asarray(floats), meta,
             )
             return tokens, counts, logprobs
+        offset = future_offset % r.FUTURE_CAP
         if self.algorithm in ("NEXTN", "EAGLE3"):
             ri = np.zeros((meta.B,), np.int32)
             if req_idx:
                 ri[: len(req_idx)] = req_idx
             ints = np.concatenate(
-                [ints, ri, [0, r.step_counter]]
+                [ints, ri, [offset, r.step_counter]]
             ).astype(np.int32)
-            (r.kv_cache, self.draft_kv, self.hidden_state, tokens,
-             counts, logprobs) = self._spec_step(
+            (r.kv_cache, self.draft_kv, self.hidden_state, r.future_map,
+             r.future_seq, tokens, counts, logprobs) = self._spec_step(
                 r.params, r.kv_cache, self.draft_params, self.draft_kv,
-                self.hidden_state,
+                self.hidden_state, r.future_map, r.future_seq,
                 jnp.asarray(ints), jnp.asarray(floats), meta,
             )
             return tokens, counts, logprobs
-        ints = np.concatenate([ints, [0, r.step_counter]]).astype(np.int32)
-        (r.kv_cache, self.draft_kv, tokens, counts,
-         logprobs) = self._spec_step(
+        ints = np.concatenate(
+            [ints, [offset, r.step_counter]]
+        ).astype(np.int32)
+        (r.kv_cache, self.draft_kv, r.future_map, r.future_seq, tokens,
+         counts, logprobs) = self._spec_step(
             r.params, r.kv_cache, self.draft_params, self.draft_kv,
+            r.future_map, r.future_seq,
             jnp.asarray(ints), jnp.asarray(floats), meta,
         )
         return tokens, counts, logprobs

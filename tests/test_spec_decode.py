@@ -146,3 +146,46 @@ class TestNextN:
         )
         assert outs[0]["output_ids"] == baseline
         assert all(len(o["output_ids"]) == 13 for o in outs)
+
+
+class TestSpecOverlap:
+    """Spec x overlap: windows pipeline with depth > 1 (reference
+    eagle_worker_overlap.py role) — accept lengths and last-accepted
+    tokens stay device-resident in the runner future rings."""
+
+    def test_spec_pipelines_deeper_than_one(self, baseline):
+        e = spec_engine(WEAK_DRAFT_CFG, steps=2)
+        sched = e.scheduler
+        assert sched.max_inflight > 1  # not clamped for EAGLE
+        out = e.generate(
+            input_ids=PROMPT,
+            sampling_params={"max_new_tokens": 24, "temperature": 0.0},
+        )
+        assert sched.max_pending_seen > 1  # windows actually overlapped
+        # lossless under pipelining
+        e2 = tiny_engine()
+        ref = e2.generate(
+            input_ids=PROMPT,
+            sampling_params={"max_new_tokens": 24, "temperature": 0.0},
+        )
+        assert out["output_ids"] == ref["output_ids"]
+
+    def test_spec_overlap_batch_mixed_lengths(self, baseline):
+        e = spec_engine(TINY_LLAMA_CFG, steps=3)
+        prompts = [PROMPT, [1, 2, 3], list(range(9)), PROMPT[:2]]
+        outs = e.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 11, "temperature": 0.0},
+        )
+        e2 = tiny_engine()
+        refs = e2.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 11, "temperature": 0.0},
+        )
+        for o, r in zip(outs, refs):
+            assert o["output_ids"] == r["output_ids"]
+
+    def test_pld_stays_synchronous(self):
+        e = tiny_engine(speculative_algorithm="PLD",
+                        speculative_num_steps=3)
+        assert e.scheduler.max_inflight == 1
