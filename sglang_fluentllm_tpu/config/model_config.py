@@ -166,7 +166,9 @@ class ModelConfig:
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cfg.get("rope_scaling"),
-            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            # HF PretrainedConfig defaults tying to True and omits the key
+            # from config.json when left at the default (e.g. command-r)
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             attention_bias=cfg.get("attention_bias", cfg.get("qkv_bias", False)),
             mlp_bias=cfg.get("mlp_bias", False),
             hidden_act=cfg.get("hidden_act", "silu"),

@@ -40,6 +40,41 @@ CONFIGS = {
         "attn_logit_softcapping": 50.0, "final_logit_softcapping": 30.0,
         "hidden_act": "gelu_pytorch_tanh",
     },
+    "phi3": {
+        **BASE, "architectures": ["Phi3ForCausalLM"], "model_type": "phi3",
+    },
+    "internlm2": {
+        **BASE, "architectures": ["InternLM2ForCausalLM"],
+        "model_type": "internlm2",
+    },
+    "baichuan": {
+        **BASE, "architectures": ["BaichuanForCausalLM"],
+        "model_type": "baichuan", "num_key_value_heads": 4,
+    },
+    "exaone": {
+        **BASE, "architectures": ["ExaoneForCausalLM"],
+        "model_type": "exaone",
+    },
+    "granite": {
+        **BASE, "architectures": ["GraniteForCausalLM"],
+        "model_type": "granite", "embedding_multiplier": 12.0,
+        "residual_multiplier": 0.22, "logits_scaling": 8.0,
+        "attention_multiplier": 0.25,
+    },
+    "minicpm": {
+        **BASE, "architectures": ["MiniCPMForCausalLM"],
+        "model_type": "minicpm", "scale_emb": 12.0, "scale_depth": 1.4,
+        "dim_model_base": 32,
+    },
+    "olmo2": {
+        **BASE, "architectures": ["Olmo2ForCausalLM"],
+        "model_type": "olmo2",
+    },
+    "commandr": {
+        **BASE, "architectures": ["CohereForCausalLM"],
+        "model_type": "cohere", "layer_norm_eps": 1e-5,
+        "logit_scale": 0.25, "tie_word_embeddings": True,
+    },
     "gpt2": {
         "architectures": ["GPT2LMHeadModel"], "model_type": "gpt2",
         "n_embd": 64, "n_head": 4, "n_layer": 2, "n_positions": 256,
@@ -70,7 +105,10 @@ def test_registry_coverage():
         "Qwen3ForCausalLM", "DeepseekV2ForCausalLM",
         "DeepseekV3ForCausalLM", "Qwen2MoeForCausalLM",
         "Qwen3MoeForCausalLM", "GemmaForCausalLM", "Gemma2ForCausalLM",
-        "GPT2LMHeadModel",
+        "GPT2LMHeadModel", "Phi3ForCausalLM", "InternLM2ForCausalLM",
+        "BaichuanForCausalLM", "ExaoneForCausalLM", "GraniteForCausalLM",
+        "MiniCPMForCausalLM", "Olmo2ForCausalLM", "CohereForCausalLM",
+        "Cohere2ForCausalLM", "MistralForCausalLM",
     }
     assert expected <= set(_REGISTRY)
 
