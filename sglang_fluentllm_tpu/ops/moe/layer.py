@@ -41,6 +41,17 @@ def _gmm(lhs, rhs, group_sizes, interpret=False):
     )
 
 
+def moe_act(gate, up, activation: str, alpha: float, limit: float):
+    """Expert activation. ``silu``: standard silu(gate)*up. ``swiglu_oai``
+    (gpt-oss, reference ``layers/activation.py:214``): clamp gate above at
+    ``limit`` and up to ±``limit``, gate*sigmoid(alpha*gate)*(up+1)."""
+    if activation == "swiglu_oai":
+        gate = jnp.minimum(gate, limit)
+        up = jnp.clip(up, -limit, limit)
+        return gate * jax.nn.sigmoid(alpha * gate) * (up + 1.0)
+    return jax.nn.silu(gate) * up
+
+
 def moe_forward(
     x: jax.Array,             # [T, H]
     router_logits: jax.Array, # [T, E_total] (incl. zero experts)
@@ -49,6 +60,11 @@ def moe_forward(
     config: ModelConfig,
     correction_bias: Optional[jax.Array] = None,
     use_gmm: bool = True,
+    b_gate_up: Optional[jax.Array] = None,  # [E, 2I] expert bias
+    b_down: Optional[jax.Array] = None,     # [E, H]
+    activation: str = "silu",
+    act_alpha: float = 1.702,
+    act_limit: float = 7.0,
 ) -> jax.Array:
     """Dense (TP / single-chip) MoE: every expert lives on this shard."""
     T, H = x.shape
@@ -75,21 +91,29 @@ def moe_forward(
     xs = x[sorted_token]                               # [T*K, H]
     group_sizes = jnp.bincount(flat_ids, length=E).astype(jnp.int32)
 
+    sorted_ids = flat_ids[sort_idx]                    # expert of each row
     if use_gmm:
         h = _gmm(xs, w_gate_up, group_sizes)           # [T*K, 2I] f32
+        if b_gate_up is not None:
+            h = h + b_gate_up[sorted_ids].astype(jnp.float32)
         gate, up = jnp.split(h, 2, axis=-1)
-        act = (jax.nn.silu(gate) * up).astype(x.dtype)
+        act = moe_act(gate, up, activation, act_alpha,
+                      act_limit).astype(x.dtype)
         out_sorted = _gmm(act, w_down, group_sizes)    # [T*K, H] f32
     else:
         # jnp fallback (CPU tests): segment-wise via one-hot is O(E*T) —
         # instead gather per-row expert weights (fine at tiny test sizes)
-        w1 = w_gate_up[flat_ids[sort_idx]]             # [T*K, H, 2I]
+        w1 = w_gate_up[sorted_ids]                     # [T*K, H, 2I]
         h = jnp.einsum("th,thi->ti", xs.astype(jnp.float32),
                        w1.astype(jnp.float32))
+        if b_gate_up is not None:
+            h = h + b_gate_up[sorted_ids].astype(jnp.float32)
         gate, up = jnp.split(h, 2, axis=-1)
-        act = jax.nn.silu(gate) * up
-        w2 = w_down[flat_ids[sort_idx]]                # [T*K, I, H]
+        act = moe_act(gate, up, activation, act_alpha, act_limit)
+        w2 = w_down[sorted_ids]                        # [T*K, I, H]
         out_sorted = jnp.einsum("ti,tih->th", act, w2.astype(jnp.float32))
+    if b_down is not None:
+        out_sorted = out_sorted + b_down[sorted_ids].astype(jnp.float32)
 
     # unsort and weight-combine
     flat_w = jnp.take_along_axis(

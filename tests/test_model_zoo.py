@@ -75,6 +75,14 @@ CONFIGS = {
         "model_type": "cohere", "layer_norm_eps": 1e-5,
         "logit_scale": 0.25, "tie_word_embeddings": True,
     },
+    "gpt_oss": {
+        **BASE, "architectures": ["GptOssForCausalLM"],
+        "model_type": "gpt_oss", "head_dim": 16,
+        "num_local_experts": 4, "num_experts_per_tok": 2,
+        "sliding_window": 8,
+        "layer_types": ["sliding_attention", "full_attention"],
+        "swiglu_limit": 7.0,
+    },
     "gpt2": {
         "architectures": ["GPT2LMHeadModel"], "model_type": "gpt2",
         "n_embd": 64, "n_head": 4, "n_layer": 2, "n_positions": 256,
@@ -108,7 +116,7 @@ def test_registry_coverage():
         "GPT2LMHeadModel", "Phi3ForCausalLM", "InternLM2ForCausalLM",
         "BaichuanForCausalLM", "ExaoneForCausalLM", "GraniteForCausalLM",
         "MiniCPMForCausalLM", "Olmo2ForCausalLM", "CohereForCausalLM",
-        "Cohere2ForCausalLM", "MistralForCausalLM",
+        "Cohere2ForCausalLM", "MistralForCausalLM", "GptOssForCausalLM",
     }
     assert expected <= set(_REGISTRY)
 

@@ -47,6 +47,16 @@ def _build(arch):
         return Olmo2ForCausalLM(
             Olmo2Config(**COMMON, attn_implementation="eager")
         )
+    if arch == "gpt_oss":
+        from transformers import GptOssConfig, GptOssForCausalLM
+
+        return GptOssForCausalLM(GptOssConfig(
+            **COMMON, head_dim=16, num_local_experts=4,
+            num_experts_per_tok=2, sliding_window=8,
+            layer_types=["sliding_attention", "full_attention"],
+            swiglu_limit=7.0, rope_scaling=None,
+            attn_implementation="eager",
+        ))
     if arch == "cohere":
         from transformers import CohereConfig, CohereForCausalLM
 
@@ -59,7 +69,8 @@ def _build(arch):
     raise AssertionError(arch)
 
 
-@pytest.mark.parametrize("arch", ["phi3", "granite", "olmo2", "cohere"])
+@pytest.mark.parametrize("arch",
+                         ["phi3", "granite", "olmo2", "cohere", "gpt_oss"])
 def test_checkpoint_roundtrip_greedy_matches_hf(arch):
     from tests.utils import tiny_engine
 

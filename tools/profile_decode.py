@@ -85,11 +85,11 @@ def time_dispatch(runner, batch, sampling, label):
     import jax
 
     # warmup / compile
-    ids, lp = runner.forward_batch_generation(batch, sampling, 0)
+    ids, lp, _ = runner.forward_batch_generation(batch, sampling, 0)
     jax.block_until_ready((ids, lp))
     t0 = time.perf_counter()
     for _ in range(REPEAT):
-        ids, lp = runner.forward_batch_generation(batch, sampling, 0)
+        ids, lp, _ = runner.forward_batch_generation(batch, sampling, 0)
     jax.block_until_ready((ids, lp))
     dt = (time.perf_counter() - t0) / REPEAT
     per_step_ms = 1000 * dt / K_STEPS
@@ -105,7 +105,7 @@ class StubBackend:
     name = "stub"
 
     def __call__(self, kv_cache, layer_id, q, k_new, v_new, batch,
-                 sm_scale, logit_cap=0.0):
+                 sm_scale, logit_cap=0.0, **kw):
         from sglang_fluentllm_tpu.mem.kv_cache import mha_write
 
         B_, S, Hk, D = k_new.shape
@@ -123,7 +123,7 @@ class StubNoWriteBackend:
     name = "stub_nowrite"
 
     def __call__(self, kv_cache, layer_id, q, k_new, v_new, batch,
-                 sm_scale, logit_cap=0.0):
+                 sm_scale, logit_cap=0.0, **kw):
         G = q.shape[2] // k_new.shape[2]
         return jnp_repeat(v_new, G), kv_cache
 
