@@ -206,6 +206,80 @@ class Engine:
         }
 
     # ------------------------------------------------------------------
+    def score(
+        self,
+        query=None,
+        items=None,
+        label_token_ids: Optional[List[int]] = None,
+        apply_softmax: bool = False,
+        item_first: bool = False,
+    ) -> List[List[float]]:
+        """Probability of each label token right after query+item
+        (reference ``Engine.score``, ``engine.py:580``): one prefill per
+        item, label logprobs gathered from the next-token distribution."""
+        import numpy as np
+
+        from sglang_fluentllm_tpu.runtime.batch_builder import ExtendItem
+
+        if query is None or items is None:
+            raise ValueError("score requires both query and items")
+        if not label_token_ids:
+            raise ValueError("score requires label_token_ids")
+        V = self.model_config.vocab_size
+        for t in label_token_ids:
+            if not (0 <= int(t) < V):
+                raise ValueError(f"label token id {t} out of vocab")
+
+        def to_ids(x):
+            if isinstance(x, str):
+                assert self.tokenizer is not None, \
+                    "text scoring requires a tokenizer"
+                return self.tokenizer.encode(x)
+            return list(x)
+
+        q_ids = to_ids(query)
+        if isinstance(items, str):
+            items = [items]
+        prompts = [
+            (to_ids(it) + q_ids) if item_first else (q_ids + to_ids(it))
+            for it in items
+        ]
+        runner = self.runner
+        extend_items, idxs = [], []
+        try:
+            for ids in prompts:
+                idx = runner.req_pool.alloc()
+                assert idx is not None
+                slots = runner.allocator.alloc_extend(idx, 0, len(ids))
+                if slots is None:
+                    self.scheduler.tree_cache.evict(
+                        runner.allocator.pages_needed(0, len(ids)),
+                        runner.allocator.release_pages,
+                    )
+                    slots = runner.allocator.alloc_extend(idx, 0, len(ids))
+                assert slots is not None, "no KV room for score"
+                idxs.append(idx)
+                extend_items.append(ExtendItem(
+                    input_ids=np.asarray(ids, np.int32),
+                    prefix_len=0,
+                    slots=slots,
+                    pages=runner.allocator.req_pages(idx, len(ids)),
+                ))
+            lp = runner.score_batch(
+                extend_items, np.asarray(label_token_ids, np.int32)
+            )
+            if apply_softmax:
+                m = lp.max(axis=-1, keepdims=True)
+                e = np.exp(lp - m)
+                probs = e / e.sum(axis=-1, keepdims=True)
+            else:
+                probs = np.exp(lp)
+            return [list(map(float, row)) for row in probs]
+        finally:
+            for idx, ids in zip(idxs, prompts):
+                runner.allocator.free_req_pages(idx, len(ids))
+                runner.req_pool.free(idx)
+
     def flush_cache(self) -> bool:
         return self.scheduler.flush_cache()
 

@@ -547,6 +547,91 @@ class AsyncEngine:
             raise RuntimeError(str(res))
         return res
 
+    async def score(
+        self,
+        query=None,
+        items=None,
+        label_token_ids: Optional[List[int]] = None,
+        apply_softmax: bool = False,
+        item_first: bool = False,
+    ) -> List[List[float]]:
+        """Scoring API (reference Engine.score / serving_score.py:16):
+        probability of each label token appearing right after query+item
+        (or item+query with ``item_first``)."""
+        if query is None or items is None:
+            raise ValueError("score requires both query and items")
+        if not label_token_ids:
+            raise ValueError("score requires label_token_ids")
+        V = self.runner.model_config.vocab_size
+        for t in label_token_ids:
+            if not (0 <= int(t) < V):
+                raise ValueError(f"label token id {t} out of vocab")
+
+        def to_ids(x):
+            if isinstance(x, str):
+                assert self.tokenizer is not None, \
+                    "text scoring requires a tokenizer"
+                return self.tokenizer.encode(x)
+            return list(x)
+
+        q_ids = to_ids(query)
+        if isinstance(items, str):
+            items = [items]
+        item_ids = [to_ids(it) for it in items]
+        prompts = [
+            (ids + q_ids) if item_first else (q_ids + ids)
+            for ids in item_ids
+        ]
+
+        def _score():
+            import numpy as np
+
+            from sglang_fluentllm_tpu.runtime.batch_builder import ExtendItem
+
+            runner = self.runner
+            extend_items, idxs = [], []
+            try:
+                for ids in prompts:
+                    idx = runner.req_pool.alloc()
+                    assert idx is not None
+                    slots = runner.allocator.alloc_extend(idx, 0, len(ids))
+                    if slots is None:
+                        self.scheduler.tree_cache.evict(
+                            runner.allocator.pages_needed(0, len(ids)),
+                            runner.allocator.release_pages,
+                        )
+                        slots = runner.allocator.alloc_extend(
+                            idx, 0, len(ids))
+                    assert slots is not None, "no KV room for score"
+                    idxs.append(idx)
+                    extend_items.append(ExtendItem(
+                        input_ids=np.asarray(ids, np.int32),
+                        prefix_len=0,
+                        slots=slots,
+                        pages=runner.allocator.req_pages(idx, len(ids)),
+                    ))
+                lp = runner.score_batch(
+                    extend_items,
+                    np.asarray(label_token_ids, np.int32),
+                )
+                if apply_softmax:
+                    # normalize over just the label set
+                    m = lp.max(axis=-1, keepdims=True)
+                    e = np.exp(lp - m)
+                    probs = e / e.sum(axis=-1, keepdims=True)
+                else:
+                    probs = np.exp(lp)
+                return [list(map(float, row)) for row in probs]
+            finally:
+                for idx, ids in zip(idxs, prompts):
+                    runner.allocator.free_req_pages(idx, len(ids))
+                    runner.req_pool.free(idx)
+
+        ok, res = await self._run_rpc(_score)
+        if not ok:
+            raise RuntimeError(str(res))
+        return res
+
     async def _run_rpc(self, fn):
         """Run fn on the scheduler thread between steps (safe point for
         weight/memory mutations — reference collective_rpc analog)."""

@@ -98,6 +98,10 @@ class HttpServer:
         r.add_get("/v1/models", self.list_models)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
+        r.add_post("/v1/score", self.v1_score)
+        r.add_post("/v1/rerank", self.v1_rerank)
+        r.add_post("/v1/responses", self.v1_responses)
+        r.add_get("/v1/responses/{response_id}", self.v1_get_response)
         r.add_get("/metrics", self.metrics)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
@@ -426,6 +430,69 @@ class HttpServer:
             return web.json_response(out.model_dump(exclude_none=True))
         except ValueError as e:
             return _error(str(e))
+
+    async def v1_score(self, request: web.Request) -> web.Response:
+        from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+            ScoringRequest,
+        )
+
+        try:
+            req = ScoringRequest(**(await request.json()))
+        except Exception as e:  # noqa: BLE001
+            return _error(f"invalid request: {e}")
+        try:
+            out = await self.openai.score(req)
+            return web.json_response(out.model_dump(exclude_none=True))
+        except (ValueError, AssertionError, RuntimeError) as e:
+            return _error(str(e))
+
+    async def v1_rerank(self, request: web.Request) -> web.Response:
+        from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+            V1RerankReqInput,
+        )
+
+        try:
+            req = V1RerankReqInput(**(await request.json()))
+        except Exception as e:  # noqa: BLE001
+            return _error(f"invalid request: {e}")
+        try:
+            out = await self.openai.rerank(req)
+            return web.json_response(
+                [r.model_dump(exclude_none=True) for r in out]
+            )
+        except (ValueError, AssertionError, RuntimeError) as e:
+            return _error(str(e))
+
+    async def v1_responses(
+        self, request: web.Request
+    ) -> web.StreamResponse:
+        from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+            ResponsesRequest,
+        )
+
+        try:
+            req = ResponsesRequest(**(await request.json()))
+        except Exception as e:  # noqa: BLE001
+            return _error(f"invalid request: {e}")
+        try:
+            if req.stream:
+                resp = _sse_response()
+                await resp.prepare(request)
+                async for chunk in self.openai.responses_stream(req):
+                    await resp.write(chunk.encode())
+                await resp.write_eof()
+                return resp
+            out = await self.openai.responses(req)
+            return web.json_response(out.model_dump(exclude_none=True))
+        except (ValueError, AssertionError) as e:
+            return _error(str(e))
+
+    async def v1_get_response(self, request: web.Request) -> web.Response:
+        rid = request.match_info["response_id"]
+        resp = self.openai.get_response(rid)
+        if resp is None:
+            return _error(f"response {rid} not found", 404)
+        return web.json_response(resp.model_dump(exclude_none=True))
 
 
 def launch_server(server_args: ServerArgs):

@@ -231,6 +231,94 @@ class EmbeddingRequest(BaseModel):
     encoding_format: str = "float"
 
 
+class ScoringRequest(BaseModel):
+    """Reference ``protocol.py:592`` (ScoringRequest)."""
+
+    model: str = ""
+    query: Optional[Union[str, List[int]]] = None
+    items: Optional[Union[str, List[str], List[List[int]]]] = None
+    label_token_ids: Optional[List[int]] = None
+    apply_softmax: bool = False
+    item_first: bool = False
+
+
+class ScoringResponse(BaseModel):
+    object: str = "scoring"
+    model: str = ""
+    scores: List[List[float]] = []
+    usage: Optional[UsageInfo] = None
+
+
+class V1RerankReqInput(BaseModel):
+    """Reference ``protocol.py:616``."""
+
+    query: str
+    documents: List[str]
+
+
+class RerankResponse(BaseModel):
+    score: float
+    document: str
+    index: int
+    meta_info: Optional[Dict[str, Any]] = None
+
+
+# --- responses API (reference serving_responses.py subset) -------------
+class ResponsesRequest(BaseModel):
+    model: str = ""
+    input: Union[str, List[Dict[str, Any]]] = ""
+    instructions: Optional[str] = None
+    previous_response_id: Optional[str] = None
+    max_output_tokens: Optional[int] = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    stream: bool = False
+    store: bool = True
+    metadata: Optional[Dict[str, Any]] = None
+
+    def to_sampling_params(self) -> Dict[str, Any]:
+        return dict(
+            max_new_tokens=self.max_output_tokens or 1024,
+            temperature=self.temperature,
+            top_p=self.top_p,
+        )
+
+
+class ResponseOutputText(BaseModel):
+    type: str = "output_text"
+    text: str = ""
+    annotations: List[Dict[str, Any]] = []
+
+
+class ResponseOutputMessage(BaseModel):
+    id: str = Field(
+        default_factory=lambda: f"msg_{uuid.uuid4().hex}"
+    )
+    type: str = "message"
+    role: str = "assistant"
+    status: str = "completed"
+    content: List[ResponseOutputText] = []
+
+
+class ResponsesUsage(BaseModel):
+    input_tokens: int = 0
+    output_tokens: int = 0
+    total_tokens: int = 0
+
+
+class ResponsesResponse(BaseModel):
+    id: str = Field(default_factory=lambda: f"resp_{uuid.uuid4().hex}")
+    object: str = "response"
+    created_at: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    status: str = "completed"   # queued | in_progress | completed | failed
+    output: List[ResponseOutputMessage] = []
+    previous_response_id: Optional[str] = None
+    instructions: Optional[str] = None
+    usage: Optional[ResponsesUsage] = None
+    metadata: Optional[Dict[str, Any]] = None
+
+
 class ErrorResponse(BaseModel):
     object: str = "error"
     message: str

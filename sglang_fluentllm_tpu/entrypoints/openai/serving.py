@@ -23,7 +23,16 @@ from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
     CompletionRequest,
     CompletionResponse,
     DeltaMessage,
+    RerankResponse,
+    ResponseOutputMessage,
+    ResponseOutputText,
+    ResponsesRequest,
+    ResponsesResponse,
+    ResponsesUsage,
+    ScoringRequest,
+    ScoringResponse,
     UsageInfo,
+    V1RerankReqInput,
     finish_reason_to_openai,
 )
 
@@ -43,6 +52,8 @@ class OpenAIServing:
     def __init__(self, engine: AsyncEngine):
         self.engine = engine
         self.model_name = engine.server_args.served_model_name
+        # responses-API store: response_id -> {response, messages}
+        self._response_store: Dict[str, Dict[str, Any]] = {}
 
     # ------------------------------------------------------------------
     def _apply_chat_template(self, request: ChatCompletionRequest) -> List[int]:
@@ -78,9 +89,33 @@ class OpenAIServing:
     async def chat_completion(self, request: ChatCompletionRequest):
         input_ids = self._apply_chat_template(request)
         sp = request.to_sampling_params()
-        out = await self.engine.generate(
-            input_ids=input_ids, sampling_params=sp
+        n = max(1, request.n)
+        import asyncio
+
+        outs = await asyncio.gather(*[
+            self.engine.generate(input_ids=input_ids, sampling_params=sp)
+            for _ in range(n)
+        ])
+        choices = [
+            self._one_chat_choice(request, out, i)
+            for i, out in enumerate(outs)
+        ]
+        total = UsageInfo()
+        for out in outs:
+            meta = out["meta_info"]
+            total.prompt_tokens = meta["prompt_tokens"]
+            total.completion_tokens += meta["completion_tokens"]
+        total.total_tokens = total.prompt_tokens + total.completion_tokens
+        cached = outs[0]["meta_info"].get("cached_tokens", 0)
+        if cached:
+            total.prompt_tokens_details = {"cached_tokens": cached}
+        return ChatCompletionResponse(
+            model=request.model or self.model_name,
+            choices=choices,
+            usage=total,
         )
+
+    def _one_chat_choice(self, request, out, index):
         meta = out["meta_info"]
         text = out["text"]
         finish = finish_reason_to_openai(meta["finish_reason"])
@@ -132,8 +167,8 @@ class OpenAIServing:
                     ]
                     finish = "tool_calls"
 
-        choice = ChatCompletionChoice(
-            index=0,
+        return ChatCompletionChoice(
+            index=index,
             message=ChatMessage(
                 role="assistant",
                 content=text or None,
@@ -142,11 +177,6 @@ class OpenAIServing:
             ),
             finish_reason=finish,
             logprobs=self._logprobs_dict(meta) if request.logprobs else None,
-        )
-        return ChatCompletionResponse(
-            model=request.model or self.model_name,
-            choices=[choice],
-            usage=_usage(meta),
         )
 
     async def chat_completion_stream(
@@ -258,6 +288,7 @@ class OpenAIServing:
     async def completion(self, request: CompletionRequest):
         prompts = self._normalize_prompts(request)
         sp = request.to_sampling_params()
+        n = max(1, request.n)
         choices = []
         total = UsageInfo()
         import asyncio
@@ -268,14 +299,18 @@ class OpenAIServing:
                 sampling_params=sp, **kwargs
             )
 
+        # n samples per prompt; choice order is prompt-major (OpenAI)
         results = await asyncio.gather(*[
-            one(i, k, p) for i, (k, p) in enumerate(prompts)
+            one(i * n + j, k, p)
+            for i, (k, p) in enumerate(prompts)
+            for j in range(n)
         ])
         for i, out in sorted(results):
             meta = out["meta_info"]
             text = out["text"]
-            if request.echo and prompts[i][0] == "text":
-                text = prompts[i][1] + text
+            pi = i // n
+            if request.echo and prompts[pi][0] == "text":
+                text = prompts[pi][1] + text
             choices.append(CompletionChoice(
                 index=i,
                 text=text,
@@ -323,6 +358,178 @@ class OpenAIServing:
             )
             yield f"data: {resp.model_dump_json(exclude_none=True)}\n\n"
         yield "data: [DONE]\n\n"
+
+    # ------------------------------------------------------------------
+    async def score(self, request: ScoringRequest) -> ScoringResponse:
+        """/v1/score (reference serving_score.py:16)."""
+        scores = await self.engine.score(
+            query=request.query,
+            items=request.items,
+            label_token_ids=request.label_token_ids,
+            apply_softmax=request.apply_softmax,
+            item_first=request.item_first,
+        )
+        return ScoringResponse(
+            scores=scores, model=request.model or self.model_name
+        )
+
+    async def rerank(self, request: V1RerankReqInput) -> List[RerankResponse]:
+        """/v1/rerank (reference serving_rerank.py:47). The reference routes
+        query/doc pairs through a cross-encoder embedding request; with no
+        cross-encoder head in the zoo the TPU-native analog scores each
+        document by cosine similarity of pooled (L2-normalized) query/doc
+        embeddings from the same model."""
+        if not request.query or not request.query.strip():
+            raise ValueError("query cannot be empty")
+        if not request.documents or any(
+            not d or not d.strip() for d in request.documents
+        ):
+            raise ValueError("each document must be a non-empty string")
+        embs = await self.engine.encode(
+            prompt=[request.query] + list(request.documents)
+        )
+        q = embs[0]
+        out = []
+        for idx, (doc, e) in enumerate(zip(request.documents, embs[1:])):
+            score = float(sum(a * b for a, b in zip(q, e)))
+            out.append(RerankResponse(
+                score=score, document=doc, index=idx,
+            ))
+        out.sort(key=lambda r: r.score, reverse=True)
+        return out
+
+    # ------------------------------------------------------------------
+    # responses API (reference serving_responses.py subset: create +
+    # retrieve + previous_response_id chaining + streaming deltas)
+    # ------------------------------------------------------------------
+    def _responses_messages(self, request: ResponsesRequest):
+        msgs: List[Dict[str, Any]] = []
+        if request.previous_response_id:
+            prev = self._response_store.get(request.previous_response_id)
+            if prev is None:
+                raise ValueError(
+                    f"previous response {request.previous_response_id} "
+                    "not found"
+                )
+            msgs.extend(prev["messages"])
+        if request.instructions:
+            msgs.append({"role": "system", "content": request.instructions})
+        if isinstance(request.input, str):
+            msgs.append({"role": "user", "content": request.input})
+        else:
+            for item in request.input:
+                role = item.get("role", "user")
+                content = item.get("content", "")
+                if isinstance(content, list):
+                    content = "".join(
+                        c.get("text", "") for c in content
+                        if isinstance(c, dict)
+                    )
+                msgs.append({"role": role, "content": content})
+        return msgs
+
+    def _responses_ids(self, msgs) -> List[int]:
+        tok = self.engine.tokenizer
+        assert tok is not None, "responses API requires a tokenizer"
+        try:
+            return tok.apply_chat_template(
+                msgs, add_generation_prompt=True, tokenize=True
+            )
+        except Exception:
+            text = "".join(
+                f"{m['role']}: {m['content']}\n" for m in msgs
+            ) + "assistant:"
+            return tok.encode(text)
+
+    async def responses(self, request: ResponsesRequest) -> ResponsesResponse:
+        msgs = self._responses_messages(request)
+        out = await self.engine.generate(
+            input_ids=self._responses_ids(msgs),
+            sampling_params=request.to_sampling_params(),
+        )
+        meta = out["meta_info"]
+        resp = ResponsesResponse(
+            model=request.model or self.model_name,
+            status="completed",
+            previous_response_id=request.previous_response_id,
+            instructions=request.instructions,
+            output=[ResponseOutputMessage(
+                content=[ResponseOutputText(text=out["text"])],
+            )],
+            usage=ResponsesUsage(
+                input_tokens=meta["prompt_tokens"],
+                output_tokens=meta["completion_tokens"],
+                total_tokens=meta["prompt_tokens"]
+                + meta["completion_tokens"],
+            ),
+            metadata=request.metadata,
+        )
+        if request.store:
+            self._response_store[resp.id] = {
+                "response": resp,
+                "messages": msgs + [
+                    {"role": "assistant", "content": out["text"]}
+                ],
+            }
+        return resp
+
+    async def responses_stream(
+        self, request: ResponsesRequest
+    ) -> AsyncIterator[str]:
+        """SSE event stream: response.created -> output_text.delta* ->
+        response.completed (OpenAI responses event framing)."""
+        msgs = self._responses_messages(request)
+        resp = ResponsesResponse(
+            model=request.model or self.model_name, status="in_progress",
+            previous_response_id=request.previous_response_id,
+            instructions=request.instructions,
+        )
+
+        def ev(kind: str, payload: Dict[str, Any]) -> str:
+            return (f"event: {kind}\n"
+                    f"data: {json.dumps(payload)}\n\n")
+
+        yield ev("response.created",
+                 {"type": "response.created",
+                  "response": resp.model_dump(exclude_none=True)})
+        text_parts: List[str] = []
+        last_meta = None
+        async for chunk in self.engine.generate_stream(
+            input_ids=self._responses_ids(msgs),
+            sampling_params=request.to_sampling_params(),
+            rid=resp.id,
+        ):
+            last_meta = chunk["meta_info"]
+            if chunk["delta_text"]:
+                text_parts.append(chunk["delta_text"])
+                yield ev("response.output_text.delta",
+                         {"type": "response.output_text.delta",
+                          "item_id": resp.id,
+                          "delta": chunk["delta_text"]})
+        full = "".join(text_parts)
+        resp.status = "completed"
+        resp.output = [ResponseOutputMessage(
+            content=[ResponseOutputText(text=full)],
+        )]
+        if last_meta:
+            resp.usage = ResponsesUsage(
+                input_tokens=last_meta["prompt_tokens"],
+                output_tokens=last_meta["completion_tokens"],
+                total_tokens=last_meta["prompt_tokens"]
+                + last_meta["completion_tokens"],
+            )
+        if request.store:
+            self._response_store[resp.id] = {
+                "response": resp,
+                "messages": msgs + [{"role": "assistant", "content": full}],
+            }
+        yield ev("response.completed",
+                 {"type": "response.completed",
+                  "response": resp.model_dump(exclude_none=True)})
+
+    def get_response(self, response_id: str) -> Optional[ResponsesResponse]:
+        entry = self._response_store.get(response_id)
+        return entry["response"] if entry else None
 
     def _logprobs_dict(self, meta) -> Optional[Dict[str, Any]]:
         lps = meta.get("output_token_logprobs")

@@ -465,6 +465,20 @@ class ModelRunner:
 
         self._hidden_step = jax.jit(hidden_fn, donate_argnums=(1,))
 
+        def score_fn(params, kv_cache, batch: ForwardBatch, label_ids):
+            """Next-token log-probs at given label ids (scoring path —
+            reference Engine.score / serving_score.py role)."""
+            kv_cache, h = model.forward(params, kv_cache, batch)
+            idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
+            h_last = jnp.take_along_axis(
+                h, idx[:, None, None], axis=1
+            )[:, 0]
+            logits = model.compute_logits(params, h_last)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return kv_cache, jnp.take(lp, label_ids, axis=-1)
+
+        self._score_step = jax.jit(score_fn, donate_argnums=(1,))
+
         def logits_fn(params, kv_cache, batch: ForwardBatch):
             """Full per-position logits (for verify / logprob queries)."""
             kv_cache, h = model.forward(params, kv_cache, batch)
@@ -535,6 +549,15 @@ class ModelRunner:
             self.params, self.kv_cache, batch
         )
         return np.asarray(jax.device_get(h))[: len(items)]
+
+    def score_batch(self, items, label_ids: "np.ndarray") -> np.ndarray:
+        """Next-token logprobs at ``label_ids`` for a list of ExtendItems
+        ([B, n_labels]); KV pages are caller-managed."""
+        batch = self.batch_builder.build_extend(items)
+        self.kv_cache, lp = self._score_step(
+            self.params, self.kv_cache, batch, jnp.asarray(label_ids)
+        )
+        return np.asarray(jax.device_get(lp))[: len(items)]
 
     def forward_logits(self, batch: ForwardBatch) -> jax.Array:
         self.kv_cache, logits = self._logits_step(

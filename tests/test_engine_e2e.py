@@ -225,3 +225,53 @@ class TestMixedChunk:
             sampling_params={"max_new_tokens": 6, "temperature": 0.0},
         )
         assert all(len(o["output_ids"]) == 6 for o in outs)
+
+
+class TestScore:
+    """Engine.score numerics (reference Engine.score, engine.py:580)."""
+
+    def test_score_matches_logprob_path(self):
+        import numpy as np
+
+        e = tiny_engine()
+        q, item = [3, 11, 42], [7, 19]
+        scores = e.score(query=q, items=[item], label_token_ids=[5, 9, 23])
+        # cross-check against the generate logprob path: greedy 1 token
+        # with top_logprobs gives the same next-token distribution
+        out = e.generate(
+            input_ids=q + item,
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                             "return_logprob": True,
+                             "top_logprobs_num": 32},
+        )
+        tops = dict()
+        for v, t in out["meta_info"]["output_top_logprobs"][0]:
+            tops[int(t)] = float(v)
+        for tid, p in zip([5, 9, 23], scores[0]):
+            if tid in tops:
+                assert abs(np.exp(tops[tid]) - p) < 1e-3
+
+    def test_score_softmax_and_item_first(self):
+        e = tiny_engine()
+        s = e.score(query=[3, 11], items=[[7], [19]],
+                    label_token_ids=[5, 9], apply_softmax=True)
+        assert len(s) == 2
+        for row in s:
+            assert abs(sum(row) - 1.0) < 1e-5
+        s2 = e.score(query=[3, 11], items=[[7]],
+                     label_token_ids=[5, 9], item_first=True)
+        s3 = e.score(query=[3, 11], items=[[7]],
+                     label_token_ids=[5, 9], item_first=False)
+        # item_first changes the prompt ordering -> different distribution
+        assert s2 != s3
+
+    def test_score_validation(self):
+        import pytest as _pytest
+
+        e = tiny_engine()
+        with _pytest.raises(ValueError):
+            e.score(query=[1], items=[[2]], label_token_ids=[10**6])
+        with _pytest.raises(ValueError):
+            e.score(query=[1], items=[[2]], label_token_ids=None)
+        with _pytest.raises(ValueError):
+            e.score(query=None, items=[[2]], label_token_ids=[1])
