@@ -123,6 +123,7 @@ class ServerArgs:
     log_level: str = "info"
     log_requests: bool = False
     show_time_cost: bool = False
+    profile_dir: Optional[str] = None  # /start_profile default output dir
 
     # ---- sampling / misc ----
     random_seed: Optional[int] = None

@@ -96,6 +96,7 @@ class AsyncEngine:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._shutdown = threading.Event()
         self._paused = threading.Event()
+        self._slow_down_ms = 0.0
         if not server_args.disable_jit_warmup:
             self._warmup()
         self._thread = threading.Thread(
@@ -157,6 +158,10 @@ class AsyncEngine:
                 continue
             if not self.scheduler.has_work():
                 continue
+            if self._slow_down_ms > 0:
+                # /slow_down debugging aid (reference scheduler
+                # SlowDownReqInput): artificial per-step stall
+                time.sleep(self._slow_down_ms / 1000.0)
             try:
                 outputs = self.scheduler.step()
             except Exception:
@@ -653,6 +658,46 @@ class AsyncEngine:
         return await self._run_rpc(
             lambda: self.runner.get_weights_by_name(name, truncate_size)
         )
+
+    async def update_weights_from_tensor(self, named_tensors,
+                                         flush: bool = True):
+        return await self._run_rpc(
+            lambda: self.runner.update_weights_from_tensor(
+                named_tensors, flush=flush)
+        )
+
+    async def init_weights_update_group(self, master_address: str,
+                                        master_port: int):
+        return await self._run_rpc(
+            lambda: self.runner.init_weights_update_group(
+                master_address, master_port)
+        )
+
+    async def update_weights_from_distributed(self, names, dtypes, shapes,
+                                              flush: bool = True):
+        return await self._run_rpc(
+            lambda: self.runner.update_weights_from_distributed(
+                names, dtypes, shapes, flush=flush)
+        )
+
+    def get_load(self) -> Dict[str, Any]:
+        """Queue/KV load snapshot (reference scheduler.get_load:1829)."""
+        sched = self.scheduler
+        runner = self.runner
+        ps = self.server_args.page_size
+        num_tokens = sum(
+            len(r.origin_input_ids) + len(r.output_ids)
+            for r in sched.running_batch
+        ) + sum(len(r.origin_input_ids) for r in sched.waiting_queue)
+        return {
+            "num_reqs": len(sched.running_batch)
+            + len(sched.waiting_queue),
+            "num_waiting_reqs": len(sched.waiting_queue),
+            "num_running_reqs": len(sched.running_batch),
+            "num_tokens": num_tokens,
+            "available_kv_tokens": runner.allocator.available_tokens(),
+            "page_size": ps,
+        }
 
     async def release_memory_occupation(self):
         def _release():

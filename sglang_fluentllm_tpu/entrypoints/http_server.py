@@ -106,10 +106,37 @@ class HttpServer:
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights)
+        r.add_post("/update_weights_from_tensor",
+                   self.update_weights_from_tensor)
+        r.add_post("/init_weights_update_group",
+                   self.init_weights_update_group)
+        r.add_post("/update_weights_from_distributed",
+                   self.update_weights_from_distributed)
         r.add_post("/get_weights_by_name", self.get_weights_by_name)
         r.add_post("/release_memory_occupation", self.release_memory)
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/get_trace", self.get_trace)
+        r.add_get("/get_load", self.get_load)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_get("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
+        r.add_get("/stop_profile", self.stop_profile)
+        r.add_post("/parse_function_call", self.parse_function_call)
+        r.add_post("/separate_reasoning", self.separate_reasoning)
+        r.add_post("/slow_down", self.slow_down)
+        r.add_post("/configure_logging", self.configure_logging)
+        r.add_get("/ping", self.health)          # SageMaker alias
+        r.add_post("/invocations", self.generate)  # SageMaker alias
+        r.add_post("/generate_from_file", self.generate_from_file)
+        r.add_post("/start_expert_distribution_record",
+                   self.start_expert_record)
+        r.add_post("/stop_expert_distribution_record",
+                   self.stop_expert_record)
+        r.add_post("/dump_expert_distribution_record",
+                   self.dump_expert_record)
+        r.add_get("/v1/models/{model:.+}", self.get_model)
+        r.add_post("/v1/responses/{response_id}/cancel",
+                   self.cancel_response)
         # PD disaggregation plane
         r.add_post("/pd/start", self.pd_start)
         r.add_post("/pd/prefill", self.pd_prefill)
@@ -319,6 +346,235 @@ class HttpServer:
         if not ok or value is None:
             return _error(f"unknown parameter {body.get('name')}", 404)
         return web.json_response(value)
+
+    async def update_weights_from_tensor(
+        self, request: web.Request
+    ) -> web.Response:
+        """RLHF in-place update; tensors arrive as base64 raw buffers with
+        dtype/shape metadata (reference http_server.py:629 — 'any binary
+        data ... base64 encoded')."""
+        import base64
+
+        import numpy as np
+
+        body = await request.json()
+        tensors = body.get("named_tensors") or body.get("serialized_named_tensors")
+        if not tensors:
+            return _error("named_tensors required")
+        named = []
+        try:
+            for t in tensors:
+                import ml_dtypes  # noqa: F401
+
+                try:
+                    dt = np.dtype(t["dtype"])
+                except TypeError:
+                    dt = np.dtype(getattr(ml_dtypes, t["dtype"]))
+                arr = np.frombuffer(
+                    base64.b64decode(t["data"]), dtype=dt
+                ).reshape(t["shape"])
+                named.append((t["name"], arr))
+        except Exception as e:  # noqa: BLE001
+            return _error(f"bad tensor payload: {e}")
+        ok, msg = await self.engine.update_weights_from_tensor(
+            named, flush=body.get("flush", True)
+        )
+        return web.json_response(
+            {"success": ok, "message": str(msg)},
+            status=200 if ok else 400,
+        )
+
+    async def init_weights_update_group(
+        self, request: web.Request
+    ) -> web.Response:
+        body = await request.json()
+        addr = body.get("master_address")
+        port = body.get("master_port")
+        if not addr or not port:
+            return _error("master_address and master_port required")
+        ok, msg = await self.engine.init_weights_update_group(
+            addr, int(port)
+        )
+        return web.json_response({"success": ok, "message": str(msg)},
+                                 status=200 if ok else 400)
+
+    async def update_weights_from_distributed(
+        self, request: web.Request
+    ) -> web.Response:
+        body = await request.json()
+        names = body.get("names")
+        dtypes = body.get("dtypes")
+        shapes = body.get("shapes")
+        if not names or not dtypes or not shapes:
+            return _error("names/dtypes/shapes required")
+        ok, msg = await self.engine.update_weights_from_distributed(
+            names, dtypes, shapes, flush=body.get("flush", True)
+        )
+        return web.json_response({"success": ok, "message": str(msg)},
+                                 status=200 if ok else 400)
+
+    async def get_load(self, request: web.Request) -> web.Response:
+        return web.json_response(self.engine.get_load())
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """jax.profiler trace capture (reference /start_profile,
+        torch.profiler role)."""
+        import jax
+
+        body = {}
+        if request.can_read_body:
+            try:
+                body = await request.json()
+            except Exception:  # noqa: BLE001
+                body = {}
+        out_dir = (body.get("output_dir")
+                   or self.engine.server_args.profile_dir or "/tmp/sft_trace")
+        if getattr(self, "_profiling", False):
+            return _error("profiler already running")
+        try:
+            jax.profiler.start_trace(out_dir)
+        except Exception as e:  # noqa: BLE001
+            return _error(f"profiler start failed: {e}")
+        self._profiling = True
+        self._profile_dir = out_dir
+        return web.json_response(
+            {"success": True, "message": f"tracing to {out_dir}"}
+        )
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        import jax
+
+        if not getattr(self, "_profiling", False):
+            return _error("profiler not running")
+        jax.profiler.stop_trace()
+        self._profiling = False
+        return web.json_response(
+            {"success": True,
+             "message": f"trace written to {self._profile_dir}"}
+        )
+
+    async def parse_function_call(self, request: web.Request) -> web.Response:
+        """Run a tool-call detector over raw text (reference
+        /parse_function_call, function_call_parser role)."""
+        from sglang_fluentllm_tpu.function_call.parser import (
+            FunctionCallParser,
+        )
+
+        body = await request.json()
+        text = body.get("text", "")
+        parser_name = (body.get("tool_call_parser")
+                       or self.engine.server_args.tool_call_parser)
+        tools = body.get("tools") or []
+        try:
+            from sglang_fluentllm_tpu.entrypoints.openai.protocol import Tool
+
+            parser = FunctionCallParser(
+                [Tool(**t) for t in tools], parser_name
+            )
+            normal_text, calls = parser.parse_non_stream(text)
+        except ValueError as e:
+            return _error(str(e))
+        return web.json_response({
+            "normal_text": normal_text,
+            "calls": [
+                {"name": c.name, "parameters": c.parameters,
+                 "tool_index": c.tool_index}
+                for c in calls
+            ],
+        })
+
+    async def separate_reasoning(self, request: web.Request) -> web.Response:
+        from sglang_fluentllm_tpu.parser.reasoning_parser import (
+            ReasoningParser,
+        )
+
+        body = await request.json()
+        text = body.get("text", "")
+        rp = (body.get("reasoning_parser")
+              or self.engine.server_args.reasoning_parser or "deepseek_r1")
+        parsed = ReasoningParser(
+            implicit_open=(rp == "deepseek_r1")
+        ).parse_full(text)
+        return web.json_response({
+            "reasoning_text": parsed.reasoning,
+            "text": parsed.content,
+        })
+
+    async def slow_down(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ms = float(body.get("forward_sleep_time") or 0.0)
+        self.engine._slow_down_ms = max(0.0, ms)
+        return web.json_response({"success": True})
+
+    async def configure_logging(self, request: web.Request) -> web.Response:
+        import logging as _logging
+
+        body = await request.json()
+        level = body.get("log_level")
+        if level:
+            _logging.getLogger("sglang_fluentllm_tpu").setLevel(
+                level.upper()
+            )
+        return web.json_response({"success": True})
+
+    async def generate_from_file(self, request: web.Request) -> web.Response:
+        """Multipart upload: file field 'file' holds the prompt text
+        (reference /generate_from_file)."""
+        reader = await request.multipart()
+        text = None
+        sp = {}
+        async for part in reader:
+            if part.name == "file":
+                text = (await part.read()).decode("utf-8")
+            elif part.name == "sampling_params":
+                import json as _json
+
+                sp = _json.loads((await part.read()).decode("utf-8"))
+        if text is None:
+            return _error("file field required")
+        try:
+            out = await self.engine.generate(
+                prompt=text, sampling_params=sp
+            )
+        except ValueError as e:
+            return _error(str(e))
+        return web.json_response(self._strip(out))
+
+    async def start_expert_record(self, request: web.Request) -> web.Response:
+        rec = self.engine.runner.expert_recorder
+        if rec is None:
+            return _error("--enable-expert-distribution-recorder required")
+        rec.start()
+        return web.json_response({"success": True})
+
+    async def stop_expert_record(self, request: web.Request) -> web.Response:
+        rec = self.engine.runner.expert_recorder
+        if rec is None:
+            return _error("--enable-expert-distribution-recorder required")
+        rec.stop()
+        return web.json_response({"success": True})
+
+    async def dump_expert_record(self, request: web.Request) -> web.Response:
+        rec = self.engine.runner.expert_recorder
+        if rec is None:
+            return _error("--enable-expert-distribution-recorder required")
+        return web.json_response(rec.dump())
+
+    async def get_model(self, request: web.Request) -> web.Response:
+        name = request.match_info["model"]
+        served = self.engine.server_args.served_model_name
+        if name != served:
+            return _error(f"model {name} not found", 404)
+        return web.json_response(ModelCard(id=served).model_dump())
+
+    async def cancel_response(self, request: web.Request) -> web.Response:
+        rid = request.match_info["response_id"]
+        self.engine.abort_request(rid)
+        resp = self.openai.get_response(rid)
+        if resp is not None:
+            return web.json_response(resp.model_dump(exclude_none=True))
+        return web.json_response({"id": rid, "object": "response",
+                                  "status": "cancelled"})
 
     async def release_memory(self, request: web.Request) -> web.Response:
         ok, msg = await self.engine.release_memory_occupation()

@@ -685,6 +685,79 @@ class ModelRunner:
         self.server_args.model_path = model_path
         logger.info("weights updated from %s", model_path)
 
+    def update_weights_from_tensor(self, named_tensors, flush: bool = True):
+        """RLHF in-place weight update (reference
+        ``http_server.py:629`` /update_weights_from_tensor,
+        ``model_executor/weight_mixin.py``). Tensors are STAGED across
+        calls (trainers chunk large checkpoints); ``flush=True`` rebuilds
+        the stacked param pytree from the staged set and swaps it in."""
+        if not hasattr(self, "_staged_weights"):
+            self._staged_weights = {}
+        for name, arr in named_tensors:
+            self._staged_weights[name] = np.asarray(arr)
+        if not flush:
+            return len(self._staged_weights)
+        try:
+            params = self.model.load_weights(
+                list(self._staged_weights.items()), dtype=self.dtype
+            )
+        finally:
+            self._staged_weights = {}
+        self.params = self._shard(params, self.model.param_specs())
+        logger.info("weights updated from %d staged tensors",
+                    len(jax.tree.leaves(params)))
+
+    def init_weights_update_group(self, master_address: str,
+                                  master_port: int):
+        """Connect to the trainer's weight-broadcast endpoint (reference
+        init_weights_update_group joins a NCCL group with the trainer,
+        weight_mixin.py; the TPU-native transport is a TCP stream over
+        DCN — the trainer serves tensors, this process reads them)."""
+        import socket
+
+        sock = socket.create_connection(
+            (master_address, master_port), timeout=60.0
+        )
+        self._weight_group_sock = sock
+        logger.info("weights update group connected to %s:%d",
+                    master_address, master_port)
+
+    def update_weights_from_distributed(self, names, dtypes, shapes,
+                                        flush: bool = True):
+        """Stream tensors (in request order) from the trainer socket
+        established by init_weights_update_group; stage + flush like
+        update_weights_from_tensor (reference
+        update_weights_from_distributed, NCCL broadcast per tensor)."""
+        sock = getattr(self, "_weight_group_sock", None)
+        if sock is None:
+            raise RuntimeError("init_weights_update_group not called")
+        def _np_dtype(dt):
+            try:
+                return np.dtype(dt)
+            except TypeError:
+                import ml_dtypes  # bfloat16 et al. (ships with jax)
+
+                return np.dtype(getattr(ml_dtypes, str(dt)))
+
+        staged = []
+        for name, dt, shape in zip(names, dtypes, shapes):
+            dt = _np_dtype(dt)
+            nbytes = int(dt.itemsize * int(np.prod(shape or [1])))
+            buf = bytearray(nbytes)
+            view = memoryview(buf)
+            got = 0
+            while got < nbytes:
+                n = sock.recv_into(view[got:], nbytes - got)
+                if n == 0:
+                    raise RuntimeError(
+                        f"trainer socket closed mid-tensor ({name})"
+                    )
+                got += n
+            staged.append(
+                (name, np.frombuffer(bytes(buf), dtype=dt).reshape(shape))
+            )
+        return self.update_weights_from_tensor(staged, flush=flush)
+
     def get_weights_by_name(self, name: str, truncate_size: int = 100):
         node = self.params
         for part in name.split("."):

@@ -163,3 +163,96 @@ class TestEmbeddings:
         b = httpx.post(server + "/encode",
                        json={"input_ids": PROMPT_IDS}, timeout=300).json()
         assert a == b
+
+
+class TestAdminRoutes:
+    """New admin plane: load, profiler, parser routes, slow-down, SageMaker
+    aliases, file generation (reference http_server.py route table)."""
+
+    def test_get_load(self, server):
+        out = httpx.get(server + "/get_load").json()
+        assert out["num_running_reqs"] == 0
+        assert out["available_kv_tokens"] > 0
+
+    def test_ping_alias(self, server):
+        assert httpx.get(server + "/ping").status_code == 200
+
+    def test_invocations_alias(self, server):
+        r = httpx.post(server + "/invocations", json={
+            "input_ids": PROMPT_IDS,
+            "sampling_params": {"max_new_tokens": 2, "temperature": 0.0},
+        }, timeout=300)
+        assert len(r.json()["output_ids"]) == 2
+
+    def test_profiler_cycle(self, server):
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        r = httpx.post(server + "/start_profile",
+                       json={"output_dir": d}, timeout=300)
+        assert r.status_code == 200, r.text
+        # double start rejected
+        assert httpx.post(server + "/start_profile", json={},
+                          timeout=300).status_code == 400
+        httpx.post(server + "/generate", json={
+            "input_ids": [1, 2, 3],
+            "sampling_params": {"max_new_tokens": 2, "temperature": 0.0},
+        }, timeout=300)
+        r = httpx.post(server + "/stop_profile", json={}, timeout=300)
+        assert r.status_code == 200, r.text
+        # stop again without start -> 400
+        assert httpx.post(server + "/stop_profile", json={},
+                          timeout=300).status_code == 400
+
+    def test_parse_function_call(self, server):
+        text = ('ok <tool_call>{"name": "get_weather", '
+                '"arguments": {"city": "Paris"}}</tool_call>')
+        r = httpx.post(server + "/parse_function_call", json={
+            "text": text, "tool_call_parser": "qwen25",
+            "tools": [{"type": "function", "function": {
+                "name": "get_weather", "parameters": {}}}],
+        }, timeout=300)
+        out = r.json()
+        assert out["calls"][0]["name"] == "get_weather"
+        assert "Paris" in out["calls"][0]["parameters"]
+
+    def test_separate_reasoning(self, server):
+        r = httpx.post(server + "/separate_reasoning", json={
+            "text": "think hard</think>answer",
+            "reasoning_parser": "deepseek_r1",
+        }, timeout=300)
+        out = r.json()
+        assert out["reasoning_text"] == "think hard"
+        assert out["text"] == "answer"
+
+    def test_slow_down(self, server):
+        assert httpx.post(server + "/slow_down", json={
+            "forward_sleep_time": 1.0}).json()["success"]
+        assert httpx.post(server + "/slow_down", json={
+            "forward_sleep_time": 0}).json()["success"]
+
+    def test_configure_logging(self, server):
+        assert httpx.post(server + "/configure_logging", json={
+            "log_level": "debug"}).json()["success"]
+        httpx.post(server + "/configure_logging",
+                   json={"log_level": "info"})
+
+    def test_generate_from_file(self, server):
+        r = httpx.post(server + "/generate_from_file", files={
+            "file": ("prompt.txt", "<3> <11> <42>"),
+        }, data={"sampling_params": json.dumps(
+            {"max_new_tokens": 3, "temperature": 0.0})}, timeout=300)
+        assert r.status_code == 200, r.text
+        assert len(r.json()["output_ids"]) == 3
+
+    def test_model_detail(self, server):
+        served = httpx.get(server + "/v1/models").json()["data"][0]["id"]
+        r = httpx.get(server + f"/v1/models/{served}")
+        assert r.json()["id"] == served
+        assert httpx.get(server + "/v1/models/nope").status_code == 404
+
+    def test_expert_record_requires_flag(self, server):
+        # llama has no MoE and the recorder flag is off -> 400
+        assert httpx.post(
+            server + "/start_expert_distribution_record", json={}
+        ).status_code == 400
