@@ -757,6 +757,13 @@ def launch_server(server_args: ServerArgs):
     from sglang_fluentllm_tpu.utils import configure_logger
 
     configure_logger(server_args.log_level)
+    if server_args.nnodes > 1 and server_args.node_rank > 0:
+        # non-entry ranks replay rank 0's step stream (multi-host SPMD;
+        # parallel/multihost.py)
+        from sglang_fluentllm_tpu.parallel.multihost import run_follower
+
+        run_follower(server_args)
+        return
     engine = AsyncEngine(server_args)
     server = HttpServer(engine)
 

@@ -105,19 +105,35 @@ class ModelRunner:
         )
         self.dtype = DTYPE_MAP[server_args.dtype]
 
+        if server_args.nnodes > 1:
+            from sglang_fluentllm_tpu.parallel.multihost import (
+                maybe_init_distributed,
+            )
+
+            maybe_init_distributed(server_args)
         devices = jax.devices()
         if mesh is None:
+            from sglang_fluentllm_tpu.parallel.multihost import build_mesh
+
             n = server_args.tp_size * server_args.dp_size
             assert n <= len(devices), (
                 f"need {n} devices, have {len(devices)}"
             )
-            mesh = Mesh(
-                np.asarray(devices[:n]).reshape(
-                    server_args.dp_size, server_args.tp_size
-                ),
-                ("dp", "tp"),
-            )
+            mesh = build_mesh(server_args.dp_size, server_args.tp_size)
         self.mesh = mesh
+        # multi-host step broadcast (rank 0 only; see parallel/multihost.py).
+        # Attached BEFORE any jit step so followers replay the full call
+        # sequence, warmup included.
+        self.broadcaster = None
+        if server_args.nnodes > 1 and server_args.node_rank == 0:
+            from sglang_fluentllm_tpu.parallel.multihost import (
+                StepBroadcaster,
+                follower_port,
+            )
+
+            self.broadcaster = StepBroadcaster(
+                follower_port(server_args), server_args.nnodes - 1
+            )
 
         self.attn_backend = select_attn_backend(server_args, self.model_config)
         model_cls = get_model_class(self.model_config.architectures)
@@ -502,6 +518,10 @@ class ModelRunner:
         logprobs [B]) WITHOUT syncing — overlap scheduling resolves them one
         iteration later. Sampled ids are also written into the on-device
         future map at [future_offset, future_offset + B)."""
+        if self.broadcaster is not None:
+            self.broadcaster.publish(
+                ("gen", batch, sampling, future_offset)
+            )
         self.step_counter += 1
         ints, floats, meta = pack_batch(batch, sampling)
         ints = np.concatenate(
@@ -544,6 +564,8 @@ class ModelRunner:
 
     def encode_batch(self, items) -> np.ndarray:
         """Embed a list of ExtendItems; KV pages are caller-managed."""
+        if self.broadcaster is not None:
+            self.broadcaster.publish(("encode", items))
         batch = self.batch_builder.build_extend(items)
         self.kv_cache, h = self._hidden_step(
             self.params, self.kv_cache, batch
@@ -553,6 +575,8 @@ class ModelRunner:
     def score_batch(self, items, label_ids: "np.ndarray") -> np.ndarray:
         """Next-token logprobs at ``label_ids`` for a list of ExtendItems
         ([B, n_labels]); KV pages are caller-managed."""
+        if self.broadcaster is not None:
+            self.broadcaster.publish(("score", items, label_ids))
         batch = self.batch_builder.build_extend(items)
         self.kv_cache, lp = self._score_step(
             self.params, self.kv_cache, batch, jnp.asarray(label_ids)
@@ -674,6 +698,10 @@ class ModelRunner:
     # torch_memory_saver release/resume, scheduler.py:1963-2022)
     # ------------------------------------------------------------------
     def update_weights_from_disk(self, model_path: str):
+        if self.broadcaster is not None:
+            self.broadcaster.publish(
+                ("update_weights_from_disk", model_path)
+            )
         from sglang_fluentllm_tpu.runtime.weight_loader import (
             iterate_safetensors,
         )
@@ -691,6 +719,10 @@ class ModelRunner:
         ``model_executor/weight_mixin.py``). Tensors are STAGED across
         calls (trainers chunk large checkpoints); ``flush=True`` rebuilds
         the stacked param pytree from the staged set and swaps it in."""
+        if self.broadcaster is not None:
+            self.broadcaster.publish(
+                ("update_weights_from_tensor", named_tensors, flush)
+            )
         if not hasattr(self, "_staged_weights"):
             self._staged_weights = {}
         for name, arr in named_tensors:
@@ -825,6 +857,8 @@ class ModelRunner:
 
     def release_kv_cache(self):
         """Free the KV pool HBM (colocated-training sleep mode)."""
+        if self.broadcaster is not None:
+            self.broadcaster.publish(("release_kv",))
         self._kv_released = jax.tree.map(
             lambda x: (x.shape, x.dtype), self.kv_cache
         )
@@ -833,6 +867,8 @@ class ModelRunner:
     def resume_kv_cache(self):
         if self.kv_cache is not None:
             return
+        if self.broadcaster is not None:
+            self.broadcaster.publish(("resume_kv",))
         from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
             RUN_SLACK_PAGES,
         )
