@@ -208,6 +208,12 @@ class ModelConfig:
             mc.intermediate_size = cfg["ffn_hidden_size"]
         if cfg.get("expert_ffn_hidden_size"):
             mc.moe_intermediate_size = cfg["expert_ffn_hidden_size"]
+        if mc.model_type == "glm4_moe":
+            # HF Glm4MoeConfig encodes V3-style routing implicitly
+            # (sigmoid scores + bias-corrected group-limited selection,
+            # modeling_glm4_moe.Glm4MoeTopkRouter)
+            mc.topk_method = "noaux_tc"
+            mc.scoring_func = "sigmoid"
         if mc.model_type == "longcat_flash" or "FLASH" in str(
             mc.architectures
         ):

@@ -75,6 +75,16 @@ CONFIGS = {
         "model_type": "cohere", "layer_norm_eps": 1e-5,
         "logit_scale": 0.25, "tie_word_embeddings": True,
     },
+    "glm4_moe": {
+        **BASE, "architectures": ["Glm4MoeForCausalLM"],
+        "model_type": "glm4_moe", "head_dim": 16,
+        "n_routed_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 32, "n_shared_experts": 1,
+        "first_k_dense_replace": 1, "n_group": 2, "topk_group": 1,
+        "routed_scaling_factor": 1.5, "norm_topk_prob": True,
+        "use_qk_norm": True, "attention_bias": True,
+        "partial_rotary_factor": 0.5,
+    },
     "gpt_oss": {
         **BASE, "architectures": ["GptOssForCausalLM"],
         "model_type": "gpt_oss", "head_dim": 16,
@@ -117,6 +127,7 @@ def test_registry_coverage():
         "BaichuanForCausalLM", "ExaoneForCausalLM", "GraniteForCausalLM",
         "MiniCPMForCausalLM", "Olmo2ForCausalLM", "CohereForCausalLM",
         "Cohere2ForCausalLM", "MistralForCausalLM", "GptOssForCausalLM",
+        "Glm4MoeForCausalLM",
     }
     assert expected <= set(_REGISTRY)
 

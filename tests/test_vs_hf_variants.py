@@ -47,6 +47,18 @@ def _build(arch):
         return Olmo2ForCausalLM(
             Olmo2Config(**COMMON, attn_implementation="eager")
         )
+    if arch == "glm4_moe":
+        from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+        return Glm4MoeForCausalLM(Glm4MoeConfig(
+            **COMMON, head_dim=16, n_routed_experts=4,
+            num_experts_per_tok=2, moe_intermediate_size=32,
+            n_shared_experts=1, first_k_dense_replace=1,
+            n_group=2, topk_group=1, routed_scaling_factor=1.5,
+            norm_topk_prob=True, use_qk_norm=True, attention_bias=True,
+            partial_rotary_factor=0.5, rope_scaling=None,
+            attn_implementation="eager",
+        ))
     if arch == "gpt_oss":
         from transformers import GptOssConfig, GptOssForCausalLM
 
@@ -69,8 +81,9 @@ def _build(arch):
     raise AssertionError(arch)
 
 
-@pytest.mark.parametrize("arch",
-                         ["phi3", "granite", "olmo2", "cohere", "gpt_oss"])
+@pytest.mark.parametrize(
+    "arch",
+    ["phi3", "granite", "olmo2", "cohere", "gpt_oss", "glm4_moe"])
 def test_checkpoint_roundtrip_greedy_matches_hf(arch):
     from tests.utils import tiny_engine
 
