@@ -81,6 +81,11 @@ class ModelConfig:
     # --- KV pool depth (LongCat ScMoE has 2 attentions per layer) ---
     num_kv_layers: Optional[int] = None
 
+    # --- hybrid linear attention (Qwen3-Next GDN / mamba-class) ---
+    # per-layer kind list ("linear_attention" | "full_attention"); None for
+    # pure paged-attention models
+    layer_types: Optional[List[str]] = None
+
     # raw HF dict for model-specific extras
     hf_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
@@ -88,6 +93,23 @@ class ModelConfig:
     @property
     def is_mla(self) -> bool:
         return self.attention_arch == AttentionArch.MLA
+
+    @property
+    def is_hybrid_linear(self) -> bool:
+        return bool(
+            self.layer_types
+            and "linear_attention" in self.layer_types
+        )
+
+    @property
+    def linear_layer_ids(self) -> List[int]:
+        return [i for i, t in enumerate(self.layer_types or [])
+                if t == "linear_attention"]
+
+    @property
+    def full_attn_layer_ids(self) -> List[int]:
+        return [i for i, t in enumerate(self.layer_types or [])
+                if t != "linear_attention"]
 
     @property
     def is_moe(self) -> bool:
@@ -208,6 +230,17 @@ class ModelConfig:
             mc.intermediate_size = cfg["ffn_hidden_size"]
         if cfg.get("expert_ffn_hidden_size"):
             mc.moe_intermediate_size = cfg["expert_ffn_hidden_size"]
+        if mc.model_type == "qwen3_next":
+            # hybrid GDN/full-attention stack: paged KV pool only covers
+            # the full-attention layers; linear layers use the state pool
+            L = mc.num_hidden_layers
+            mc.layer_types = cfg.get("layer_types") or [
+                "full_attention"
+                if (i + 1) % cfg.get("full_attention_interval", 4) == 0
+                else "linear_attention"
+                for i in range(L)
+            ]
+            mc.num_kv_layers = len(mc.full_attn_layer_ids)
         if mc.model_type == "glm4_moe":
             # HF Glm4MoeConfig encodes V3-style routing implicitly
             # (sigmoid scores + bias-corrected group-limited selection,

@@ -68,7 +68,21 @@ def fp8_tail_dim(qk_rope_head_dim: int) -> int:
     return padded_head_dim(qk_rope_head_dim + 2)
 
 
-KVCache = MHAKVCache | MLAKVCache | MLAKVCacheFP8
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HybridKVCache:
+    """Hybrid-linear models (Qwen3-Next GDN; reference
+    ``memory_pool.py:1333`` HybridLinearKVPool + MambaPool): a paged MHA
+    pool covering ONLY the full-attention layers, plus per-REQUEST (not
+    per-token) recurrent state rows indexed by ``batch.state_idx``.
+    Row ``max_reqs`` (the last) is the trash row for padded batch rows."""
+
+    mha: MHAKVCache
+    conv: jax.Array  # [L_lin, R+1, conv_dim, K] conv tail (HF state len)
+    rec: jax.Array   # [L_lin, R+1, Hv, Dk, Dv] f32 delta-rule state
+
+
+KVCache = MHAKVCache | MLAKVCache | MLAKVCacheFP8 | HybridKVCache
 
 LANE = 128
 
@@ -85,6 +99,7 @@ def create_kv_cache(
     dtype=jnp.bfloat16,
     kv_cache_dtype: str = "auto",
     num_kv_heads_override: Optional[int] = None,
+    max_reqs: Optional[int] = None,
 ) -> KVCache:
     L = config.num_kv_layers or config.num_hidden_layers
     if config.is_mla:
@@ -104,8 +119,26 @@ def create_kv_cache(
         )
     h_kv = num_kv_heads_override or config.num_key_value_heads
     shape = (L, h_kv, num_slots, padded_head_dim(config.head_dim))
-    return MHAKVCache(k=jnp.zeros(shape, dtype=dtype),
-                      v=jnp.zeros(shape, dtype=dtype))
+    mha = MHAKVCache(k=jnp.zeros(shape, dtype=dtype),
+                     v=jnp.zeros(shape, dtype=dtype))
+    if config.is_hybrid_linear:
+        assert max_reqs is not None, "hybrid pool needs max_reqs"
+        hf = config.hf_config
+        L_lin = len(config.linear_layer_ids)
+        hk = hf.get("linear_num_key_heads", 1)
+        hv = hf.get("linear_num_value_heads", hk)
+        dk = hf.get("linear_key_head_dim", config.head_dim)
+        dv = hf.get("linear_value_head_dim", dk)
+        K = hf.get("linear_conv_kernel_dim", 4)
+        conv_dim = 2 * hk * dk + hv * dv
+        return HybridKVCache(
+            mha=mha,
+            conv=jnp.zeros((L_lin, max_reqs + 1, conv_dim, K),
+                           dtype=dtype),
+            rec=jnp.zeros((L_lin, max_reqs + 1, hv, dk, dv),
+                          dtype=jnp.float32),
+        )
+    return mha
 
 
 # ----------------------------------------------------------------------

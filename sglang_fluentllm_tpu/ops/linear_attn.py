@@ -1,0 +1,190 @@
+"""Gated DeltaNet linear attention (Qwen3-Next hybrid layers).
+
+Reference: ``srt/models/qwen3_next.py`` (fla ``chunk_gated_delta_rule`` /
+``fused_recurrent_gated_delta_rule`` + ``causal_conv1d``); semantics
+cross-checked against HF ``modeling_qwen3_next`` torch fallbacks, which
+the tests compare against bit-for-bit at f32.
+
+TPU design notes:
+- prefill uses the CHUNKED delta rule (chunk=64): intra-chunk terms are
+  dense [C, C] matmuls on the MXU; only the chunk-to-chunk state carry
+  is a ``lax.scan``. The UT-transform loop of the torch fallback is the
+  forward substitution of ``(I - A)^{-1}`` with A strictly lower
+  triangular — computed here with one batched ``triangular_solve``.
+- decode is the O(1) recurrent step.
+- both paths start FROM a given per-request state and return the final
+  state, so chunked prefill and the fused multi-step decode window both
+  continue correctly (the HF prefill path always starts from zeros).
+- ragged batches: rows are padded to S; positions >= q_len are masked
+  out of the recurrence (zero k/v/beta and zero g => exp(0)=1 decay,
+  no update), so the returned state is exactly the state after q_len
+  real tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+CHUNK = 64
+
+
+def l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    return x * jax.lax.rsqrt(
+        jnp.sum(x * x, axis=-1, keepdims=True) + eps
+    )
+
+
+def causal_conv1d(
+    x: jax.Array,          # [B, S, conv_dim] new inputs
+    conv_state: jax.Array,  # [B, conv_dim, K] last K inputs (HF layout)
+    weight: jax.Array,      # [conv_dim, K] depthwise taps
+    q_len: jax.Array,       # [B] real new tokens per row
+) -> Tuple[jax.Array, jax.Array]:
+    """Depthwise causal conv + silu, continuing from conv_state; returns
+    (activated [B, S, conv_dim], new conv_state). Matches HF
+    ``torch_causal_conv1d_update`` (conv over cat(state, x), last S
+    outputs) with ragged state extraction at q_len."""
+    B, S, C = x.shape
+    K = conv_state.shape[-1]
+    xt = x.swapaxes(1, 2)                          # [B, C, S]
+    full = jnp.concatenate([conv_state, xt], axis=-1)  # [B, C, K+S]
+    # output t (t=0..S-1) = sum_j w[j] * full[..., t+1+j]
+    out = jnp.zeros((B, C, S), jnp.float32)
+    for j in range(K):
+        out = out + weight[None, :, j:j + 1].astype(jnp.float32) \
+            * full[:, :, 1 + j : 1 + j + S].astype(jnp.float32)
+    act = jax.nn.silu(out).swapaxes(1, 2).astype(x.dtype)  # [B, S, C]
+    # new state = inputs at concat positions [q_len .. q_len+K-1]
+    idx = q_len[:, None] + jnp.arange(K)[None, :]          # [B, K]
+    new_state = jnp.take_along_axis(
+        full, idx[:, None, :].repeat(C, axis=1), axis=-1
+    ).astype(conv_state.dtype)
+    return act, new_state
+
+
+def _recurrent_step(q, k, v, g, beta, state):
+    """One-token delta rule (HF torch_recurrent_gated_delta_rule body).
+    q/k [B, Hv, Dk], v [B, Hv, Dv], g/beta [B, Hv], state
+    [B, Hv, Dk, Dv] f32 -> (out [B, Hv, Dv], state')."""
+    scale = q.shape[-1] ** -0.5
+    q = l2norm(q.astype(jnp.float32)) * scale
+    k = l2norm(k.astype(jnp.float32))
+    v = v.astype(jnp.float32)
+    state = state * jnp.exp(g)[..., None, None]
+    kv_mem = jnp.einsum("bhkv,bhk->bhv", state, k)
+    delta = (v - kv_mem) * beta[..., None]
+    state = state + k[..., :, None] * delta[..., None, :]
+    out = jnp.einsum("bhkv,bhk->bhv", state, q)
+    return out, state
+
+
+def _chunked(q, k, v, g, beta, state):
+    """Chunked delta rule. q/k [B, Hv, S, Dk] (l2normed, q scaled),
+    v [B, Hv, S, Dv], g/beta [B, Hv, S] (g pre-masked, NOT cumsummed),
+    state [B, Hv, Dk, Dv] f32. S must be a multiple of CHUNK."""
+    B, H, S, Dk = k.shape
+    Dv = v.shape[-1]
+    N = S // CHUNK
+
+    def to_chunks(x):
+        return x.reshape(B, H, N, CHUNK, *x.shape[3:])
+
+    q, k, v = map(to_chunks, (q, k, v))
+    g = g.reshape(B, H, N, CHUNK)
+    beta = beta.reshape(B, H, N, CHUNK)
+    v_beta = v * beta[..., None]
+    k_beta = k * beta[..., None]
+    g = jnp.cumsum(g, axis=-1)
+    # decay_mask[i, j] = exp(g_i - g_j) for j <= i
+    tril = jnp.tril(jnp.ones((CHUNK, CHUNK), bool))
+    decay = jnp.where(
+        tril, jnp.exp(jnp.where(
+            tril, g[..., :, None] - g[..., None, :], 0.0)), 0.0
+    )
+    a = -(k_beta @ k.swapaxes(-1, -2)) * decay
+    a = jnp.where(jnp.tril(jnp.ones((CHUNK, CHUNK), bool), -1), a, 0.0)
+    # UT transform: attn = (I - a)^{-1}, a strictly lower triangular
+    eye = jnp.eye(CHUNK, dtype=a.dtype)
+    attn = jax.lax.linalg.triangular_solve(
+        eye - a, jnp.broadcast_to(eye, a.shape),
+        left_side=True, lower=True, unit_diagonal=True,
+    )
+    u = attn @ v_beta                                  # [B,H,N,C,Dv]
+    k_cumdecay = attn @ (k_beta * jnp.exp(g)[..., None])
+    strict = jnp.tril(jnp.ones((CHUNK, CHUNK), bool))  # incl diag
+
+    def chunk_step(state, xs):
+        q_i, k_i, u_i, g_i, kcd_i, dec_i = xs
+        att = jnp.where(strict, (q_i @ k_i.swapaxes(-1, -2)) * dec_i, 0.0)
+        v_prime = kcd_i @ state
+        v_new = u_i - v_prime
+        attn_inter = (q_i * jnp.exp(g_i)[..., None]) @ state
+        out_i = attn_inter + att @ v_new
+        g_last = g_i[..., -1]
+        state = state * jnp.exp(g_last)[..., None, None] + (
+            k_i * jnp.exp(g_last[..., None] - g_i)[..., None]
+        ).swapaxes(-1, -2) @ v_new
+        return state, out_i
+
+    # scan over chunks: move N to the front
+    def front(x):
+        return jnp.moveaxis(x, 2, 0)
+
+    state, outs = jax.lax.scan(
+        chunk_step, state,
+        (front(q), front(k), front(u), front(g), front(k_cumdecay),
+         front(decay)),
+    )
+    out = jnp.moveaxis(outs, 0, 2).reshape(B, H, S, Dv)
+    return out, state
+
+
+def gated_delta_rule(
+    q: jax.Array,       # [B, S, Hv, Dk]
+    k: jax.Array,       # [B, S, Hv, Dk]
+    v: jax.Array,       # [B, S, Hv, Dv]
+    g: jax.Array,       # [B, S, Hv] log-decay (<= 0)
+    beta: jax.Array,    # [B, S, Hv] in (0, 1)
+    state: jax.Array,   # [B, Hv, Dk, Dv] f32
+    q_len: Optional[jax.Array] = None,  # [B] (None => all S valid)
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (out [B, S, Hv, Dv] like v.dtype, final state f32)."""
+    B, S, H, Dk = q.shape
+    if S == 1:
+        out, state = _recurrent_step(
+            q[:, 0].astype(jnp.float32), k[:, 0], v[:, 0],
+            g[:, 0].astype(jnp.float32), beta[:, 0].astype(jnp.float32),
+            state,
+        )
+        return out[:, None].astype(v.dtype), state
+    # [B, H, S, ...] layout, f32, mask padded positions out of the
+    # recurrence
+    qt = q.swapaxes(1, 2).astype(jnp.float32)
+    kt = k.swapaxes(1, 2).astype(jnp.float32)
+    vt = v.swapaxes(1, 2).astype(jnp.float32)
+    gt = g.swapaxes(1, 2).astype(jnp.float32)
+    bt = beta.swapaxes(1, 2).astype(jnp.float32)
+    if q_len is not None:
+        valid = (jnp.arange(S)[None, :] < q_len[:, None])[:, None, :]
+        kt = kt * valid[..., None]
+        vt = vt * valid[..., None]
+        bt = bt * valid
+        gt = gt * valid
+    scale = Dk ** -0.5
+    qt = l2norm(qt) * scale
+    kt = l2norm(kt)
+    # zero k rows survive l2norm as zero (0 * rsqrt(eps))
+    pad = (-S) % CHUNK
+    if pad:
+        qt, kt, vt = (
+            jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            for x in (qt, kt, vt)
+        )
+        gt = jnp.pad(gt, ((0, 0), (0, 0), (0, pad)))
+        bt = jnp.pad(bt, ((0, 0), (0, 0), (0, pad)))
+    out, state = _chunked(qt, kt, vt, gt, bt, state.astype(jnp.float32))
+    out = out[:, :, :S].swapaxes(1, 2)
+    return out.astype(v.dtype), state

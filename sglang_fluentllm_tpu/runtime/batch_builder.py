@@ -30,6 +30,7 @@ class ExtendItem:
     prefix_len: int         # tokens already cached
     slots: np.ndarray       # [extend_len] kv slots for the new tokens
     pages: np.ndarray       # pages covering prefix+extend
+    state_idx: int = -1     # hybrid-linear state row (req_pool_idx)
 
 
 @dataclasses.dataclass
@@ -38,6 +39,7 @@ class DecodeItem:
     seq_len: int            # total length including this token
     slots: np.ndarray       # [k] kv slots for steps 0..k-1
     pages: np.ndarray
+    state_idx: int = -1     # hybrid-linear state row (req_pool_idx)
 
 
 class BatchBuilder:
@@ -68,6 +70,7 @@ class BatchBuilder:
         pages = np.zeros((Bp, P), dtype=np.int32)
         seq_lens = np.zeros((Bp,), dtype=np.int32)
         q_lens = np.zeros((Bp,), dtype=np.int32)
+        state_idx = np.full((Bp,), -1, dtype=np.int32)
         runs = True
         for i, it in enumerate(items):
             e = len(it.input_ids)
@@ -77,6 +80,7 @@ class BatchBuilder:
             pages[i, : len(it.pages)] = it.pages
             seq_lens[i] = it.prefix_len + e
             q_lens[i] = e
+            state_idx[i] = it.state_idx
             if runs and len(it.pages) > 1:
                 runs = bool((np.diff(it.pages) == 1).all())
         cm = None
@@ -92,6 +96,7 @@ class BatchBuilder:
             seq_lens=seq_lens,
             q_lens=q_lens,
             custom_mask=cm,
+            state_idx=state_idx,
             mode=mode,
             page_size=self.page_size,
             pages_are_runs=runs,
@@ -112,6 +117,7 @@ class BatchBuilder:
         pages = np.zeros((Bp, P), dtype=np.int32)
         seq_lens = np.zeros((Bp,), dtype=np.int32)
         q_lens = np.zeros((Bp,), dtype=np.int32)
+        state_idx = np.full((Bp,), -1, dtype=np.int32)
         runs = True
         for i, it in enumerate(items):
             input_ids[i, 0] = it.input_id
@@ -120,6 +126,7 @@ class BatchBuilder:
             pages[i, : len(it.pages)] = it.pages
             seq_lens[i] = it.seq_len
             q_lens[i] = 1
+            state_idx[i] = it.state_idx
             if runs and len(it.pages) > 1:
                 runs = bool((np.diff(it.pages) == 1).all())
         return ForwardBatch(
@@ -129,6 +136,7 @@ class BatchBuilder:
             page_tables=pages,
             seq_lens=seq_lens,
             q_lens=q_lens,
+            state_idx=state_idx,
             mode=mode,
             page_size=self.page_size,
             pages_are_runs=runs,

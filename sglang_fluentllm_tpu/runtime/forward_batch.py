@@ -50,6 +50,10 @@ class ForwardBatch:
     # optional custom attention mask for speculative verify:
     # [B, S, S] bool over the new-token block (None outside TARGET_VERIFY)
     custom_mask: Optional[jax.Array] = None
+    # hybrid-linear models (mamba/GDN pools): per-row recurrent-state row
+    # index (req_pool_idx; -1 on padded rows -> trash row). None for pure
+    # paged-attention models.
+    state_idx: Optional[jax.Array] = None  # [B] i32
 
     # --- static metadata (hashable; changes trigger recompile) ---
     mode: ForwardMode = dataclasses.field(

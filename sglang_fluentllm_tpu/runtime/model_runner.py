@@ -274,17 +274,15 @@ class ModelRunner:
 
         num_slots = (num_pages + 1 + RUN_SLACK_PAGES) * sa.page_size
         kv_cache = create_kv_cache(
-            mc, num_slots, dtype=self.dtype, kv_cache_dtype=sa.kv_cache_dtype
+            mc, num_slots, dtype=self.dtype,
+            kv_cache_dtype=sa.kv_cache_dtype, max_reqs=self.max_reqs,
         )
-        # Shard MHA pools over kv heads (tp); MLA latents are replicated
-        # across the attn-tp group (per-token shared latent).
-        if hasattr(kv_cache, "k"):
-            spec = type(kv_cache)(
-                k=P(None, "tp", None, None), v=P(None, "tp", None, None)
-            )
-        else:
-            spec = jax.tree.map(lambda _: P(), kv_cache)
-        self.kv_cache = self._shard(kv_cache, spec)
+        self.kv_cache = self._shard(kv_cache, self._kv_spec(kv_cache))
+        if mc.is_hybrid_linear:
+            # linear-state rows are request-keyed, not token-keyed: radix
+            # prefix reuse would skip the recurrent replay (reference
+            # MambaRadixCache restrictions) — force it off
+            sa.disable_radix_cache = True
 
         self.allocator = KVAllocator(
             num_pages, sa.page_size, self.max_reqs, max_context
@@ -312,6 +310,26 @@ class ModelRunner:
 
     # ------------------------------------------------------------------
     FUTURE_CAP = 1 << 14
+
+    def _kv_spec(self, kv_cache):
+        """Sharding for the KV pool: MHA over kv heads (tp); MLA latents
+        and hybrid linear states replicated."""
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            HybridKVCache,
+            MHAKVCache,
+        )
+
+        if isinstance(kv_cache, HybridKVCache):
+            return HybridKVCache(
+                mha=MHAKVCache(k=P(None, "tp", None, None),
+                               v=P(None, "tp", None, None)),
+                conv=P(), rec=P(),
+            )
+        if hasattr(kv_cache, "k"):
+            return type(kv_cache)(
+                k=P(None, "tp", None, None), v=P(None, "tp", None, None)
+            )
+        return jax.tree.map(lambda _: P(), kv_cache)
 
     def _init_jit(self):
         model = self.model
@@ -877,12 +895,6 @@ class ModelRunner:
         num_slots = (self.num_pages + 1 + RUN_SLACK_PAGES) * sa.page_size
         kv = create_kv_cache(
             self.model_config, num_slots, dtype=self.dtype,
-            kv_cache_dtype=sa.kv_cache_dtype,
+            kv_cache_dtype=sa.kv_cache_dtype, max_reqs=self.max_reqs,
         )
-        if hasattr(kv, "k"):
-            spec = type(kv)(
-                k=P(None, "tp", None, None), v=P(None, "tp", None, None)
-            )
-        else:
-            spec = jax.tree.map(lambda _: P(), kv)
-        self.kv_cache = self._shard(kv, spec)
+        self.kv_cache = self._shard(kv, self._kv_spec(kv))

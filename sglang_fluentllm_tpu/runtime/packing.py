@@ -38,6 +38,7 @@ class BatchMeta(NamedTuple):
     topk: int = 0         # top-k logprobs per sampled token (0 = off)
     inp_lp: bool = False  # per-position input-token logprobs (extend)
     runs: bool = False    # all page lists are consecutive runs
+    has_state: bool = False  # hybrid-linear state_idx present
 
 
 def pack_batch(
@@ -56,6 +57,8 @@ def pack_batch(
         np.asarray(sm.top_k, np.int32),
         np.asarray(sm.is_greedy, np.int32),
     ]
+    if fb.state_idx is not None:
+        int_parts.append(np.asarray(fb.state_idx, np.int32))
     float_parts = [
         np.asarray(sm.temperature, np.float32),
         np.asarray(sm.top_p, np.float32),
@@ -90,6 +93,7 @@ def pack_batch(
         topk=int(sm.top_logprobs_num),
         inp_lp=bool(sm.return_input_logprob),
         runs=bool(fb.pages_are_runs),
+        has_state=fb.state_idx is not None,
     )
     return ints, floats, meta
 
@@ -118,6 +122,7 @@ def unpack_batch(
     q_lens = take(B)
     top_k = take(B)
     is_greedy = take(B).astype(bool)
+    state_idx = take(B) if meta.has_state else None
     penalized_ids = eos_mask_ids = min_new_remaining = None
     freq = pres = rep = None
     vocab_mask_words = None
@@ -140,6 +145,7 @@ def unpack_batch(
         seq_lens=seq_lens,
         q_lens=q_lens,
         custom_mask=custom_mask,
+        state_idx=state_idx,
         mode=meta.mode,
         page_size=meta.page_size,
         pages_are_runs=meta.runs,

@@ -88,6 +88,7 @@ class Req:
         # --- timing (RequestStage analog) ---
         self.arrival_time = arrival_time or time.monotonic()
         self.queued_time: Optional[float] = None
+        self.dequeued_time: Optional[float] = None
         self.first_token_time: Optional[float] = None
         self.finish_time: Optional[float] = None
 

@@ -174,6 +174,7 @@ class Scheduler:
 
         # stats
         self.num_generated_tokens = 0
+        self.recent_queue_times: List[float] = []
         self.num_retracted = 0
         self.cum_cached_tokens = 0
 
@@ -293,6 +294,11 @@ class Scheduler:
             if req.req_pool_idx is None:
                 req.req_pool_idx = self.req_pool.alloc()
                 assert req.req_pool_idx is not None
+                if req.dequeued_time is None:
+                    req.dequeued_time = time.monotonic()
+                    if req.queued_time is not None:
+                        self.recent_queue_times.append(
+                            req.dequeued_time - req.queued_time)
                 m = self.tree_cache.match_prefix(req.fill_ids)
                 if self.hicache is not None:
                     job = self.hicache.start_load(
@@ -346,6 +352,7 @@ class Scheduler:
                     pages=self.allocator.req_pages(
                         req.req_pool_idx, start + extend
                     ),
+                    state_idx=req.req_pool_idx,
                 )
             )
         return items if items else None
@@ -406,6 +413,7 @@ class Scheduler:
                     pages=self.allocator.req_pages(
                         req.req_pool_idx, total - 1 + k
                     ),
+                    state_idx=req.req_pool_idx,
                 )
             )
             reqs.append(req)
@@ -637,6 +645,7 @@ class Scheduler:
                             prefix_len=it.seq_len - 1,
                             slots=np.asarray([it.slots[0]], np.int32),
                             pages=it.pages,
+                            state_idx=it.state_idx,
                         ))
                         prefill_reqs.append(req)
                 return self._launch_extend(prefill_reqs, items)
@@ -705,6 +714,7 @@ class Scheduler:
                     seq_len=req.seq_len if req.inflight == 0 else total,
                     slots=window_slots,
                     pages=self.allocator.req_pages(req.req_pool_idx, end),
+                    state_idx=req.req_pool_idx,
                 )
             )
             reqs.append(req)

@@ -75,6 +75,19 @@ CONFIGS = {
         "model_type": "cohere", "layer_norm_eps": 1e-5,
         "logit_scale": 0.25, "tie_word_embeddings": True,
     },
+    "qwen3_next": {
+        **BASE, "architectures": ["Qwen3NextForCausalLM"],
+        "model_type": "qwen3_next", "head_dim": 16,
+        "num_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 32,
+        "shared_expert_intermediate_size": 32,
+        "linear_num_key_heads": 2, "linear_num_value_heads": 4,
+        "linear_key_head_dim": 8, "linear_value_head_dim": 8,
+        "linear_conv_kernel_dim": 4,
+        "full_attention_interval": 2, "partial_rotary_factor": 0.25,
+        "layer_types": ["linear_attention", "full_attention"],
+        "norm_topk_prob": True,
+    },
     "glm4_moe": {
         **BASE, "architectures": ["Glm4MoeForCausalLM"],
         "model_type": "glm4_moe", "head_dim": 16,
@@ -127,7 +140,7 @@ def test_registry_coverage():
         "BaichuanForCausalLM", "ExaoneForCausalLM", "GraniteForCausalLM",
         "MiniCPMForCausalLM", "Olmo2ForCausalLM", "CohereForCausalLM",
         "Cohere2ForCausalLM", "MistralForCausalLM", "GptOssForCausalLM",
-        "Glm4MoeForCausalLM",
+        "Glm4MoeForCausalLM", "Qwen3NextForCausalLM",
     }
     assert expected <= set(_REGISTRY)
 
@@ -181,3 +194,35 @@ class TestLongcatFlash:
             sampling_params={"max_new_tokens": 1, "temperature": 0.0},
         )
         assert out2["output_ids"][0] == toks[3]
+
+
+class TestQwen3NextHybrid:
+    """Hybrid GDN state-pool behaviors beyond single-request greedy."""
+
+    def test_chunked_prefill_matches_unchunked(self):
+        long_prompt = [int(x) for x in
+                       np.random.RandomState(0).randint(1, 127, 40)]
+        e1 = tiny_engine(CONFIGS["qwen3_next"])
+        o1 = e1.generate(input_ids=long_prompt, sampling_params=SP)
+        e2 = tiny_engine(CONFIGS["qwen3_next"], chunked_prefill_size=16)
+        o2 = e2.generate(input_ids=long_prompt, sampling_params=SP)
+        assert o1["output_ids"] == o2["output_ids"]
+
+    def test_concurrent_requests_isolated_state(self):
+        e = tiny_engine(CONFIGS["qwen3_next"])
+        p1, p2 = [3, 11, 42, 7], [88, 5, 23, 54, 17]
+        solo1 = e.generate(input_ids=p1, sampling_params=SP)
+        solo2 = e.generate(input_ids=p2, sampling_params=SP)
+        both = e.generate(input_ids=[p1, p2],
+                          sampling_params=SP)
+        assert both[0]["output_ids"] == solo1["output_ids"]
+        assert both[1]["output_ids"] == solo2["output_ids"]
+
+    def test_radix_forced_off(self):
+        e = tiny_engine(CONFIGS["qwen3_next"])
+        assert e.server_args.disable_radix_cache is True
+        out = e.generate(input_ids=[3, 11, 42, 7, 19], sampling_params=SP)
+        # repeat: no prefix cache, but deterministic
+        out2 = e.generate(input_ids=[3, 11, 42, 7, 19], sampling_params=SP)
+        assert out["output_ids"] == out2["output_ids"]
+        assert out2["meta_info"]["cached_tokens"] == 0

@@ -47,6 +47,20 @@ def _build(arch):
         return Olmo2ForCausalLM(
             Olmo2Config(**COMMON, attn_implementation="eager")
         )
+    if arch == "qwen3_next":
+        from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+        return Qwen3NextForCausalLM(Qwen3NextConfig(
+            **COMMON, head_dim=16, num_experts=4,
+            num_experts_per_tok=2, moe_intermediate_size=32,
+            shared_expert_intermediate_size=32,
+            linear_num_key_heads=2, linear_num_value_heads=4,
+            linear_key_head_dim=8, linear_value_head_dim=8,
+            linear_conv_kernel_dim=4, decoder_sparse_step=1,
+            layer_types=["linear_attention", "full_attention"],
+            partial_rotary_factor=0.25, norm_topk_prob=True,
+            rope_scaling=None, attn_implementation="eager",
+        ))
     if arch == "glm4_moe":
         from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
 
@@ -83,7 +97,8 @@ def _build(arch):
 
 @pytest.mark.parametrize(
     "arch",
-    ["phi3", "granite", "olmo2", "cohere", "gpt_oss", "glm4_moe"])
+    ["phi3", "granite", "olmo2", "cohere", "gpt_oss", "glm4_moe",
+     "qwen3_next"])
 def test_checkpoint_roundtrip_greedy_matches_hf(arch):
     from tests.utils import tiny_engine
 
