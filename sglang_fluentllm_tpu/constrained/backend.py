@@ -78,27 +78,55 @@ class GrammarBackend:
 
     # ------------------------------------------------------------------
     def _compile(self, kind: str, expr: str) -> RegexGuide:
+        import time as _time
+
+        t0 = _time.monotonic()
         if kind == "json_schema":
             pattern = schema_to_regex(expr)
         elif kind == "regex":
             pattern = expr
+        elif kind == "ebnf":
+            from sglang_fluentllm_tpu.constrained.json_schema import (
+                build_regex_from_ebnf,
+            )
+
+            pattern = build_regex_from_ebnf(expr)
         else:
             raise ValueError(f"unsupported grammar kind {kind}")
-        guide = RegexGuide(
-            pattern, self._vocab_strings, self.eos_token_ids
-        )
+        try:
+            guide = RegexGuide(
+                pattern, self._vocab_strings, self.eos_token_ids
+            )
+        except Exception:
+            self._metric("num_grammar_aborted")
+            raise
         logger.info(
             "compiled %s grammar: %d dfa states", kind, len(guide._masks)
         )
+        from sglang_fluentllm_tpu.metrics import collector as _mc
+
+        if _mc.ACTIVE is not None:
+            _mc.ACTIVE.grammar_compilation_time.labels(
+                **_mc.ACTIVE._labels).observe(_time.monotonic() - t0)
         return guide
+
+    @staticmethod
+    def _metric(name: str):
+        from sglang_fluentllm_tpu.metrics import collector as _mc
+
+        if _mc.ACTIVE is not None:
+            getattr(_mc.ACTIVE, name).labels(**_mc.ACTIVE._labels).inc()
 
     def get_future(self, kind: str, expr: str) -> concurrent.futures.Future:
         key = (kind, expr)
+        self._metric("num_grammar_total")
         with self._lock:
             fut = self._cache.get(key)
             if fut is None:
                 fut = self._executor.submit(self._compile, kind, expr)
                 self._cache[key] = fut
+            else:
+                self._metric("num_grammar_cache_hit")
         return fut
 
     def grammar_for(self, sampling_params) -> Optional[
@@ -109,5 +137,5 @@ class GrammarBackend:
         if sampling_params.regex is not None:
             return self.get_future("regex", sampling_params.regex)
         if sampling_params.ebnf is not None:
-            raise ValueError("EBNF grammars are not supported yet")
+            return self.get_future("ebnf", sampling_params.ebnf)
         return None

@@ -158,6 +158,14 @@ class PDManager:
         }
         return {"room": room, "decode_prefix_len": prefix_len if ok else 0}
 
+    @staticmethod
+    def _metric_fail():
+        from sglang_fluentllm_tpu.metrics import collector as _mc
+
+        if _mc.ACTIVE is not None:
+            _mc.ACTIVE.num_transfer_failed_reqs.labels(
+                **_mc.ACTIVE._labels).inc()
+
     async def receive_kv(self, data: bytes) -> Dict[str, Any]:
         blob, meta = deserialize_kv(data)
         room = meta["room"]
@@ -219,9 +227,19 @@ class PDManager:
 
         ok, msg = await self.engine._run_rpc(_install)
         if not ok:
+            self._metric_fail()
             return {"success": False, "message": str(msg)}
         state["chunks"] += 1
-        state["last_activity"] = time.time()
+        now = time.time()
+        dt = max(1e-6, now - state["last_activity"])
+        state["last_activity"] = now
+        from sglang_fluentllm_tpu.metrics import collector as _mc
+
+        if _mc.ACTIVE is not None:
+            lb = _mc.ACTIVE._labels
+            _mc.ACTIVE.kv_transfer_speed_gb_s.labels(**lb).set(
+                len(data) / dt / 1e9)
+            _mc.ACTIVE.kv_transfer_latency_ms.labels(**lb).set(dt * 1000)
         if not meta.get("last", True):
             # mid-stream chunk: more to come while prefill still computes
             return {"success": True, "chunk": state["chunks"]}
@@ -274,6 +292,7 @@ class PDManager:
                 )
                 if stalled:
                     self.rooms.pop(room, None)
+                    self._metric_fail()
                     return {"error": "pd transfer stalled (peer lost)"}
         if not state["event"].is_set():
             return {"error": "pd decode timeout"}

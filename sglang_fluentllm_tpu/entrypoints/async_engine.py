@@ -43,6 +43,7 @@ class AsyncEngine:
     """Owns tokenizer + scheduler thread; exposes async generate APIs."""
 
     def __init__(self, server_args: ServerArgs):
+        t_init0 = time.time()
         self.server_args = server_args
         self.tokenizer = None
         if not server_args.skip_tokenizer_init:
@@ -51,7 +52,9 @@ class AsyncEngine:
             server_args.model_path, self.tokenizer
         )
         self.model_config = ModelConfig.from_server_args(server_args)
+        t_w0 = time.time()
         self.runner = ModelRunner(server_args, self.model_config)
+        t_weights = time.time() - t_w0
         self.scheduler = Scheduler(server_args, self.runner)
         self.detokenizer = (
             Detokenizer(self.tokenizer) if self.tokenizer else None
@@ -105,6 +108,12 @@ class AsyncEngine:
         self._thread.start()
         self.start_time = time.time()
         self.last_receive_time = time.time()
+        if self.sched_metrics is not None:
+            lb = self.sched_metrics._labels
+            self.sched_metrics.engine_startup_time.labels(**lb).set(
+                time.time() - t_init0)
+            self.sched_metrics.engine_load_weights_time.labels(**lb).set(
+                t_weights)
 
     @property
     def grammar_backend(self):
@@ -176,6 +185,14 @@ class AsyncEngine:
                 if now - self._last_metrics_t > 1.0:
                     self.sched_metrics.observe(self.scheduler, self.runner)
                     self._last_metrics_t = now
+                lb = self.sched_metrics._labels
+                self.sched_metrics.num_paused_reqs.labels(**lb).set(
+                    len(self.scheduler.running_batch)
+                    if self._paused.is_set() else 0
+                )
+                for qt in self.scheduler.recent_queue_times:
+                    self.sched_metrics.queue_time.labels(**lb).observe(qt)
+                self.scheduler.recent_queue_times.clear()
                 for out in outputs:
                     lb = self.sched_metrics._labels
                     self.sched_metrics.num_generated_tokens.labels(

@@ -33,6 +33,13 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+
+def _hicache_metric(name: str, n: int):
+    from sglang_fluentllm_tpu.metrics import collector as _mc
+
+    if _mc.ACTIVE is not None and n > 0:
+        getattr(_mc.ACTIVE, name).labels(**_mc.ACTIVE._labels).inc(n)
+
 def page_hash_chain(prev_hash: str, page_tokens: Sequence[int]) -> str:
     h = hashlib.sha256()
     h.update(prev_hash.encode())
@@ -115,6 +122,7 @@ class HiCacheController:
             h = page_hash_chain(h, token_prefix[lo : lo + ps])
             spilled = self.host.put(h, self._slice_blob(blobs, i))
             self.num_write_back += 1
+            _hicache_metric('hicache_writeback_tokens', self.page_size)
             if self.storage is not None:
                 for key, blob in spilled:
                     self.storage.set(key, blob)
@@ -147,6 +155,7 @@ class HiCacheController:
                     self.host.put(h, blob)
             elif blob is not None:
                 self.num_host_hits += 1
+                _hicache_metric('hicache_host_hit_tokens', self.page_size)
             if blob is None:
                 break
             keys.append(h)
@@ -235,6 +244,7 @@ class HiCacheController:
             h = page_hash_chain(h, token_prefix[lo : lo + ps])
             spilled = self.host.put(h, self._slice_blob(blobs, i))
             self.num_write_back += 1
+            _hicache_metric('hicache_writeback_tokens', self.page_size)
             if self.storage is not None:
                 for key, blob in spilled:
                     self.storage.set(key, blob)

@@ -21,6 +21,10 @@ from prometheus_client import (
 REGISTRY = CollectorRegistry()
 _NS = "sglang_fluentllm_tpu"
 
+# process-wide handle for subsystems (grammar backend, PD, hicache) that
+# have no reference to the engine; set when the collector is constructed
+ACTIVE: Optional["SchedulerMetricsCollector"] = None
+
 LATENCY_BUCKETS = (
     0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
     30.0, 60.0, 120.0,
@@ -64,6 +68,59 @@ class SchedulerMetricsCollector:
             "num_requests", "Requests completed")
         self.num_aborted_requests = counter(
             "num_aborted_requests", "Requests aborted")
+        # --- reference collector.py:195-330 additional series ---
+        self.num_used_tokens = gauge(
+            "num_used_tokens", "KV tokens in use")
+        self.total_retracted_reqs = gauge(
+            "total_retracted_reqs", "Cumulative retracted requests")
+        self.num_paused_reqs = gauge(
+            "num_paused_reqs", "Requests paused by /pause_generation")
+        self.utilization = gauge(
+            "utilization", "max(token usage, running/max_running)")
+        self.engine_startup_time = gauge(
+            "engine_startup_time", "Engine init wall time (s)")
+        self.engine_load_weights_time = gauge(
+            "engine_load_weights_time", "Weight load wall time (s)")
+        self.queue_time = Histogram(
+            f"{_NS}:queue_time_s",
+            "Waiting-queue residency per request", list(labels),
+            registry=REGISTRY, buckets=LATENCY_BUCKETS,
+        )
+        # --- PD disaggregation (reference collector.py:238-279) ---
+        self.num_prefill_inflight_queue_reqs = gauge(
+            "num_prefill_inflight_queue_reqs",
+            "PD prefill: requests with transfers in flight")
+        self.num_decode_transfer_queue_reqs = gauge(
+            "num_decode_transfer_queue_reqs",
+            "PD decode: requests awaiting KV transfer")
+        self.num_bootstrap_failed_reqs = counter(
+            "num_bootstrap_failed_reqs_total", "PD bootstrap failures")
+        self.num_transfer_failed_reqs = counter(
+            "num_transfer_failed_reqs_total", "PD KV transfer failures")
+        self.kv_transfer_speed_gb_s = gauge(
+            "kv_transfer_speed_gb_s", "PD KV transfer throughput (GB/s)")
+        self.kv_transfer_latency_ms = gauge(
+            "kv_transfer_latency_ms", "PD KV transfer latency (ms)")
+        # --- grammar / constrained decoding (collector.py:377-416) ---
+        self.grammar_compilation_time = Histogram(
+            f"{_NS}:grammar_compilation_time_seconds",
+            "Grammar compile time", list(labels), registry=REGISTRY,
+            buckets=LATENCY_BUCKETS,
+        )
+        self.num_grammar_cache_hit = counter(
+            "num_grammar_cache_hit_total", "Grammar compile cache hits")
+        self.num_grammar_total = counter(
+            "num_grammar_total", "Grammar-constrained requests")
+        self.num_grammar_aborted = counter(
+            "num_grammar_aborted_total", "Grammar compile failures")
+        # --- hicache (reference collector.py storage metrics role) ---
+        self.hicache_host_hit_tokens = counter(
+            "hicache_host_hit_tokens_total", "Host-tier KV tokens reused")
+        self.hicache_writeback_tokens = counter(
+            "hicache_writeback_tokens_total",
+            "KV tokens written back to host tier")
+        global ACTIVE
+        ACTIVE = self
 
     def observe(self, scheduler, runner):
         lb = self._labels
@@ -74,6 +131,13 @@ class SchedulerMetricsCollector:
         total = max(1, runner.max_total_tokens)
         used = total - runner.allocator.available_tokens()
         self.token_usage.labels(**lb).set(used / total)
+        self.num_used_tokens.labels(**lb).set(used)
+        self.total_retracted_reqs.labels(**lb).set(
+            scheduler.num_retracted)
+        self.utilization.labels(**lb).set(max(
+            used / total,
+            len(scheduler.running_batch) / max(1, runner.max_reqs),
+        ))
 
 
 class RequestMetricsCollector:

@@ -186,3 +186,63 @@ class TestEngineConstrained:
             ],
         )
         assert re.fullmatch("[a-z]+", outs[1]["text"])
+
+
+class TestEbnf:
+    """EBNF -> regex lowering (reference routes EBNF through xgrammar;
+    ours lowers the non-recursive GBNF subset to the FSM engine)."""
+
+    def test_simple_grammar(self):
+        from sglang_fluentllm_tpu.constrained.json_schema import (
+            build_regex_from_ebnf,
+        )
+        import re
+
+        g = '''
+root ::= greeting " " name
+greeting ::= "hello" | "hi"
+name ::= [A-Z] [a-z]*
+'''
+        pat = build_regex_from_ebnf(g)
+        assert re.fullmatch(pat, "hello Bob")
+        assert re.fullmatch(pat, "hi X")
+        assert not re.fullmatch(pat, "hey Bob")
+
+    def test_repetition_and_groups(self):
+        from sglang_fluentllm_tpu.constrained.json_schema import (
+            build_regex_from_ebnf,
+        )
+        import re
+
+        g = 'root ::= ("ab")+ [0-9]{2,3} "!"?'
+        pat = build_regex_from_ebnf(g)
+        assert re.fullmatch(pat, "abab12")
+        assert re.fullmatch(pat, "ab123!")
+        assert not re.fullmatch(pat, "ab1")
+
+    def test_recursion_rejected(self):
+        from sglang_fluentllm_tpu.constrained.json_schema import (
+            build_regex_from_ebnf,
+        )
+
+        g = 'root ::= "(" root ")" | "x"'
+        with pytest.raises(ValueError, match="recursive"):
+            build_regex_from_ebnf(g)
+
+    def test_missing_root_rejected(self):
+        from sglang_fluentllm_tpu.constrained.json_schema import (
+            build_regex_from_ebnf,
+        )
+
+        with pytest.raises(ValueError, match="root"):
+            build_regex_from_ebnf('start ::= "x"')
+
+    def test_engine_ebnf_constrained(self, char_engine):
+        out = char_engine.generate(
+            prompt="q",
+            sampling_params={
+                "max_new_tokens": 8, "temperature": 0.0,
+                "ebnf": 'root ::= ("yes" | "no") "."',
+            },
+        )
+        assert out["text"] in ("yes.", "no.")
