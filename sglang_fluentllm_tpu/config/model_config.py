@@ -95,6 +95,11 @@ class ModelConfig:
         return self.attention_arch == AttentionArch.MLA
 
     @property
+    def is_dsa(self) -> bool:
+        """DeepSeek V3.2 sparse attention (lightning indexer present)."""
+        return self.is_mla and bool(self.hf_config.get("index_topk"))
+
+    @property
     def is_hybrid_linear(self) -> bool:
         return bool(
             self.layer_types

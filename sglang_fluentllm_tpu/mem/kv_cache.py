@@ -70,6 +70,17 @@ def fp8_tail_dim(qk_rope_head_dim: int) -> int:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class MLAKVCacheDSA:
+    """DeepSeek-V3.2 sparse attention pool (reference DSATokenToKVPool,
+    ``memory_pool.py``): the combined-latent MLA cache plus one
+    lane-padded index-key row per token for the lightning indexer."""
+
+    lat: jax.Array   # [L, slots, r_pad + rope_pad]
+    idx: jax.Array   # [L, slots, d_idx_pad] index keys
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class HybridKVCache:
     """Hybrid-linear models (Qwen3-Next GDN; reference
     ``memory_pool.py:1333`` HybridLinearKVPool + MambaPool): a paged MHA
@@ -82,7 +93,8 @@ class HybridKVCache:
     rec: jax.Array   # [L_lin, R+1, Hv, Dk, Dv] f32 delta-rule state
 
 
-KVCache = MHAKVCache | MLAKVCache | MLAKVCacheFP8 | HybridKVCache
+KVCache = (MHAKVCache | MLAKVCache | MLAKVCacheFP8 | MLAKVCacheDSA
+           | HybridKVCache)
 
 LANE = 128
 
@@ -114,9 +126,16 @@ def create_kv_cache(
             )
         r_pad = padded_head_dim(config.kv_lora_rank)
         rope_pad = padded_head_dim(config.qk_rope_head_dim)
-        return MLAKVCache(
-            lat=jnp.zeros((L, num_slots, r_pad + rope_pad), dtype=dtype),
-        )
+        lat = jnp.zeros((L, num_slots, r_pad + rope_pad), dtype=dtype)
+        if config.is_dsa:
+            d_idx = config.hf_config.get("index_head_dim", 128)
+            return MLAKVCacheDSA(
+                lat=lat,
+                idx=jnp.zeros(
+                    (L, num_slots, padded_head_dim(d_idx)), dtype=dtype
+                ),
+            )
+        return MLAKVCache(lat=lat)
     h_kv = num_kv_heads_override or config.num_key_value_heads
     shape = (L, h_kv, num_slots, padded_head_dim(config.head_dim))
     mha = MHAKVCache(k=jnp.zeros(shape, dtype=dtype),

@@ -36,7 +36,8 @@ def _yarn_mscale(scale: float, mscale: float) -> float:
     return 0.1 * mscale * math.log(scale) + 1.0
 
 
-@register("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM")
+@register("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
+          "DeepseekV32ForCausalLM")
 class DeepseekV2ForCausalLM:
     def __init__(self, config: ModelConfig, attn_backend):
         self.config = config
@@ -58,6 +59,17 @@ class DeepseekV2ForCausalLM:
             rs or None,
             interleaved=True,
         )
+        # DSA (V3.2 lightning indexer; reference deepseek_v32.py +
+        # dsa/nsa_indexer.py). cli_factor layer-sharing is approximated by
+        # computing the indexer per layer (cli_factor=1 semantics).
+        self.dsa = c.is_dsa
+        hf = c.hf_config
+        if self.dsa:
+            self.idx_heads = hf.get("index_n_heads", 64)
+            self.idx_dim = hf.get("index_head_dim", 128)
+            self.idx_topk = hf.get("index_topk", 2048)
+            self.idx_norm_type = hf.get("index_k_norm_type", "layer")
+            assert c.q_lora_rank, "DSA requires q_lora_rank"
         self.use_gmm = jax.default_backend() == "tpu"
         # set by ModelRunner when expert parallelism is enabled
         self.ep_mesh = None
@@ -98,6 +110,14 @@ class DeepseekV2ForCausalLM:
             })
         else:
             shapes["q_proj"] = (H, Hq * self.qk_dim)
+        if self.dsa:
+            shapes.update({
+                "idx_wq_b": (c.q_lora_rank, self.idx_heads * self.idx_dim),
+                "idx_wk": (H, self.idx_dim),
+                "idx_k_norm_w": (self.idx_dim,),
+                "idx_k_norm_b": (self.idx_dim,),
+                "idx_weights_proj": (H, self.idx_heads),
+            })
         return shapes
 
     def _attn_specs(self) -> Dict[str, Any]:
@@ -119,6 +139,11 @@ class DeepseekV2ForCausalLM:
             })
         else:
             specs["q_proj"] = P(None, "tp")
+        if self.dsa:
+            specs.update({
+                "idx_wq_b": P(), "idx_wk": P(), "idx_k_norm_w": P(),
+                "idx_k_norm_b": P(), "idx_weights_proj": P(),
+            })
         return specs
 
     def param_shapes(self) -> Dict[str, Any]:
@@ -214,9 +239,9 @@ class DeepseekV2ForCausalLM:
             if grp not in params:
                 continue
             for k in params[grp]:
-                if "layernorm" in k:
+                if "layernorm" in k or k == "idx_k_norm_w":
                     params[grp][k] = jnp.ones_like(params[grp][k])
-                if k == "correction_bias":
+                if k in ("correction_bias", "idx_k_norm_b"):
                     params[grp][k] = jnp.zeros_like(params[grp][k])
         return params
 
@@ -229,9 +254,10 @@ class DeepseekV2ForCausalLM:
         r = c.kv_lora_rank
         eps = c.rms_norm_eps
 
+        q_lora = None
         if c.q_lora_rank:
-            q = rms_norm(h @ lp["q_a_proj"], lp["q_a_layernorm"], eps)
-            q = q @ lp["q_b_proj"]
+            q_lora = rms_norm(h @ lp["q_a_proj"], lp["q_a_layernorm"], eps)
+            q = q_lora @ lp["q_b_proj"]
         else:
             q = h @ lp["q_proj"]
         q = q.reshape(B, S, Hq, self.qk_dim)
@@ -243,12 +269,124 @@ class DeepseekV2ForCausalLM:
         q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
         k_pe = apply_rope(k_pe, cos, sin, interleaved=True)
 
-        out, kv_cache = self.attn(
-            kv_cache, layer_id, q_nope, q_pe, ckv, k_pe, batch,
-            lp["w_kc"], lp["w_vc"], self.sm_scale,
-        )
+        if self.dsa:
+            out, kv_cache = self._dsa_attend(
+                lp, h, q_lora, q_nope, q_pe, ckv, k_pe, kv_cache,
+                layer_id, batch, cos, sin,
+            )
+        else:
+            out, kv_cache = self.attn(
+                kv_cache, layer_id, q_nope, q_pe, ckv, k_pe, batch,
+                lp["w_kc"], lp["w_vc"], self.sm_scale,
+            )
         out = out.reshape(B, S, Hq * c.v_head_dim) @ lp["o_proj"]
         return out, kv_cache
+
+    def _dsa_attend(self, lp, h, q_lora, q_nope, q_pe, ckv, k_pe,
+                    kv_cache, layer_id, batch, cos, sin):
+        """V3.2 sparse attention (reference ``deepseek_v32.py:309`` +
+        ``dsa/nsa_indexer.py:899``): write index keys per token; decode
+        selects top-``index_topk`` context tokens via the lightning
+        indexer and MLA-attends over only the selected latents; extend
+        runs the dense path (selection engages once context exceeds
+        index_topk, which never happens inside one prefill chunk's own
+        window against itself plus a short prefix)."""
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            MLAKVCache,
+            MLAKVCacheDSA,
+            mla_write,
+            padded_head_dim,
+        )
+        from sglang_fluentllm_tpu.ops.attention.dsa import (
+            gather_slots,
+            indexer_scores,
+            mla_sparse_attend,
+            select_topk,
+        )
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            page_gather,
+        )
+
+        c = self.config
+        B, S, Hq, dn = q_nope.shape
+        r, dr, dv = c.kv_lora_rank, c.qk_rope_head_dim, c.v_head_dim
+        eps = c.rms_norm_eps
+        d_idx = self.idx_dim
+        loc = batch.out_cache_loc.reshape(-1)
+
+        # --- index keys for the new tokens (IndexerBf16.forward) ---
+        k_idx = h @ lp["idx_wk"]                      # [B, S, d_idx]
+        if self.idx_norm_type == "rms":
+            k_idx = rms_norm(k_idx, lp["idx_k_norm_w"], eps)
+        else:  # V32LayerNorm: f32 layernorm with bias
+            x32 = k_idx.astype(jnp.float32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            k_idx = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+                     * lp["idx_k_norm_w"] + lp["idx_k_norm_b"]
+                     ).astype(k_idx.dtype)
+        k_idx = jnp.concatenate(
+            [apply_rope(k_idx[..., :dr], cos, sin, interleaved=True),
+             k_idx[..., dr:]], axis=-1,
+        )
+        idx_pad = kv_cache.idx.shape[-1]
+        rows = jnp.pad(
+            k_idx.reshape(B * S, d_idx), ((0, 0), (0, idx_pad - d_idx))
+        ).astype(kv_cache.idx.dtype)
+        idx_new = kv_cache.idx.at[layer_id, loc].set(rows)
+
+        if not batch.mode.is_decode():
+            # extend: dense MLA (the backend writes the latents)
+            out, mla = self.attn(
+                MLAKVCache(lat=kv_cache.lat), layer_id, q_nope, q_pe,
+                ckv, k_pe, batch, lp["w_kc"], lp["w_vc"], self.sm_scale,
+            )
+            return out, MLAKVCacheDSA(lat=mla.lat, idx=idx_new)
+
+        # --- decode: write latents, select, sparse-attend ---
+        mla = mla_write(
+            MLAKVCache(lat=kv_cache.lat), layer_id, loc,
+            ckv.reshape(B * S, r), k_pe.reshape(B * S, dr),
+        )
+        kv_cache = MLAKVCacheDSA(lat=mla.lat, idx=idx_new)
+
+        q_idx = (q_lora[:, 0] @ lp["idx_wq_b"]).reshape(
+            B, self.idx_heads, d_idx)
+        q_idx = jnp.concatenate(
+            [apply_rope(q_idx[..., :dr], cos[:, 0][:, None, :],
+                        sin[:, 0][:, None, :], interleaved=True),
+             q_idx[..., dr:]], axis=-1,
+        )
+        # weights_proj(x.float()) * h^-0.5 * softmax_scale(d^-0.5)
+        w = (h[:, 0].astype(jnp.float32) @ lp["idx_weights_proj"]
+             .astype(jnp.float32)) * (self.idx_heads ** -0.5)             * (d_idx ** -0.5)
+        keys = page_gather(
+            kv_cache.idx[layer_id], batch.page_tables, batch.page_size
+        )[..., :d_idx]
+        scores = indexer_scores(q_idx, w, keys, batch.seq_lens)
+        pos, valid = select_topk(scores, self.idx_topk)
+        slots = gather_slots(batch.page_tables, pos, batch.page_size)
+
+        # absorbed query in the lane-padded latent layout
+        r_pad = padded_head_dim(r)
+        rope_pad = kv_cache.lat.shape[-1] - r_pad
+        q_kc = jnp.einsum(
+            "bhd,hrd->bhr", q_nope[:, 0].astype(jnp.float32),
+            lp["w_kc"].astype(jnp.float32),
+        )
+        q_eff = jnp.zeros((B, Hq, r_pad + rope_pad), jnp.float32)
+        q_eff = q_eff.at[..., :r].set(q_kc)
+        q_eff = q_eff.at[..., r_pad:r_pad + dr].set(
+            q_pe[:, 0].astype(jnp.float32))
+        ctx = mla_sparse_attend(
+            q_eff, kv_cache.lat[layer_id], slots, valid, r, self.sm_scale
+        )                                             # [B, Hq, r] f32
+        out = jnp.einsum(
+            "bhr,hrd->bhd", ctx, lp["w_vc"].astype(jnp.float32)
+        ).astype(h.dtype)
+        return out[:, None], kv_cache
 
     def _dense_mlp(self, lp, x):
         return (jax.nn.silu(x @ lp["gate_proj"])
@@ -399,6 +537,25 @@ class DeepseekV2ForCausalLM:
                     st["w_vc"] = np.transpose(kvb[..., dn:], (1, 0, 2))
                 elif rest == "self_attn.o_proj.weight":
                     st["o_proj"] = w.T
+                elif rest == "self_attn.fused_qkv_a_proj_with_mqa.weight":
+                    # V3.2 fused layout: q_lora | index_k | kv_lora+rope
+                    wt = np.asarray(w).T
+                    ql = c.q_lora_rank
+                    di = self.idx_dim if self.dsa else 0
+                    st["q_a_proj"] = wt[:, :ql]
+                    if di:
+                        st["idx_wk"] = wt[:, ql:ql + di]
+                    st["kv_a_proj"] = wt[:, ql + di:]
+                elif rest == "self_attn.indexer.wq_b.weight":
+                    st["idx_wq_b"] = w.T
+                elif rest == "self_attn.indexer.wk.weight":
+                    st["idx_wk"] = w.T
+                elif rest == "self_attn.indexer.k_norm.weight":
+                    st["idx_k_norm_w"] = w
+                elif rest == "self_attn.indexer.k_norm.bias":
+                    st["idx_k_norm_b"] = w
+                elif rest == "self_attn.indexer.weights_proj.weight":
+                    st["idx_weights_proj"] = w.T
                 elif rest == "input_layernorm.weight":
                     st["input_layernorm"] = w
                 elif rest == "post_attention_layernorm.weight":
