@@ -96,7 +96,7 @@ class ServerArgs:
     weight_block_size: int = 128
 
     # ---- speculative decoding ----
-    speculative_algorithm: Optional[str] = None  # EAGLE | EAGLE3 | NEXTN | PLD
+    speculative_algorithm: Optional[str] = None  # EAGLE | EAGLE3 | NEXTN | PLD | STANDALONE
     speculative_draft_model_path: Optional[str] = None
     speculative_num_steps: int = 3
     speculative_eagle_topk: int = 1
@@ -165,7 +165,8 @@ class ServerArgs:
         if self.moe_parallel_strategy == "ep":
             assert self.ep_size > 0
         if self.speculative_algorithm is not None:
-            assert self.speculative_algorithm in ("EAGLE", "EAGLE3", "NEXTN", "PLD")
+            assert self.speculative_algorithm in (
+                "EAGLE", "EAGLE3", "NEXTN", "PLD", "STANDALONE")
         assert self.disaggregation_mode in ("null", "prefill", "decode")
         if self.chunked_prefill_size > 0:
             assert self.chunked_prefill_size % self.page_size == 0, (

@@ -85,21 +85,35 @@ class SpecWorker:
             (runner.num_pages + 1 + RUN_SLACK_PAGES) * server_args.page_size
         )
 
+        if server_args.speculative_draft_model_path:
+            self.draft_config = ModelConfig.from_model_path(
+                server_args.speculative_draft_model_path,
+                context_length=server_args.context_length,
+            )
+        else:
+            # geometry defaults to the target's (shared embed/lm-head
+            # forces matching hidden/vocab anyway)
+            self.draft_config = runner.model_config
+        # EAGLE-1 checkpoints declare an *Eagle arch (llama_eagle layout:
+        # fc-fused draft fed by target hidden); plain-LM checkpoints under
+        # --speculative-algorithm EAGLE run as standalone drafts
+        is_eagle_ckpt = "Eagle" in str(self.draft_config.architectures)
+        if self.algorithm == "EAGLE" and is_eagle_ckpt:
+            self.algorithm = "EAGLE"  # hidden-chaining family below
+        elif self.algorithm == "EAGLE":
+            self.algorithm = "STANDALONE"
+
         if self.algorithm == "PLD":
             pass  # lookup drafts need no model
-        elif self.algorithm in ("NEXTN", "EAGLE3"):
-            from sglang_fluentllm_tpu.spec.nextn import NextNDraftModel
+        elif self.algorithm in ("NEXTN", "EAGLE3", "EAGLE"):
+            from sglang_fluentllm_tpu.spec.nextn import (
+                EagleDraftModel,
+                NextNDraftModel,
+            )
 
-            if server_args.speculative_draft_model_path:
-                self.draft_config = ModelConfig.from_model_path(
-                    server_args.speculative_draft_model_path,
-                    context_length=server_args.context_length,
-                )
-            else:
-                # geometry defaults to the target's (shared embed/lm-head
-                # forces matching hidden/vocab anyway)
-                self.draft_config = runner.model_config
-            self.draft_model = NextNDraftModel(
+            cls = (EagleDraftModel if self.algorithm == "EAGLE"
+                   else NextNDraftModel)
+            self.draft_model = cls(
                 self.draft_config, runner.model, runner.attn_backend
             )
             if server_args.speculative_draft_model_path:
@@ -127,9 +141,9 @@ class SpecWorker:
             self.hidden_state = jnp.zeros(
                 (runner.max_reqs, H), runner.dtype
             )
-        else:  # EAGLE: standalone draft checkpoint
+        else:  # STANDALONE: independent small-LM draft checkpoint
             assert server_args.speculative_draft_model_path, (
-                "EAGLE requires --speculative-draft-model-path"
+                "STANDALONE requires --speculative-draft-model-path"
             )
             self.draft_config = ModelConfig.from_model_path(
                 server_args.speculative_draft_model_path,
@@ -261,7 +275,7 @@ class SpecWorker:
             )
             return
 
-        if algo in ("NEXTN", "EAGLE3"):
+        if algo in ("NEXTN", "EAGLE3", "EAGLE"):
             def nextn_fn(params_t, kv_t, params_d, kv_d, hid_state,
                          future_map, future_seq, ints, floats, meta):
                 K = meta.S - 1
@@ -461,7 +475,7 @@ class SpecWorker:
     # ------------------------------------------------------------------
     @property
     def needs_prefill_hook(self) -> bool:
-        return self.algorithm in ("NEXTN", "EAGLE3")
+        return self.algorithm in ("NEXTN", "EAGLE3", "EAGLE")
 
     def forward_prefill(self, batch: ForwardBatch, sampling,
                         future_offset: int, req_idx: List[int]):
@@ -521,7 +535,7 @@ class SpecWorker:
             )
             return tokens, counts, logprobs
         offset = future_offset % r.FUTURE_CAP
-        if self.algorithm in ("NEXTN", "EAGLE3"):
+        if self.algorithm in ("NEXTN", "EAGLE3", "EAGLE"):
             ri = np.zeros((meta.B,), np.int32)
             if req_idx:
                 ri[: len(req_idx)] = req_idx

@@ -189,3 +189,88 @@ class TestSpecOverlap:
         e = tiny_engine(speculative_algorithm="PLD",
                         speculative_num_steps=3)
         assert e.scheduler.max_inflight == 1
+
+
+class TestEagleCheckpoint:
+    """EAGLE-1 draft checkpoint (llama_eagle fc-fused layout): loads,
+    chains on target hidden states, and remains lossless."""
+
+    def _eagle_dir(self):
+        import json
+        import os
+        import tempfile
+
+        import safetensors.numpy
+
+        rng = np.random.RandomState(3)
+        H, I, V = 64, 128, 128
+        Hq, Hk, D = 4, 2, 16
+
+        def r(*shape):
+            return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+        sd = {
+            "embed_tokens.weight": r(V, H),
+            "fc.weight": r(H, 2 * H),
+            "lm_head.weight": r(V, H),
+            "layers.0.self_attn.q_proj.weight": r(Hq * D, H),
+            "layers.0.self_attn.k_proj.weight": r(Hk * D, H),
+            "layers.0.self_attn.v_proj.weight": r(Hk * D, H),
+            "layers.0.self_attn.o_proj.weight": r(H, Hq * D),
+            "layers.0.mlp.gate_proj.weight": r(I, H),
+            "layers.0.mlp.up_proj.weight": r(I, H),
+            "layers.0.mlp.down_proj.weight": r(H, I),
+            "layers.0.post_attention_layernorm.weight":
+                np.ones((H,), np.float32),
+        }
+        d = tempfile.mkdtemp(prefix="eagle_draft_")
+        cfg = dict(TINY_LLAMA_CFG)
+        cfg["architectures"] = ["LlamaForCausalLMEagle"]
+        cfg["num_hidden_layers"] = 1
+        with open(os.path.join(d, "config.json"), "w") as fp:
+            json.dump(cfg, fp)
+        safetensors.numpy.save_file(
+            sd, os.path.join(d, "model.safetensors"))
+        return d
+
+    def test_eagle_draft_lossless(self):
+        """Target + eagle draft both load REAL safetensors; spec output
+        must equal the target-only greedy output."""
+        import tempfile
+
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        torch.manual_seed(5)
+        common = {k: v for k, v in TINY_LLAMA_CFG.items()
+                  if k not in ("architectures", "model_type",
+                               "torch_dtype")}
+        hf = LlamaForCausalLM(LlamaConfig(
+            **common, attn_implementation="eager"))
+        tdir = tempfile.mkdtemp(prefix="eagle_target_")
+        hf.save_pretrained(tdir)
+
+        base = tiny_engine(model_path_override=tdir,
+                           load_format="safetensors")
+        ref = base.generate(input_ids=PROMPT, sampling_params=SP)
+
+        d = self._eagle_dir()
+        e = tiny_engine(
+            model_path_override=tdir, load_format="safetensors",
+            speculative_algorithm="EAGLE",
+            speculative_draft_model_path=d,
+            speculative_num_steps=3,
+        )
+        # loaded through the hidden-chaining (EAGLE) family, not standalone
+        assert e.scheduler.spec.algorithm == "EAGLE"
+        from sglang_fluentllm_tpu.spec.nextn import EagleDraftModel
+
+        assert isinstance(e.scheduler.spec.draft_model, EagleDraftModel)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == ref["output_ids"]
+
+    def test_plain_ckpt_under_eagle_runs_standalone(self):
+        e = spec_engine(WEAK_DRAFT_CFG)
+        assert e.scheduler.spec.algorithm == "STANDALONE"
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert len(out["output_ids"]) == 13
