@@ -46,8 +46,48 @@ SHORT_NEW = 8
 LONG_NEW = 72
 PAGE_SIZE = 32
 
-# TPU v5e (1 chip): HBM bandwidth ~819 GB/s
-HBM_BW = 819e9
+# TPU v5e spec sheet: ~819 GB/s HBM. The axon-tunneled chip sustains
+# far less on real weight-streaming GEMMs, so the roofline denominator
+# uses a MEASURED bandwidth probe (in-jit repeated 1 GB GEMM with a data
+# dependency — tools/profile_matmul.py methodology); the spec number is
+# still reported in detail for reference.
+HBM_BW_SPEC = 819e9
+
+
+def measure_hbm_bw() -> float:
+    """Achieved GB/s on a 1 GiB bf16 weight-streaming GEMM (best of two
+    batch shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    K, N, R = 16384, 32768, 20
+    w = jnp.asarray(
+        np.random.RandomState(0).standard_normal((K, N)).astype(
+            np.float32), jnp.bfloat16,
+    )
+
+    def run(x, w):
+        def body(h, _):
+            y = jnp.dot(h, w, preferred_element_type=jnp.float32)
+            return h + y[:, :K].astype(jnp.bfloat16) * 1e-6, None
+
+        h, _ = jax.lax.scan(body, x, None, length=R)
+        return jnp.sum(h.astype(jnp.float32))
+
+    jrun = jax.jit(run)
+    best = 0.0
+    for B in (64, 256):
+        x = jnp.asarray(
+            np.random.RandomState(1).standard_normal((B, K)),
+            jnp.bfloat16,
+        )
+        jax.device_get(jrun(x, w))  # compile + settle
+        t0 = time.perf_counter()
+        jax.device_get(jrun(x, w))
+        dt = (time.perf_counter() - t0) / R
+        best = max(best, w.size * 2 / dt)
+    del w
+    return best
 
 
 def build_engine():
@@ -120,7 +160,9 @@ def main():
     cell = kv_cell_bytes_per_token(config, 2, "auto")
     avg_ctx = PREFILL_LEN + (SHORT_NEW + LONG_NEW) // 2
     step_bytes = param_bytes + BATCH_SIZE * avg_ctx * cell
-    roofline_tps = BATCH_SIZE / (step_bytes / HBM_BW)
+    hbm_bw = measure_hbm_bw()
+    roofline_tps = BATCH_SIZE / (step_bytes / hbm_bw)
+    roofline_tps_spec = BATCH_SIZE / (step_bytes / HBM_BW_SPEC)
 
     result = {
         "metric": "decode_tokens_per_sec_per_chip",
@@ -135,6 +177,9 @@ def main():
             ),
             "prefill_tokens_per_sec": round(prefill_tps, 1),
             "roofline_tokens_per_sec": round(roofline_tps, 1),
+            "roofline_tokens_per_sec_at_spec_bw": round(
+                roofline_tps_spec, 1),
+            "hbm_bw_measured_gb_s": round(hbm_bw / 1e9, 1),
             "platform": jax.devices()[0].platform,
             "serving_path": "engine+overlap_scheduler",
         },

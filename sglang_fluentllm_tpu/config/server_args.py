@@ -51,7 +51,8 @@ class ServerArgs:
     hicache_ratio: float = 2.0
     hicache_size: int = 0
     hicache_write_policy: str = "write_through"
-    hicache_storage_backend: Optional[str] = None  # file | ...
+    hicache_storage_backend: Optional[str] = None  # file | remote
+    hicache_storage_remote_addr: Optional[str] = None  # host:port
     hicache_storage_prefetch_threshold: int = 256
 
     # ---- scheduling ----

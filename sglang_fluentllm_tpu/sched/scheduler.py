@@ -148,7 +148,8 @@ class Scheduler:
                 self.page_size,
                 host_tokens,
                 storage=create_storage_backend(
-                    server_args.hicache_storage_backend
+                    server_args.hicache_storage_backend,
+                    address=server_args.hicache_storage_remote_addr,
                 ),
             )
         self.new_token_ratio = INIT_NEW_TOKEN_RATIO
