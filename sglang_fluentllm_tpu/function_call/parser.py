@@ -287,6 +287,227 @@ class GenericJsonDetector(BaseFormatDetector):
         return bool(items)
 
 
+
+class DeepSeekV31Detector(BaseFormatDetector):
+    """DeepSeek V3.1/V3.2 format (reference deepseekv31_detector.py /
+    deepseekv32_detector.py): ``<tool_call_begin>{name}<tool_sep>{json}
+    <tool_call_end>`` — name directly, args as plain JSON."""
+
+    name = "deepseekv31"
+    bot_token = "<｜tool▁calls▁begin｜>"
+    eot_token = "<｜tool▁calls▁end｜>"
+    call_begin = "<｜tool▁call▁begin｜>"
+    call_end = "<｜tool▁call▁end｜>"
+    sep = "<｜tool▁sep｜>"
+
+    def detect_and_parse(self, text, tools):
+        if self.bot_token not in text:
+            return text.strip(), []
+        normal, payload = text.split(self.bot_token, 1)
+        payload = payload.split(self.eot_token)[0]
+        objs = []
+        for seg in payload.split(self.call_begin)[1:]:
+            seg = seg.split(self.call_end)[0]
+            if self.sep in seg:
+                name, rest = seg.split(self.sep, 1)
+                args, ok = _try_parse_json(rest.strip())
+                objs.append({"name": name.strip(),
+                             "arguments": args if ok else {}})
+        return normal.strip(), self._to_items(objs, tools)
+
+
+class Glm4MoeDetector(BaseFormatDetector):
+    """GLM-4.5/4.6 (reference glm4_moe_detector.py):
+    ``<tool_call>name\n<arg_key>k</arg_key><arg_value>v</arg_value>...
+    </tool_call>``."""
+
+    name = "glm4_moe"
+    bot_token = "<tool_call>"
+    eot_token = "</tool_call>"
+
+    def detect_and_parse(self, text, tools):
+        if self.bot_token not in text:
+            return text.strip(), []
+        normal = text.split(self.bot_token, 1)[0]
+        objs = []
+        for m in re.findall(r"<tool_call>(.*?)</tool_call>", text, re.S):
+            dm = re.match(r"([^\n]*)\n(.*)", m, re.S)
+            if not dm:
+                continue
+            name = dm.group(1).strip()
+            args = {}
+            for k, v in re.findall(
+                r"<arg_key>(.*?)</arg_key>\s*<arg_value>(.*?)</arg_value>",
+                dm.group(2), re.S,
+            ):
+                val, ok = _try_parse_json(v.strip())
+                args[k.strip()] = val if ok else v.strip()
+            objs.append({"name": name, "arguments": args})
+        return normal.strip(), self._to_items(objs, tools)
+
+    def has_tool_call(self, text: str) -> bool:
+        # distinguish from qwen25's identical bot token by the arg_key tag
+        return self.bot_token in text
+
+
+class KimiK2Detector(BaseFormatDetector):
+    """Kimi K2 (reference kimik2_detector.py):
+    ``<|tool_calls_section_begin|><|tool_call_begin|>functions.name:idx
+    <|tool_call_argument_begin|>{json}<|tool_call_end|>...``."""
+
+    name = "kimi_k2"
+    bot_token = "<|tool_calls_section_begin|>"
+    eot_token = "<|tool_calls_section_end|>"
+    _call_re = re.compile(
+        r"<\|tool_call_begin\|>\s*(?P<tid>[\w\.]+:\d+)\s*"
+        r"<\|tool_call_argument_begin\|>\s*(?P<args>\{.*?\})\s*"
+        r"<\|tool_call_end\|>", re.S,
+    )
+
+    def detect_and_parse(self, text, tools):
+        if self.bot_token not in text:
+            return text.strip(), []
+        normal = text.split(self.bot_token, 1)[0]
+        objs = []
+        for m in self._call_re.finditer(text):
+            tid = m.group("tid")  # functions.get_weather:0
+            name = tid.split(":")[0]
+            if "." in name:
+                name = name.split(".", 1)[1]
+            args, ok = _try_parse_json(m.group("args"))
+            objs.append({"name": name, "arguments": args if ok else {}})
+        return normal.strip(), self._to_items(objs, tools)
+
+
+class Qwen3CoderDetector(BaseFormatDetector):
+    """Qwen3-Coder XML (reference qwen3_coder_detector.py):
+    ``<tool_call><function=name><parameter=key>value</parameter>...
+    </function></tool_call>``."""
+
+    name = "qwen3_coder"
+    bot_token = "<tool_call>"
+    eot_token = "</tool_call>"
+
+    def detect_and_parse(self, text, tools):
+        if self.bot_token not in text:
+            return text.strip(), []
+        normal = text.split(self.bot_token, 1)[0]
+        objs = []
+        for block in re.findall(r"<tool_call>(.*?)</tool_call>", text,
+                                re.S):
+            fm = re.search(r"<function=(.*?)>(.*?)</function>", block,
+                           re.S)
+            if not fm:
+                continue
+            name = fm.group(1).strip()
+            args = {}
+            for pm in re.finditer(
+                r"<parameter=(.*?)>(.*?)</parameter>", fm.group(2), re.S
+            ):
+                raw = pm.group(2).strip()
+                val, ok = _try_parse_json(raw)
+                args[pm.group(1).strip()] = val if ok else raw
+            objs.append({"name": name, "arguments": args})
+        return normal.strip(), self._to_items(objs, tools)
+
+
+class PythonicDetector(BaseFormatDetector):
+    """Llama-4 pythonic calls (reference pythonic_detector.py):
+    ``[name(kw=value, ...), other(...)]`` parsed via the Python AST."""
+
+    name = "pythonic"
+    _re = re.compile(r"\[[A-Za-z_]\w*\(.*\)\s*\]", re.S)
+
+    def has_tool_call(self, text: str) -> bool:
+        return bool(self._re.search(text))
+
+    def detect_and_parse(self, text, tools):
+        import ast
+
+        m = self._re.search(text)
+        if not m:
+            return text.strip(), []
+        normal = text[:m.start()] + text[m.end():]
+        objs = []
+        try:
+            node = ast.parse(m.group(0).strip(), mode="eval")
+            if isinstance(node.body, ast.List):
+                for call in node.body.elts:
+                    if not isinstance(call, ast.Call):
+                        continue
+                    name = getattr(call.func, "id", None)
+                    if name is None:
+                        continue
+                    args = {}
+                    for kw in call.keywords:
+                        try:
+                            args[kw.arg] = ast.literal_eval(kw.value)
+                        except (ValueError, SyntaxError):
+                            continue
+                    objs.append({"name": name, "arguments": args})
+        except SyntaxError:
+            return text.strip(), []
+        return normal.strip(), self._to_items(objs, tools)
+
+
+class Step3Detector(BaseFormatDetector):
+    """Step3 steptml format (reference step3_detector.py)."""
+
+    name = "step3"
+    bot_token = "<｜tool_calls_begin｜>"
+    eot_token = "<｜tool_calls_end｜>"
+    _invoke_re = re.compile(
+        r'<steptml:invoke name="([^"]+)">(.*?)</steptml:invoke>', re.S)
+    _param_re = re.compile(
+        r'<steptml:parameter name="([^"]+)">(.*?)</steptml:parameter>',
+        re.S)
+
+    def detect_and_parse(self, text, tools):
+        if self.bot_token not in text:
+            return text.strip(), []
+        normal = text.split(self.bot_token, 1)[0]
+        objs = []
+        for im in self._invoke_re.finditer(text):
+            args = {}
+            for pm in self._param_re.finditer(im.group(2)):
+                raw = pm.group(2).strip()
+                val, ok = _try_parse_json(raw)
+                args[pm.group(1)] = val if ok else raw
+            objs.append({"name": im.group(1), "arguments": args})
+        return normal.strip(), self._to_items(objs, tools)
+
+
+class GptOssDetector(BaseFormatDetector):
+    """gpt-oss harmony commentary channel (reference
+    gpt_oss_detector.py): ``<|channel|>commentary
+    to=functions.name<|constrain|>json<|message|>{args}<|call|>``."""
+
+    name = "gpt_oss"
+    bot_token = "<|channel|>commentary to="
+    _call_re = re.compile(
+        r"to=([A-Za-z_][\w.-]*)\s*<\|constrain\|>json"
+        r"<\|message\|>(.*?)(?:<\|call\|>|$)", re.S,
+    )
+
+    def detect_and_parse(self, text, tools):
+        if self.bot_token not in text:
+            return text.strip(), []
+        normal = text.split("<|channel|>", 1)[0]
+        objs = []
+        for m in self._call_re.finditer(text):
+            name = m.group(1)
+            if "." in name:
+                name = name.split(".", 1)[1]
+            args, ok = _try_parse_json(m.group(2).strip())
+            objs.append({"name": name, "arguments": args if ok else {}})
+        # the final channel's message is user-visible content
+        fm = re.search(r"<\|channel\|>final<\|message\|>(.*)", text,
+                       re.S)
+        if fm:
+            normal = (normal + fm.group(1)).strip()
+        return normal.strip(), self._to_items(objs, tools)
+
+
 DETECTORS = {
     "qwen25": Qwen25Detector,
     "qwen3": Qwen25Detector,
@@ -296,6 +517,16 @@ DETECTORS = {
     "deepseekv3": DeepSeekV3Detector,
     "longcat": LongcatDetector,
     "longcat_xml": LongcatXMLDetector,
+    "deepseekv31": DeepSeekV31Detector,
+    "deepseekv32": DeepSeekV31Detector,
+    "glm4_moe": Glm4MoeDetector,
+    "glm45": Glm4MoeDetector,
+    "kimi_k2": KimiK2Detector,
+    "qwen3_coder": Qwen3CoderDetector,
+    "pythonic": PythonicDetector,
+    "step3": Step3Detector,
+    "gpt-oss": GptOssDetector,
+    "gpt_oss": GptOssDetector,
     "json": GenericJsonDetector,
 }
 

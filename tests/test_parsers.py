@@ -208,3 +208,87 @@ class TestStreamingToolParse:
         calls.extend(r.calls)
         assert text.startswith("hi")
         assert len(calls) == 1 and calls[0].name == "a"
+
+
+class TestNewDetectors:
+    """Round-2 detector additions (reference function_call/ parity)."""
+
+    def _tools(self, *names):
+        from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+            Function,
+            Tool,
+        )
+
+        return [Tool(function=Function(name=n, parameters={}))
+                for n in names]
+
+    def _parse(self, parser_name, text, *tool_names):
+        from sglang_fluentllm_tpu.function_call.parser import (
+            FunctionCallParser,
+        )
+
+        p = FunctionCallParser(self._tools(*tool_names), parser_name)
+        assert p.has_tool_call(text)
+        return p.parse_non_stream(text)
+
+    def test_deepseekv31(self):
+        text = ("ok<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>get_weather"
+                '<｜tool▁sep｜>{"city": "Tokyo"}<｜tool▁call▁end｜>'
+                "<｜tool▁calls▁end｜>")
+        normal, calls = self._parse("deepseekv31", text, "get_weather")
+        assert normal == "ok"
+        assert calls[0].name == "get_weather"
+        assert json.loads(calls[0].parameters) == {"city": "Tokyo"}
+
+    def test_glm4_moe(self):
+        text = ("pre<tool_call>get_weather\n"
+                "<arg_key>city</arg_key><arg_value>Paris</arg_value>\n"
+                "<arg_key>days</arg_key><arg_value>3</arg_value>"
+                "</tool_call>")
+        normal, calls = self._parse("glm4_moe", text, "get_weather")
+        assert normal == "pre"
+        args = json.loads(calls[0].parameters)
+        assert args == {"city": "Paris", "days": 3}
+
+    def test_kimi_k2(self):
+        text = ("<|tool_calls_section_begin|><|tool_call_begin|>"
+                "functions.get_weather:0<|tool_call_argument_begin|>"
+                '{"city": "Oslo"}<|tool_call_end|>'
+                "<|tool_calls_section_end|>")
+        _, calls = self._parse("kimi_k2", text, "get_weather")
+        assert calls[0].name == "get_weather"
+        assert json.loads(calls[0].parameters) == {"city": "Oslo"}
+
+    def test_qwen3_coder(self):
+        text = ("<tool_call><function=get_weather>\n"
+                "<parameter=city>Berlin</parameter>\n"
+                "<parameter=days>2</parameter>\n"
+                "</function></tool_call>")
+        _, calls = self._parse("qwen3_coder", text, "get_weather")
+        args = json.loads(calls[0].parameters)
+        assert args == {"city": "Berlin", "days": 2}
+
+    def test_pythonic(self):
+        text = '[get_weather(city="Rome", days=5), ping(host="a.b")]'
+        _, calls = self._parse("pythonic", text, "get_weather", "ping")
+        assert [c.name for c in calls] == ["get_weather", "ping"]
+        assert json.loads(calls[0].parameters) == {
+            "city": "Rome", "days": 5}
+
+    def test_step3(self):
+        text = ("<｜tool_calls_begin｜><｜tool_call_begin｜>function"
+                '<｜tool_sep｜><steptml:invoke name="get_weather">'
+                '<steptml:parameter name="city">Kyiv</steptml:parameter>'
+                "</steptml:invoke><｜tool_call_end｜><｜tool_calls_end｜>")
+        _, calls = self._parse("step3", text, "get_weather")
+        assert calls[0].name == "get_weather"
+        assert json.loads(calls[0].parameters) == {"city": "Kyiv"}
+
+    def test_gpt_oss(self):
+        text = ("<|channel|>commentary to=functions.get_weather"
+                '<|constrain|>json<|message|>{"city": "Lima"}<|call|>'
+                "<|channel|>final<|message|>Here you go.")
+        normal, calls = self._parse("gpt_oss", text, "get_weather")
+        assert calls[0].name == "get_weather"
+        assert json.loads(calls[0].parameters) == {"city": "Lima"}
+        assert "Here you go." in normal
