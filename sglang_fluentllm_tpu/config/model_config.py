@@ -246,6 +246,36 @@ class ModelConfig:
                 for i in range(L)
             ]
             mc.num_kv_layers = len(mc.full_attn_layer_ids)
+        if mc.model_type == "kimi_linear":
+            # KDA hybrid (reference configs/kimi_linear.py): 1-indexed
+            # kda_layers list; MLA full-attn layers (often NoPE); MoE is
+            # V3-style sigmoid + correction bias + grouped topk
+            lac = cfg.get("linear_attn_config") or {}
+            L = mc.num_hidden_layers
+            kda = set(lac.get("kda_layers") or [])
+            mc.layer_types = [
+                "linear_attention" if (i + 1) in kda else "full_attention"
+                for i in range(L)
+            ]
+            mc.num_kv_layers = len(mc.full_attn_layer_ids)
+            h = lac.get("num_heads", mc.num_attention_heads)
+            d = lac.get("head_dim", mc.head_dim)
+            mc.hf_config.setdefault("linear_num_key_heads", h)
+            mc.hf_config.setdefault("linear_num_value_heads", h)
+            mc.hf_config.setdefault("linear_key_head_dim", d)
+            mc.hf_config.setdefault("linear_value_head_dim", d)
+            mc.hf_config.setdefault(
+                "linear_conv_kernel_dim",
+                lac.get("short_conv_kernel_size", 4))
+            if not mc.num_experts_per_tok:
+                mc.num_experts_per_tok = cfg.get(
+                    "num_experts_per_token", 0) or 0
+            mc.norm_topk_prob = cfg.get("moe_renormalize", True)
+            mc.scoring_func = cfg.get(
+                "moe_router_activation_func", "sigmoid")
+            mc.topk_method = "noaux_tc"
+            mc.n_group = cfg.get("num_expert_group", 1) or 1
+            mc.num_shared_experts = cfg.get("num_shared_experts", 0) or 0
         if mc.model_type == "glm4_moe":
             # HF Glm4MoeConfig encodes V3-style routing implicitly
             # (sigmoid scores + bias-corrected group-limited selection,

@@ -105,6 +105,27 @@ def padded_head_dim(d: int) -> int:
     return ((d + LANE - 1) // LANE) * LANE
 
 
+def _hybrid_wrap(config: ModelConfig, inner, dtype, max_reqs):
+    """Wrap a paged pool with the per-request linear-state rows
+    (GDN: fused qkv conv; KDA: three per-projection convs — both reduce
+    to one [conv_dim, K] tail since hk=hv, dk=dv there)."""
+    assert max_reqs is not None, "hybrid pool needs max_reqs"
+    hf = config.hf_config
+    L_lin = len(config.linear_layer_ids)
+    hk = hf.get("linear_num_key_heads", 1)
+    hv = hf.get("linear_num_value_heads", hk)
+    dk = hf.get("linear_key_head_dim", config.head_dim)
+    dv = hf.get("linear_value_head_dim", dk)
+    K = hf.get("linear_conv_kernel_dim", 4)
+    conv_dim = 2 * hk * dk + hv * dv
+    return HybridKVCache(
+        mha=inner,
+        conv=jnp.zeros((L_lin, max_reqs + 1, conv_dim, K), dtype=dtype),
+        rec=jnp.zeros((L_lin, max_reqs + 1, hv, dk, dv),
+                      dtype=jnp.float32),
+    )
+
+
 def create_kv_cache(
     config: ModelConfig,
     num_slots: int,
@@ -135,28 +156,16 @@ def create_kv_cache(
                     (L, num_slots, padded_head_dim(d_idx)), dtype=dtype
                 ),
             )
-        return MLAKVCache(lat=lat)
+        mla = MLAKVCache(lat=lat)
+        if config.is_hybrid_linear:
+            return _hybrid_wrap(config, mla, dtype, max_reqs)
+        return mla
     h_kv = num_kv_heads_override or config.num_key_value_heads
     shape = (L, h_kv, num_slots, padded_head_dim(config.head_dim))
     mha = MHAKVCache(k=jnp.zeros(shape, dtype=dtype),
                      v=jnp.zeros(shape, dtype=dtype))
     if config.is_hybrid_linear:
-        assert max_reqs is not None, "hybrid pool needs max_reqs"
-        hf = config.hf_config
-        L_lin = len(config.linear_layer_ids)
-        hk = hf.get("linear_num_key_heads", 1)
-        hv = hf.get("linear_num_value_heads", hk)
-        dk = hf.get("linear_key_head_dim", config.head_dim)
-        dv = hf.get("linear_value_head_dim", dk)
-        K = hf.get("linear_conv_kernel_dim", 4)
-        conv_dim = 2 * hk * dk + hv * dv
-        return HybridKVCache(
-            mha=mha,
-            conv=jnp.zeros((L_lin, max_reqs + 1, conv_dim, K),
-                           dtype=dtype),
-            rec=jnp.zeros((L_lin, max_reqs + 1, hv, dk, dv),
-                          dtype=jnp.float32),
-        )
+        return _hybrid_wrap(config, mha, dtype, max_reqs)
     return mha
 
 

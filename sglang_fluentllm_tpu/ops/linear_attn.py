@@ -142,6 +142,53 @@ def _chunked(q, k, v, g, beta, state):
     return out, state
 
 
+def kda_delta_rule(
+    q: jax.Array,       # [B, S, H, Dk]
+    k: jax.Array,       # [B, S, H, Dk]
+    v: jax.Array,       # [B, S, H, Dv]
+    g: jax.Array,       # [B, S, H, Dk] PER-CHANNEL log-decay (<= 0)
+    beta: jax.Array,    # [B, S, H] in (0, 1)
+    state: jax.Array,   # [B, H, Dk, Dv] f32
+    q_len: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Kimi Delta Attention recurrence (reference
+    ``fla/fused_recurrent.py`` kernel with IS_KDA: the state decay is a
+    per-key-channel vector instead of GDN's per-head scalar). Sequential
+    ``lax.scan`` over time — exact for both decode (S=1) and prefill
+    continuation from a carried state."""
+    B, S, H, Dk = q.shape
+    scale = Dk ** -0.5
+    qf = l2norm(q.swapaxes(1, 2).astype(jnp.float32)) * scale
+    kf = l2norm(k.swapaxes(1, 2).astype(jnp.float32))
+    vf = v.swapaxes(1, 2).astype(jnp.float32)
+    gf = g.swapaxes(1, 2).astype(jnp.float32)
+    bf = beta.swapaxes(1, 2).astype(jnp.float32)
+    if q_len is not None:
+        valid = (jnp.arange(S)[None, :] < q_len[:, None])[:, None, :]
+        kf = kf * valid[..., None]
+        vf = vf * valid[..., None]
+        bf = bf * valid
+        gf = gf * valid[..., None]
+
+    def front(x):
+        return jnp.moveaxis(x, 2, 0)  # [S, B, H, ...]
+
+    def step(st, xs):
+        q_t, k_t, v_t, g_t, b_t = xs
+        st = st * jnp.exp(g_t)[..., None]
+        kv_mem = jnp.einsum("bhkv,bhk->bhv", st, k_t)
+        delta = (v_t - kv_mem) * b_t[..., None]
+        st = st + k_t[..., :, None] * delta[..., None, :]
+        out = jnp.einsum("bhkv,bhk->bhv", st, q_t)
+        return st, out
+
+    state, outs = jax.lax.scan(
+        step, state.astype(jnp.float32),
+        (front(qf), front(kf), front(vf), front(gf), front(bf)),
+    )
+    return jnp.moveaxis(outs, 0, 2).swapaxes(1, 2).astype(v.dtype), state
+
+
 def gated_delta_rule(
     q: jax.Array,       # [B, S, Hv, Dk]
     k: jax.Array,       # [B, S, Hv, Dk]

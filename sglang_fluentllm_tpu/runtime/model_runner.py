@@ -320,11 +320,13 @@ class ModelRunner:
         )
 
         if isinstance(kv_cache, HybridKVCache):
-            return HybridKVCache(
-                mha=MHAKVCache(k=P(None, "tp", None, None),
-                               v=P(None, "tp", None, None)),
-                conv=P(), rec=P(),
-            )
+            inner = kv_cache.mha
+            if isinstance(inner, MHAKVCache):
+                inner_spec = MHAKVCache(k=P(None, "tp", None, None),
+                                        v=P(None, "tp", None, None))
+            else:  # MLA inner (Kimi-linear): replicated latents
+                inner_spec = jax.tree.map(lambda _: P(), inner)
+            return HybridKVCache(mha=inner_spec, conv=P(), rec=P())
         if hasattr(kv_cache, "k"):
             return type(kv_cache)(
                 k=P(None, "tp", None, None), v=P(None, "tp", None, None)

@@ -141,6 +141,7 @@ def test_registry_coverage():
         "MiniCPMForCausalLM", "Olmo2ForCausalLM", "CohereForCausalLM",
         "Cohere2ForCausalLM", "MistralForCausalLM", "GptOssForCausalLM",
         "Glm4MoeForCausalLM", "Qwen3NextForCausalLM",
+        "KimiLinearForCausalLM",
     }
     assert expected <= set(_REGISTRY)
 
