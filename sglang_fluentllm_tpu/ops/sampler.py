@@ -57,6 +57,11 @@ class SamplingMetadata:
     return_input_logprob: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # any request wants sampled-token logprobs: skips the full-vocab
+    # log_softmax per step when false (saves ~0.3 ms/step at 152k vocab)
+    want_logprobs: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @staticmethod
     def from_lists(temps, top_ps, top_ks, min_ps, pad_to: int):

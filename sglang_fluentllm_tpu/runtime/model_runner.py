@@ -374,7 +374,10 @@ class ModelRunner:
             )[:, 0]
             logits = model.compute_logits(params, h_last)
             ids = sample(logits, sampling, key)
-            logprobs = compute_logprobs(logits, ids)
+            if meta.want_lp or meta.topk > 0:
+                logprobs = compute_logprobs(logits, ids)
+            else:
+                logprobs = jnp.zeros(ids.shape, jnp.float32)
             if meta.topk > 0:
                 tk_vals, tk_ids = compute_top_logprobs(logits, meta.topk)
             else:
@@ -460,7 +463,10 @@ class ModelRunner:
                 new_ids = sample(
                     logits, sampling, jax.random.fold_in(key0, j)
                 )
-                logprobs = compute_logprobs(logits, new_ids)
+                if meta.want_lp or meta.topk > 0:
+                    logprobs = compute_logprobs(logits, new_ids)
+                else:
+                    logprobs = jnp.zeros(new_ids.shape, jnp.float32)
                 if meta.topk > 0:
                     tk = compute_top_logprobs(logits, meta.topk)
                 else:

@@ -39,6 +39,7 @@ class BatchMeta(NamedTuple):
     inp_lp: bool = False  # per-position input-token logprobs (extend)
     runs: bool = False    # all page lists are consecutive runs
     has_state: bool = False  # hybrid-linear state_idx present
+    want_lp: bool = False    # some request wants sampled-token logprobs
 
 
 def pack_batch(
@@ -94,6 +95,7 @@ def pack_batch(
         inp_lp=bool(sm.return_input_logprob),
         runs=bool(fb.pages_are_runs),
         has_state=fb.state_idx is not None,
+        want_lp=bool(sm.want_logprobs),
     )
     return ints, floats, meta
 
@@ -166,5 +168,6 @@ def unpack_batch(
         vocab_mask_words=vocab_mask_words,
         top_logprobs_num=meta.topk,
         return_input_logprob=meta.inp_lp,
+        want_logprobs=meta.want_lp,
     )
     return fb, sm

@@ -822,6 +822,9 @@ class Scheduler:
             and r.sampling_params.logprob_start_len >= 0
             for r in reqs
         )
+        meta.want_logprobs = any(
+            r.sampling_params.return_logprob for r in reqs
+        )
         if not self._needs_penalties(reqs):
             return meta
         from sglang_fluentllm_tpu.utils import next_power_of_2
