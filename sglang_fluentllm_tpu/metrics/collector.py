@@ -138,6 +138,13 @@ class SchedulerMetricsCollector:
             used / total,
             len(scheduler.running_batch) / max(1, runner.max_reqs),
         ))
+        if getattr(scheduler, "spec_accept_ct", 0) > 0:
+            self.spec_accept_length.labels(**lb).set(
+                scheduler.spec_accept_sum / scheduler.spec_accept_ct)
+        hits = getattr(scheduler, "num_cached_prompt_tokens", None)
+        tot = getattr(scheduler, "num_prompt_tokens_seen", None)
+        if hits is not None and tot:
+            self.cache_hit_rate.labels(**lb).set(hits / max(1, tot))
 
 
 class RequestMetricsCollector:

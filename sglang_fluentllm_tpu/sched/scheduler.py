@@ -176,6 +176,10 @@ class Scheduler:
         # stats
         self.num_generated_tokens = 0
         self.recent_queue_times: List[float] = []
+        self.spec_accept_sum = 0
+        self.spec_accept_ct = 0
+        self.num_cached_prompt_tokens = 0
+        self.num_prompt_tokens_seen = 0
         self.num_retracted = 0
         self.cum_cached_tokens = 0
 
@@ -301,6 +305,8 @@ class Scheduler:
                         self.recent_queue_times.append(
                             req.dequeued_time - req.queued_time)
                 m = self.tree_cache.match_prefix(req.fill_ids)
+                self.num_prompt_tokens_seen += len(req.fill_ids)
+                self.num_cached_prompt_tokens += m.prefix_len
                 if self.hicache is not None:
                     job = self.hicache.start_load(
                         req.fill_ids, m.prefix_len,
@@ -1089,6 +1095,8 @@ class Scheduler:
                 continue
             n = int(counts[i])
             req.spec_accept_lengths.append(n)
+            self.spec_accept_sum += n
+            self.spec_accept_ct += 1
             for j in range(n):
                 if len(req.output_ids) >= req.sampling_params.max_new_tokens:
                     break
