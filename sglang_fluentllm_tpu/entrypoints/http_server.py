@@ -117,6 +117,9 @@ class HttpServer:
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/get_trace", self.get_trace)
         r.add_get("/get_load", self.get_load)
+        r.add_get("/get_internal_state", self.get_internal_state)
+        r.add_post("/get_internal_state", self.get_internal_state)
+        r.add_post("/set_internal_state", self.set_internal_state)
         r.add_post("/start_profile", self.start_profile)
         r.add_get("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
@@ -415,6 +418,60 @@ class HttpServer:
 
     async def get_load(self, request: web.Request) -> web.Response:
         return web.json_response(self.engine.get_load())
+
+    async def get_internal_state(self, request: web.Request) -> web.Response:
+        """Live introspection RPC (reference scheduler.py:1860
+        get_internal_state): scheduler feedback state, allocator stats,
+        spec accept length, overlap pipeline state."""
+        sched = self.engine.scheduler
+        runner = self.engine.runner
+        state = {
+            "new_token_ratio": sched.new_token_ratio,
+            "num_generated_tokens": sched.num_generated_tokens,
+            "num_retracted": sched.num_retracted,
+            "spec_accept_length": (
+                sched.spec_accept_sum / sched.spec_accept_ct
+                if getattr(sched, "spec_accept_ct", 0) else None
+            ),
+            "cache_hit_rate": (
+                sched.num_cached_prompt_tokens
+                / max(1, sched.num_prompt_tokens_seen)
+                if getattr(sched, "num_prompt_tokens_seen", 0) else None
+            ),
+            "available_kv_tokens": runner.allocator.available_tokens(),
+            "max_total_tokens": runner.max_total_tokens,
+            "max_running_requests": runner.max_reqs,
+            "step_counter": runner.step_counter,
+            "memory_usage": {
+                "kv_pool_gib": sum(
+                    x.size * x.dtype.itemsize
+                    for x in __import__("jax").tree.leaves(runner.kv_cache)
+                ) / (1 << 30) if runner.kv_cache is not None else 0.0,
+            },
+            "slow_down_ms": self.engine._slow_down_ms,
+        }
+        return web.json_response({"internal_states": [state]})
+
+    async def set_internal_state(self, request: web.Request) -> web.Response:
+        """Live tuning RPC (reference set_internal_state): whitelisted
+        knobs only."""
+        body = await request.json()
+        server_state = body.get("server_args") or body
+        applied = {}
+        sched = self.engine.scheduler
+        if "new_token_ratio" in server_state:
+            v = float(server_state["new_token_ratio"])
+            if not (0.0 < v <= 1.0):
+                return _error("new_token_ratio must be in (0, 1]")
+            sched.new_token_ratio = v
+            applied["new_token_ratio"] = v
+        if "forward_sleep_time" in server_state:
+            self.engine._slow_down_ms = max(
+                0.0, float(server_state["forward_sleep_time"]))
+            applied["forward_sleep_time"] = self.engine._slow_down_ms
+        if not applied:
+            return _error("no recognized internal-state keys")
+        return web.json_response({"success": True, "applied": applied})
 
     async def start_profile(self, request: web.Request) -> web.Response:
         """jax.profiler trace capture (reference /start_profile,

