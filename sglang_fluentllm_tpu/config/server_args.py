@@ -91,6 +91,8 @@ class ServerArgs:
     # the analog of the reference fusing multi-step spec decode into a
     # single CUDA graph). 1 = classic one-step decode.
     decode_steps_per_launch: int = 1
+    # launched-but-unresolved batch window (tunnel dispatch latency hiding)
+    overlap_pipeline_depth: int = 4
 
     # ---- quantization ----
     quantization: Optional[str] = None  # fp8 | w8a8_int8

@@ -184,6 +184,8 @@ class AsyncEngine:
                 now = time.time()
                 if now - self._last_metrics_t > 1.0:
                     self.sched_metrics.observe(self.scheduler, self.runner)
+                    if self.pd is not None:
+                        self.sched_metrics.observe_pd(self.pd)
                     self._last_metrics_t = now
                 lb = self.sched_metrics._labels
                 self.sched_metrics.num_paused_reqs.labels(**lb).set(

@@ -146,6 +146,17 @@ class SchedulerMetricsCollector:
         if hits is not None and tot:
             self.cache_hit_rate.labels(**lb).set(hits / max(1, tot))
 
+    def observe_pd(self, pd):
+        """PD room-queue depths (reference prealloc/inflight gauges)."""
+        lb = self._labels
+        waiting = sum(
+            1 for r in pd.rooms.values() if r.get("result") is None
+        )
+        if pd.mode == "prefill":
+            self.num_prefill_inflight_queue_reqs.labels(**lb).set(waiting)
+        else:
+            self.num_decode_transfer_queue_reqs.labels(**lb).set(waiting)
+
 
 class RequestMetricsCollector:
     """Request-side latency histograms (TokenizerMetricsCollector analog)."""

@@ -108,7 +108,9 @@ class Scheduler:
         self.chunked_req: Optional[Req] = None
         self.pending: List[InFlightBatch] = []  # FIFO, oldest first
         self.overlap = not server_args.disable_overlap_schedule
-        self.max_inflight = MAX_INFLIGHT_BATCHES if self.overlap else 1
+        self.max_inflight = (
+            server_args.overlap_pipeline_depth if self.overlap else 1
+        )
         self._launch_seq = 0
         # Speculative windows PIPELINE (spec x overlap): accept lengths and
         # last-accepted tokens stay device-resident in the runner's future

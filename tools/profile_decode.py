@@ -245,8 +245,9 @@ def profile_kernels(runner):
 
     def multirow_fn_rows(rows):
         def fn(h, l):
-            return multirow(h, kc, vc, l, pt, seq_lens, page_size=PAGE,
-                            sm_scale=float(sm), rows=rows)
+            out = multirow(h, kc, vc, l, pt, seq_lens, page_size=PAGE,
+                           sm_scale=float(sm), rows=rows)
+            return out[0] if isinstance(out, tuple) else out
         return fn
 
     # scattered page tables (per-page DMA path)
@@ -258,8 +259,9 @@ def profile_kernels(runner):
     pt_scat = jnp.asarray(remap[pt_scat])
 
     def multirow_scattered_fn(h, l):
-        return multirow(h, kc, vc, l, pt_scat, seq_lens, page_size=PAGE,
-                        sm_scale=float(sm), rows=8)
+        out = multirow(h, kc, vc, l, pt_scat, seq_lens, page_size=PAGE,
+                       sm_scale=float(sm), rows=8)
+        return out[0] if isinstance(out, tuple) else out
 
     for label, fn in [
         ("official paged_attention x24", official_fn),
