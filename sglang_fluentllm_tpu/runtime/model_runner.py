@@ -191,6 +191,7 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def _shard(self, tree, specs):
         from sglang_fluentllm_tpu.ops.quant.fp8 import QuantizedWeight
+        from sglang_fluentllm_tpu.ops.quant.int8 import QuantizedWeightInt8
 
         if math.prod(self.mesh.devices.shape) == 1:
             return jax.device_put(tree, self.mesh.devices.flatten()[0])
@@ -198,7 +199,8 @@ class ModelRunner:
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             tree,
             specs,
-            is_leaf=lambda x: isinstance(x, QuantizedWeight),
+            is_leaf=lambda x: isinstance(
+                x, (QuantizedWeight, QuantizedWeightInt8)),
         )
 
     def _load_params(self):
@@ -209,17 +211,25 @@ class ModelRunner:
         logger.info("loaded %.2fM params", n_params / 1e6)
 
     def _maybe_quantize(self, params):
-        """Weight-only FP8 block quantization of the decoder projections
-        (reference Fp8Config weight-only path)."""
-        if self.server_args.quantization != "fp8":
+        """Weight quantization of the decoder projections: FP8 block
+        scales (reference Fp8Config weight-only path) or W8A8 INT8
+        per-channel (reference w8a8_int8.py — activations quantize
+        per token inside the matmul dispatch)."""
+        q = self.server_args.quantization
+        if q not in ("fp8", "w8a8_int8"):
             return params
         if not getattr(self.model, "supports_fp8_weights", False):
             logger.warning(
-                "model %s does not support fp8 weights; skipping",
+                "model %s does not support quantized weights; skipping",
                 type(self.model).__name__,
             )
             return params
-        from sglang_fluentllm_tpu.ops.quant.fp8 import quantize_weight
+        if q == "fp8":
+            from sglang_fluentllm_tpu.ops.quant.fp8 import quantize_weight
+        else:
+            from sglang_fluentllm_tpu.ops.quant.int8 import (
+                quantize_weight_int8 as quantize_weight,
+            )
 
         n_quant = 0
         layers = params.get("layers", {})
@@ -230,7 +240,7 @@ class ModelRunner:
             ):
                 layers[key] = quantize_weight(np.asarray(leaf))
                 n_quant += 1
-        logger.info("fp8-quantized %d stacked weights", n_quant)
+        logger.info("%s-quantized %d stacked weights", q, n_quant)
         return params
 
     def _init_memory_pool(self):
