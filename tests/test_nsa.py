@@ -1,0 +1,152 @@
+"""NSA (native sparse attention) tests: compression/selection oracles vs
+numpy transcriptions of the reference torch/triton kernels, plus engine
+invariants (decode == prefill through the recomputed compressed state)."""
+
+import numpy as np
+import pytest
+
+from tests.utils import tiny_engine
+
+TINY_NSA_CFG = {
+    "architectures": ["Qwen3NSAForCausalLM"],
+    "model_type": "qwen3_nsa",
+    "hidden_size": 64,
+    "intermediate_size": 96,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "num_hidden_layers": 2,
+    "vocab_size": 128,
+    "max_position_embeddings": 256,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 10000.0,
+    "head_dim": 16,
+    "tie_word_embeddings": False,
+    "kernel_size": 4,
+    "stride": 2,
+    "select_size": 4,
+    "top_n": 3,
+    "slc_att_num_init_blocks": 1,
+    "slc_att_num_local_blocks": 2,
+    "window_size": 6,
+}
+
+PROMPT = [3, 11, 42, 7, 19, 88, 5, 23, 54, 17]
+SP = {"max_new_tokens": 6, "temperature": 0.0}
+
+
+class TestNsaOps:
+    def test_gated_compress_oracle(self):
+        from sglang_fluentllm_tpu.ops.attention.nsa import gated_compress
+
+        rng = np.random.RandomState(0)
+        B, T, H, D, K, s = 2, 11, 2, 4, 4, 2
+        x = rng.standard_normal((B, T, H, D)).astype(np.float32)
+        gw = rng.standard_normal((K * D, K)).astype(np.float32)
+        got = np.asarray(gated_compress(x, gw, K, s))
+        NB = (T - K) // s + 1
+        assert got.shape == (B, NB, H, D)
+        for b in range(B):
+            for n in range(NB):
+                for h in range(H):
+                    block = x[b, n * s:n * s + K, h]        # [K, D]
+                    logits = block.reshape(-1) @ gw
+                    w = np.exp(logits - logits.max())
+                    w = w / w.sum()
+                    ref = (w[:, None] * block).sum(0)
+                    np.testing.assert_allclose(
+                        got[b, n, h], ref, rtol=1e-5, atol=1e-5)
+
+    def test_full_selection_matches_dense(self):
+        """With top_n >= all blocks AND window >= T, the slc and win
+        branches both equal dense causal attention."""
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.ops.attention.nsa import (
+            NSAParams,
+            nsa_attend,
+        )
+
+        rng = np.random.RandomState(1)
+        B, S, Hq, Hk, D = 1, 6, 2, 1, 4
+        T = S
+        q = rng.standard_normal((B, S, Hq, D)).astype(np.float32)
+        k = rng.standard_normal((B, T, Hk, D)).astype(np.float32)
+        v = rng.standard_normal((B, T, Hk, D)).astype(np.float32)
+        q_pos = np.arange(S)[None, :].astype(np.int32)
+        seq = np.asarray([T], np.int32)
+        K = 2
+        params = NSAParams(
+            gate_k=np.zeros((K * D, K), np.float32),
+            gate_v=np.zeros((K * D, K), np.float32),
+            # huge positive gate weights -> sigmoid ~ 1 for every branch
+            fusion_w=np.zeros((Hq, 3, 3 * D), np.float32),
+        )
+        out = np.asarray(nsa_attend(
+            q, k, v, q_pos, seq, params, kernel=K, stride=1,
+            select_size=2, top_n=64, n_init=1, n_local=1,
+            window=T + 1, sm_scale=0.5,
+        ))
+        # dense causal oracle for the slc/win branches
+        dense = np.zeros((B, S, Hq, D), np.float32)
+        for t in range(S):
+            for h in range(Hq):
+                sc = (q[0, t, h] @ k[0, :t + 1, 0].T) * 0.5
+                p = np.exp(sc - sc.max()); p /= p.sum()
+                dense[0, t, h] = p @ v[0, :t + 1, 0]
+        # zero fusion weights -> every gate = 0.5; cmp branch differs,
+        # but slc == win == dense, so out = 0.5*(cmp + 2*dense)... to
+        # avoid cmp, check out - 0.5*dense*2 consistency instead:
+        # simpler assertion: the function is deterministic and finite
+        assert np.isfinite(out).all()
+        # and with gates at 0.5 the dense part contributes exactly
+        # 0.5*(slc+win) = dense; verify by subtracting and checking the
+        # residual equals 0.5*cmp (recompute cmp via the same util)
+        from sglang_fluentllm_tpu.ops.attention.nsa import (
+            _gqa_attend,
+            _gqa_scores,
+            gated_compress,
+        )
+
+        ck = np.asarray(gated_compress(k, params.gate_k, K, 1))
+        cv = np.asarray(gated_compress(v, params.gate_v, K, 1))
+        NB = ck.shape[1]
+        cs = np.asarray(_gqa_scores(q, ck, 0.5))
+        blk_last = np.arange(NB) * 1 + K - 1
+        vis = q_pos[:, None, :, None] >= blk_last[None, None, None, :]
+        cs = np.where(vis, cs, -1e30)
+        cp = np.exp(cs - cs.max(-1, keepdims=True))
+        cp = cp / np.maximum(cp.sum(-1, keepdims=True), 1e-30)
+        cp = np.where(vis.any(-1, keepdims=True), cp, 0.0)
+        cmp_o = np.asarray(_gqa_attend(cp, cv))
+        np.testing.assert_allclose(
+            out, 0.5 * (cmp_o + 2 * dense), rtol=2e-4, atol=2e-4)
+
+
+class TestNsaEngine:
+    def test_generates_deterministically(self):
+        e = tiny_engine(TINY_NSA_CFG)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert len(out["output_ids"]) == 6
+        out2 = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == out2["output_ids"]
+
+    def test_decode_matches_prefill(self):
+        e = tiny_engine(TINY_NSA_CFG)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        toks = out["output_ids"]
+        e.flush_cache()
+        out2 = e.generate(
+            input_ids=PROMPT + toks[:4],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        assert out2["output_ids"][0] == toks[4]
+
+    def test_sparsity_engages(self):
+        """Long prompt (> select blocks than top_n) still serves and is
+        deterministic."""
+        long_prompt = [int(x) for x in
+                       np.random.RandomState(0).randint(1, 127, 48)]
+        e = tiny_engine(TINY_NSA_CFG)
+        o1 = e.generate(input_ids=long_prompt, sampling_params=SP)
+        o2 = e.generate(input_ids=long_prompt, sampling_params=SP)
+        assert o1["output_ids"] == o2["output_ids"]
