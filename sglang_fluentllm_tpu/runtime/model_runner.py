@@ -62,6 +62,15 @@ def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
     CPU tests and numerics debugging."""
     name = server_args.attention_backend
     on_tpu = jax.default_backend() == "tpu"
+    if name in (None, "auto") and config.hf_config.get(
+        "duo_attention_config"
+    ):
+        # DuoAttention head-split serving (duo_attn_backend.py role)
+        from sglang_fluentllm_tpu.ops.attention.duo import (
+            DuoAttentionBackend,
+        )
+
+        return DuoAttentionBackend(config)
     if name in (None, "auto"):
         if config.is_mla:
             name = "mla_paged" if on_tpu else "mla"
