@@ -161,9 +161,10 @@ class DeepseekV2ForCausalLM:
             "up_proj": (H, I),
             "down_proj": (I, H),
         }
-        shapes["dense_layers"] = {
-            k: (self.n_dense,) + v for k, v in dense.items()
-        }
+        if self.n_dense:
+            shapes["dense_layers"] = {
+                k: (self.n_dense,) + v for k, v in dense.items()
+            }
         if self.n_moe:
             Im = c.moe_intermediate_size
             E = c.num_experts
@@ -201,8 +202,9 @@ class DeepseekV2ForCausalLM:
         specs: Dict[str, Any] = {
             "embed_tokens": P("tp", None),
             "norm": P(),
-            "dense_layers": add_layer_axis(dense),
         }
+        if self.n_dense:
+            specs["dense_layers"] = add_layer_axis(dense)
         if not c.tie_word_embeddings:
             specs["lm_head"] = P(None, "tp")
         if self.n_moe:
@@ -617,9 +619,10 @@ class DeepseekV2ForCausalLM:
                     out[k] = jnp.asarray(np.stack(mats), dtype=jnp.float32)
             return out
 
-        params["dense_layers"] = stack(
-            shapes["dense_layers"].keys(), range(self.n_dense)
-        )
+        if self.n_dense:
+            params["dense_layers"] = stack(
+                shapes["dense_layers"].keys(), range(self.n_dense)
+            )
         if self.n_moe:
             params["moe_layers"] = stack(
                 shapes["moe_layers"].keys(),

@@ -15,6 +15,7 @@ The draft chains on its own hidden state within a speculative window
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Any, Dict
 
@@ -314,3 +315,172 @@ class EagleDraftModel(NextNDraftModel):
         if w is None:
             w = params["embed_tokens"].T
         return (hidden @ w).astype(jnp.float32)
+
+
+class DeepseekNextNDraftModel(NextNDraftModel):
+    """DeepSeek-V3 MTP draft (reference ``models/deepseek_nextn.py``):
+    enorm/hnorm/eh_proj + ONE full DeepSeek block (MLA attention + the
+    model's MLP/MoE) + shared_head.norm, with embeddings/lm-head read
+    from the TARGET. Checkpoint tensors live either under
+    ``model.layers.0.`` (standalone NextN export) or under
+    ``model.layers.{L}.`` inside the main checkpoint (V3 ships the MTP
+    layer as the extra layer)."""
+
+    def __init__(self, config: ModelConfig, target_model, attn_backend):
+        super().__init__(config, target_model, attn_backend)
+        # MLA geometry + interleaved deepseek rope come from the target
+        self.rope = target_model.rope
+        self.sm_scale = target_model.sm_scale
+        self.moe_layer = config.is_moe
+
+    # -- params --------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H = c.hidden_size
+        layer = dict(self.target._attn_shapes())
+        layer["input_layernorm"] = (H,)
+        layer["post_attention_layernorm"] = (H,)
+        if self.moe_layer:
+            E = c.num_experts + c.num_zero_experts
+            Et = c.num_experts
+            Im = c.moe_intermediate_size
+            layer.update({
+                "router": (H, E),
+                "w_gate_up": (c.num_experts, H, 2 * Im),
+                "w_down": (c.num_experts, Im, H),
+            })
+            if c.topk_method == "noaux_tc":
+                layer["correction_bias"] = (Et,)
+            if c.num_shared_experts:
+                Is = Im * c.num_shared_experts
+                layer.update({
+                    "shared_gate_proj": (H, Is),
+                    "shared_up_proj": (H, Is),
+                    "shared_down_proj": (Is, H),
+                })
+        else:
+            I = c.intermediate_size
+            layer.update({
+                "gate_proj": (H, I), "up_proj": (H, I),
+                "down_proj": (I, H),
+            })
+        return {
+            "enorm": (H,),
+            "hnorm": (H,),
+            "eh_proj": (2 * H, H),
+            "final_norm": (H,),
+            "layer": layer,
+        }
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        rng = np.random.RandomState(seed)
+
+        def build(tree):
+            if isinstance(tree, dict):
+                return {k: build(v) for k, v in tree.items()}
+            return jnp.asarray(
+                rng.standard_normal(tree).astype(np.float32) * 0.02,
+                dtype=dtype)
+
+        params = build(self.param_shapes())
+        for k in ("enorm", "hnorm", "final_norm"):
+            params[k] = jnp.ones_like(params[k])
+        for k in list(params["layer"]):
+            if "layernorm" in k:
+                params["layer"][k] = jnp.ones_like(params["layer"][k])
+            if k == "correction_bias":
+                params["layer"][k] = jnp.zeros_like(
+                    params["layer"][k]).astype(jnp.float32)
+        return params
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        """Reuse the deepseek family loader by remapping the MTP layer's
+        tensors onto a one-layer model, then lift them into the draft's
+        flat layout."""
+        import re as _re
+
+        staged: Dict[str, Any] = {}
+        layer_pairs = []
+        li_seen = set()
+        for name, w in named_tensors:
+            n = name
+            if n.startswith("model."):
+                n = n[len("model."):]
+            m = _re.match(r"layers\.(\d+)\.(.*)", n)
+            if m:
+                li_seen.add(int(m.group(1)))
+                layer_pairs.append((int(m.group(1)), m.group(2), w))
+            elif n in ("enorm.weight", "hnorm.weight"):
+                staged[n.split(".")[0]] = w
+            elif n == "eh_proj.weight":
+                staged["eh_proj"] = np.asarray(w).T
+            elif n in ("shared_head.norm.weight",
+                       "final_layernorm.weight"):
+                staged["final_norm"] = w
+        # the MTP layer is the HIGHEST layer index present (standalone
+        # exports have only layer 0)
+        mtp_li = max(li_seen) if li_seen else 0
+
+        class _OneLayer:
+            pass
+
+        # run the target family's loader on just that layer's tensors,
+        # pretending it is layer 0 of a 1-layer model
+        sub = [("layers.0." + rest, w)
+               for li, rest, w in layer_pairs if li == mtp_li]
+        one_cfg = dataclasses.replace(
+            self.config, num_hidden_layers=1,
+            # the MTP layer is MoE whenever the model is MoE (V3: the
+            # extra layer mirrors the late blocks, not the dense head)
+            first_k_dense_replace=0 if self.moe_layer else 1,
+        )
+        helper = type(self.target)(one_cfg, self.attn)
+        helper_params = helper.load_weights(
+            sub + [("embed_tokens.weight",
+                    np.zeros((1, self.config.hidden_size), np.float32)),
+                   ("norm.weight",
+                    np.ones((self.config.hidden_size,), np.float32)),
+                   ("lm_head.weight",
+                    np.zeros((1, self.config.hidden_size), np.float32))],
+            dtype,
+        )
+        grp = ("moe_layers" if "moe_layers" in helper_params
+               else "dense_layers")
+        layer = {
+            k: v[0] for k, v in helper_params[grp].items()
+        }
+        out: Dict[str, Any] = {
+            "enorm": jnp.asarray(staged["enorm"], dtype),
+            "hnorm": jnp.asarray(staged["hnorm"], dtype),
+            "eh_proj": jnp.asarray(staged["eh_proj"], dtype),
+            "final_norm": jnp.asarray(staged["final_norm"], dtype),
+            "layer": layer,
+        }
+        return out
+
+    # -- forward -------------------------------------------------------
+    def _layer(self, params, kv_cache, x, batch: ForwardBatch):
+        c = self.config
+        lp = params["layer"]
+        eps = c.rms_norm_eps
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+        normed = rms_norm(x, lp["input_layernorm"], eps)
+        # reuse the target's MLA block on the draft's own KV (layer 0);
+        # the target's DSA branch keys off its own flag — MTP layers are
+        # dense-attention, so route through the plain path
+        dsa_saved = getattr(self.target, "dsa", False)
+        try:
+            self.target.dsa = False
+            attn_out, kv_cache = self.target._mla_block(
+                lp, normed, kv_cache, 0, batch, cos, sin
+            )
+        finally:
+            self.target.dsa = dsa_saved
+        x = x + attn_out
+        normed2 = rms_norm(x, lp["post_attention_layernorm"], eps)
+        if self.moe_layer:
+            x = x + self.target._moe_mlp(lp, normed2)
+        else:
+            x = x + self.target._dense_mlp(lp, normed2)
+        return x, kv_cache

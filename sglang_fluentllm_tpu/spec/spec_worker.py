@@ -107,12 +107,19 @@ class SpecWorker:
             pass  # lookup drafts need no model
         elif self.algorithm in ("NEXTN", "EAGLE3", "EAGLE"):
             from sglang_fluentllm_tpu.spec.nextn import (
+                DeepseekNextNDraftModel,
                 EagleDraftModel,
                 NextNDraftModel,
             )
 
-            cls = (EagleDraftModel if self.algorithm == "EAGLE"
-                   else NextNDraftModel)
+            if self.algorithm == "EAGLE":
+                cls = EagleDraftModel
+            elif runner.model_config.is_mla:
+                # V3/LongCat-class MTP: the draft layer is a full MLA
+                # (+MoE) block (reference models/deepseek_nextn.py)
+                cls = DeepseekNextNDraftModel
+            else:
+                cls = NextNDraftModel
             self.draft_model = cls(
                 self.draft_config, runner.model, runner.attn_backend
             )

@@ -274,3 +274,117 @@ class TestEagleCheckpoint:
         assert e.scheduler.spec.algorithm == "STANDALONE"
         out = e.generate(input_ids=PROMPT, sampling_params=SP)
         assert len(out["output_ids"]) == 13
+
+
+class TestDeepseekNextN:
+    """MLA+MoE MTP draft (reference deepseek_nextn.py): draft layer is a
+    full DeepSeek block chained on target hidden states; losslessness
+    holds with dummy draft weights, and a checkpoint with the MTP layer
+    as the extra layer loads."""
+
+    DS_CFG = {
+        "architectures": ["DeepseekV2ForCausalLM"],
+        "model_type": "deepseek_v2",
+        "hidden_size": 64, "intermediate_size": 96,
+        "num_attention_heads": 4, "num_key_value_heads": 4,
+        "num_hidden_layers": 2, "vocab_size": 128,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0, "q_lora_rank": 48, "kv_lora_rank": 64,
+        "qk_nope_head_dim": 32, "qk_rope_head_dim": 16,
+        "v_head_dim": 32, "n_routed_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 32, "n_shared_experts": 1,
+        "first_k_dense_replace": 1, "topk_method": "noaux_tc",
+        "scoring_func": "sigmoid", "norm_topk_prob": True,
+        "tie_word_embeddings": False,
+    }
+
+    def test_mla_nextn_lossless(self):
+        base = tiny_engine(self.DS_CFG)
+        ref = base.generate(input_ids=PROMPT, sampling_params=SP)
+        e = tiny_engine(
+            self.DS_CFG,
+            speculative_algorithm="NEXTN",
+            speculative_num_steps=3,
+        )
+        from sglang_fluentllm_tpu.spec.nextn import DeepseekNextNDraftModel
+
+        assert isinstance(
+            e.scheduler.spec.draft_model, DeepseekNextNDraftModel)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == ref["output_ids"]
+
+    def test_mtp_layer_checkpoint_loads(self):
+        """Draft weights arrive as layers.{L} inside the main ckpt."""
+        import jax
+
+        e = tiny_engine(self.DS_CFG)
+        model = e.runner.model
+
+        def named():
+            rng = np.random.RandomState(9)
+            H = 64
+            # MTP extras
+            yield "model.enorm.weight", np.ones(H, np.float32)
+            yield "model.hnorm.weight", np.ones(H, np.float32)
+            yield ("model.eh_proj.weight",
+                   rng.standard_normal((H, 2 * H)).astype(np.float32)
+                   * 0.02)
+            yield ("model.shared_head.norm.weight",
+                   np.ones(H, np.float32))
+            # layer-2 (the MTP layer) = copy layer 1's tensor layout
+            # from an HF-style export of the engine's own moe layer
+            params = jax.device_get(e.runner.params)
+            moe = params["moe_layers"]
+            pre = "model.layers.2."
+            yield (pre + "self_attn.q_a_proj.weight",
+                   np.asarray(moe["q_a_proj"][0]).T)
+            yield (pre + "self_attn.q_a_layernorm.weight",
+                   np.asarray(moe["q_a_layernorm"][0]))
+            yield (pre + "self_attn.q_b_proj.weight",
+                   np.asarray(moe["q_b_proj"][0]).T)
+            yield (pre + "self_attn.kv_a_proj_with_mqa.weight",
+                   np.asarray(moe["kv_a_proj"][0]).T)
+            yield (pre + "self_attn.kv_a_layernorm.weight",
+                   np.asarray(moe["kv_a_layernorm"][0]))
+            # kv_b_proj from w_kc/w_vc
+            w_kc = np.asarray(moe["w_kc"][0])  # [Hq, r, dn]
+            w_vc = np.asarray(moe["w_vc"][0])  # [Hq, r, dv]
+            kvb = np.concatenate([w_kc, w_vc], axis=-1)  # [Hq, r, dn+dv]
+            kvb = np.transpose(kvb, (1, 0, 2)).reshape(64, -1)
+            yield pre + "self_attn.kv_b_proj.weight", kvb.T
+            yield (pre + "self_attn.o_proj.weight",
+                   np.asarray(moe["o_proj"][0]).T)
+            yield (pre + "input_layernorm.weight",
+                   np.asarray(moe["input_layernorm"][0]))
+            yield (pre + "post_attention_layernorm.weight",
+                   np.asarray(moe["post_attention_layernorm"][0]))
+            yield (pre + "mlp.gate.weight",
+                   np.asarray(moe["router"][0]).T)
+            yield (pre + "mlp.gate.e_score_correction_bias",
+                   np.asarray(moe["correction_bias"][0]))
+            for ei in range(4):
+                wgu = np.asarray(moe["w_gate_up"][0][ei])  # [H, 2I]
+                gate, up = wgu[:, :32], wgu[:, 32:]
+                yield (pre + f"mlp.experts.{ei}.gate_proj.weight",
+                       gate.T)
+                yield (pre + f"mlp.experts.{ei}.up_proj.weight", up.T)
+                yield (pre + f"mlp.experts.{ei}.down_proj.weight",
+                       np.asarray(moe["w_down"][0][ei]).T)
+            yield (pre + "mlp.shared_experts.gate_proj.weight",
+                   np.asarray(moe["shared_gate_proj"][0]).T)
+            yield (pre + "mlp.shared_experts.up_proj.weight",
+                   np.asarray(moe["shared_up_proj"][0]).T)
+            yield (pre + "mlp.shared_experts.down_proj.weight",
+                   np.asarray(moe["shared_down_proj"][0]).T)
+
+        from sglang_fluentllm_tpu.spec.nextn import DeepseekNextNDraftModel
+
+        draft = DeepseekNextNDraftModel(
+            e.model_config, model, e.runner.attn_backend)
+        params = draft.load_weights(list(named()), dtype=np.float32)
+        # loaded layer equals the engine's own layer-1 params
+        got = np.asarray(params["layer"]["w_kc"], np.float32)
+        want = np.asarray(
+            jax.device_get(e.runner.params)["moe_layers"]["w_kc"][0],
+            np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
