@@ -114,9 +114,13 @@ class SpecWorker:
 
             if self.algorithm == "EAGLE":
                 cls = EagleDraftModel
-            elif runner.model_config.is_mla:
-                # V3/LongCat-class MTP: the draft layer is a full MLA
-                # (+MoE) block (reference models/deepseek_nextn.py)
+            elif runner.model_config.is_mla and hasattr(
+                runner.model, "_mla_block"
+            ):
+                # V3-class MTP: the draft layer is a full MLA (+MoE)
+                # block (reference models/deepseek_nextn.py). Models
+                # without the deepseek block API (LongCat ScMoE) fall
+                # back to the llama-style shared-weight draft.
                 cls = DeepseekNextNDraftModel
             else:
                 cls = NextNDraftModel
