@@ -132,6 +132,8 @@ class AsyncEngine:
     def _warmup(self):
         """Compile the smallest prefill + decode buckets before serving
         (reference srt/warmup.py role)."""
+        if getattr(self.runner.model, "is_classification", False):
+            return  # classification models do not generate
         logger.info("warmup: compiling smallest prefill/decode buckets")
         t0 = time.time()
         req = Req(
@@ -567,6 +569,64 @@ class AsyncEngine:
                     runner.req_pool.free(idx)
 
         ok, res = await self._run_rpc(_encode)
+        if not ok:
+            raise RuntimeError(str(res))
+        return res
+
+    async def classify(
+        self,
+        prompt=None,
+        input_ids=None,
+    ) -> List[List[float]]:
+        """Classification/reward logits (reference /classify route):
+        requires a *ForSequenceClassification model."""
+        if not getattr(self.runner.model, "is_classification", False):
+            raise ValueError(
+                "classify requires a sequence-classification model "
+                f"({type(self.runner.model).__name__} has no score head)"
+            )
+        if input_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            input_ids = [self.tokenizer.encode(p) for p in prompts]
+        elif input_ids and isinstance(input_ids[0], int):
+            input_ids = [input_ids]
+
+        def _classify():
+            import numpy as np
+
+            from sglang_fluentllm_tpu.runtime.batch_builder import ExtendItem
+
+            runner = self.runner
+            items, idxs = [], []
+            try:
+                for ids in input_ids:
+                    idx = runner.req_pool.alloc()
+                    assert idx is not None
+                    slots = runner.allocator.alloc_extend(idx, 0, len(ids))
+                    if slots is None:
+                        self.scheduler.tree_cache.evict(
+                            runner.allocator.pages_needed(0, len(ids)),
+                            runner.allocator.release_pages,
+                        )
+                        slots = runner.allocator.alloc_extend(
+                            idx, 0, len(ids))
+                    assert slots is not None, "no KV room for classify"
+                    idxs.append(idx)
+                    items.append(ExtendItem(
+                        input_ids=np.asarray(ids, np.int32),
+                        prefix_len=0,
+                        slots=slots,
+                        pages=runner.allocator.req_pages(idx, len(ids)),
+                    ))
+                logits = runner.classify_batch(items)
+                return [list(map(float, row)) for row in logits]
+            finally:
+                for idx, ids in zip(idxs, input_ids):
+                    runner.allocator.free_req_pages(idx, len(ids))
+                    runner.req_pool.free(idx)
+
+        ok, res = await self._run_rpc(_classify)
         if not ok:
             raise RuntimeError(str(res))
         return res

@@ -90,6 +90,7 @@ class HttpServer:
         r.add_get("/get_model_info", self.get_model_info)
         r.add_post("/generate", self.generate)
         r.add_post("/encode", self.encode)
+        r.add_post("/classify", self.classify)
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
@@ -152,6 +153,12 @@ class HttpServer:
 
     async def health_generate(self, request: web.Request) -> web.Response:
         """Actually generate one token (reference http_server.py:270-341)."""
+        if getattr(self.engine.runner.model, "is_classification", False):
+            try:
+                await self.engine.classify(input_ids=[1, 2, 3])
+                return web.Response(text="ok")
+            except Exception as e:  # noqa: BLE001
+                return web.Response(status=503, text=f"unhealthy: {e}")
         try:
             ids = [1, 2, 3]
             out = await asyncio.wait_for(
@@ -176,7 +183,8 @@ class HttpServer:
             "model_path": sa.model_path,
             "tokenizer_path": sa.tokenizer_path,
             "served_model_name": sa.served_model_name,
-            "is_generation": True,
+            "is_generation": not getattr(
+                self.engine.runner.model, "is_classification", False),
         })
 
     async def metrics(self, request: web.Request) -> web.Response:
@@ -257,6 +265,27 @@ class HttpServer:
             )
             return web.json_response({"embedding": emb})
         except (ValueError, AssertionError) as e:
+            return _error(str(e))
+
+    async def classify(self, request: web.Request) -> web.Response:
+        """Classification/reward logits (reference /classify route)."""
+        try:
+            body = await request.json()
+            inp = body.get("text") or body.get("input")
+            kwargs = {}
+            if isinstance(inp, str) or (
+                isinstance(inp, list) and inp and isinstance(inp[0], str)
+            ):
+                kwargs["prompt"] = inp
+            else:
+                kwargs["input_ids"] = inp or body.get("input_ids")
+            logits = await self.engine.classify(**kwargs)
+            return web.json_response({
+                "embedding": logits,
+                "meta_info": {"num_labels": len(logits[0]) if logits
+                              else 0},
+            })
+        except (ValueError, AssertionError, RuntimeError) as e:
             return _error(str(e))
 
     async def v1_embeddings(self, request: web.Request) -> web.Response:

@@ -329,3 +329,75 @@ class CohereForCausalLM(LlamaForCausalLM):
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
         return kv_cache, self._layer_norm(h, params["norm"], self.ln_eps)
+
+
+@register("LlamaForSequenceClassification", "Qwen2ForSequenceClassification")
+class LlamaForSequenceClassification(LlamaForCausalLM):
+    """Sequence classification / reward heads (reference /classify route,
+    ``http_server.py`` classify + reward-model serving): the llama body
+    with a ``score`` head [H, num_labels]; classification logits are the
+    score head applied to the LAST token's hidden state (HF
+    ``LlamaForSequenceClassification`` pooling for right-padless
+    batches)."""
+
+    is_classification = True
+
+    def __init__(self, config, attn_backend):
+        super().__init__(config, attn_backend)
+        self.num_labels = config.hf_config.get("num_labels", 2)
+
+    def param_shapes(self):
+        shapes = super().param_shapes()
+        shapes.pop("lm_head", None)
+        shapes["score"] = (self.config.hidden_size, self.num_labels)
+        return shapes
+
+    def param_specs(self):
+        specs = super().param_specs()
+        specs.pop("lm_head", None)
+        from jax.sharding import PartitionSpec as P
+
+        specs["score"] = P()
+        return specs
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        staged = {}
+
+        def grab(pairs):
+            for name, w in pairs:
+                if name in ("score.weight", "model.score.weight",
+                            "v_head.weight"):
+                    staged["score"] = np.asarray(w).T
+                elif "lm_head" in name:
+                    continue
+                else:
+                    yield name, w
+
+        # the body loader requires an lm_head when embeddings are untied;
+        # feed a placeholder and drop it after
+        def with_head(pairs):
+            yield from pairs
+            if not self.config.tie_word_embeddings:
+                yield ("lm_head.weight", np.zeros(
+                    (self.config.vocab_size, self.config.hidden_size),
+                    np.float32))
+
+        params = super().load_weights(
+            with_head(grab(named_tensors)), dtype)
+        params.pop("lm_head", None)
+        params["score"] = jnp.asarray(staged["score"], dtype)
+        return params
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        params = super().init_dummy_params(seed, dtype)
+        params.pop("lm_head", None)
+        rng = np.random.RandomState(seed + 7)
+        params["score"] = jnp.asarray(
+            rng.standard_normal(
+                (self.config.hidden_size, self.num_labels)
+            ).astype(np.float32) * 0.02, dtype)
+        return params
+
+    def compute_classification(self, params, hidden):
+        """[B, H] last-token hidden -> [B, num_labels] f32."""
+        return (hidden @ params["score"]).astype(jnp.float32)

@@ -540,6 +540,20 @@ class ModelRunner:
 
         self._score_step = jax.jit(score_fn, donate_argnums=(1,))
 
+        if getattr(model, "is_classification", False):
+            def classify_fn(params, kv_cache, batch: ForwardBatch):
+                """Last-token classification logits (reference /classify
+                reward-model serving)."""
+                kv_cache, h = model.forward(params, kv_cache, batch)
+                idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
+                h_last = jnp.take_along_axis(
+                    h, idx[:, None, None], axis=1
+                )[:, 0]
+                return kv_cache, model.compute_classification(
+                    params, h_last)
+
+            self._classify_step = jax.jit(classify_fn, donate_argnums=(1,))
+
         def logits_fn(params, kv_cache, batch: ForwardBatch):
             """Full per-position logits (for verify / logprob queries)."""
             kv_cache, h = model.forward(params, kv_cache, batch)
@@ -616,6 +630,14 @@ class ModelRunner:
             self.params, self.kv_cache, batch
         )
         return np.asarray(jax.device_get(h))[: len(items)]
+
+    def classify_batch(self, items) -> np.ndarray:
+        """Classification logits for ExtendItems ([B, num_labels])."""
+        batch = self.batch_builder.build_extend(items)
+        self.kv_cache, logits = self._classify_step(
+            self.params, self.kv_cache, batch
+        )
+        return np.asarray(jax.device_get(logits))[: len(items)]
 
     def score_batch(self, items, label_ids: "np.ndarray") -> np.ndarray:
         """Next-token logprobs at ``label_ids`` for a list of ExtendItems
