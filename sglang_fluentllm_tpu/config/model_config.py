@@ -176,6 +176,12 @@ class ModelConfig:
             or cfg.get("num_local_experts")
             or 0
         )
+        if isinstance(num_experts, (list, tuple)):
+            # LongCat-Large style per-layer expert counts (None = dense
+            # layer); the scalar config carries the MoE layers' count and
+            # the per-layer list stays in hf_config for the model
+            counts = [e for e in num_experts if e and e > 1]
+            num_experts = max(counts) if counts else 0
 
         mc = cls(
             architectures=cfg.get("architectures", []),

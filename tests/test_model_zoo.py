@@ -106,6 +106,13 @@ CONFIGS = {
         "layer_types": ["sliding_attention", "full_attention"],
         "swiglu_limit": 7.0,
     },
+    "longcat_large": {
+        **BASE, "architectures": ["LlamaForCausalLMMoE"],
+        "model_type": "llama",
+        "num_experts": [None, 4], "moe_topk": 2,
+        "moe_intermediate_size": 32, "router_dtype": "float32",
+        "norm_topk_prob": True, "scoring_func": "softmax",
+    },
     "gpt2": {
         "architectures": ["GPT2LMHeadModel"], "model_type": "gpt2",
         "n_embd": 64, "n_head": 4, "n_layer": 2, "n_positions": 256,
@@ -141,7 +148,7 @@ def test_registry_coverage():
         "MiniCPMForCausalLM", "Olmo2ForCausalLM", "CohereForCausalLM",
         "Cohere2ForCausalLM", "MistralForCausalLM", "GptOssForCausalLM",
         "Glm4MoeForCausalLM", "Qwen3NextForCausalLM",
-        "KimiLinearForCausalLM",
+        "KimiLinearForCausalLM", "LlamaForCausalLMMoE",
     }
     assert expected <= set(_REGISTRY)
 
