@@ -290,7 +290,7 @@ class ModelConfig:
             mc.scoring_func = "sigmoid"
         if mc.model_type == "longcat_flash" or "FLASH" in str(
             mc.architectures
-        ):
+        ) or "ShortcutMoE" in str(mc.architectures):
             # ScMoE: two MLA attentions per decoder layer
             mc.num_kv_layers = 2 * mc.num_hidden_layers
         mc.context_length = context_length or cfg.get(

@@ -40,10 +40,11 @@ class LongcatFlashForCausalLM:
         self.config = config
         self.attn = attn_backend
         c = config
-        self.qk_dim = c.qk_nope_head_dim + c.qk_rope_head_dim
+        self.qk_dim = (c.qk_nope_head_dim + c.qk_rope_head_dim) \
+            or c.head_dim
         self.sm_scale = self.qk_dim ** -0.5
         self.rope = RotaryEmbedding(
-            c.qk_rope_head_dim,
+            c.qk_rope_head_dim or c.head_dim,
             max(c.context_length or 0, c.max_position_embeddings),
             c.rope_theta,
             c.rope_scaling,
@@ -322,4 +323,155 @@ class LongcatFlashForCausalLM:
             mats = [st[i][k] for i in range(L)]
             kd = jnp.float32 if k == "correction_bias" else dtype
             params["layers"][k] = jnp.asarray(np.stack(mats), dtype=kd)
+        return params
+
+
+@register("ShortcutMoEForCausalLM")
+class ShortcutMoEForCausalLM(LongcatFlashForCausalLM):
+    """LongCat-Ultra (reference ``models/longcat_ultra.py``,
+    ``ShortcutMoEForCausalLM``): the same ScMoE block topology — two
+    attention+dense-MLP passes with the MoE branch computed from the
+    first attention's output and rejoined after the second MLP — but
+    with standard GQA attention instead of MLA. KV pool depth stays
+    2 x num_hidden_layers (two attentions per decoder layer)."""
+
+    def __init__(self, config, attn_backend):
+        super().__init__(config, attn_backend)
+        c = config
+        self.sm_scale = c.head_dim ** -0.5
+        self.rope = RotaryEmbedding(
+            c.head_dim,
+            max(c.context_length or 0, c.max_position_embeddings),
+            c.rope_theta,
+            c.rope_scaling,
+        )
+        self.qkv_bias = bool(c.attention_bias
+                             or c.hf_config.get("bias"))
+
+    def _attn_shapes(self, j: str) -> Dict[str, Any]:
+        c = self.config
+        L, H = c.num_hidden_layers, c.hidden_size
+        D, Hq, Hk = c.head_dim, c.num_attention_heads, c.num_key_value_heads
+        shapes = {
+            f"q_proj{j}": (L, H, Hq * D),
+            f"k_proj{j}": (L, H, Hk * D),
+            f"v_proj{j}": (L, H, Hk * D),
+            f"o_proj{j}": (L, Hq * D, H),
+        }
+        if self.qkv_bias:
+            shapes.update({
+                f"q_bias{j}": (L, Hq * D),
+                f"k_bias{j}": (L, Hk * D),
+                f"v_bias{j}": (L, Hk * D),
+            })
+        return shapes
+
+    def _mla(self, lp, j, x, kv_cache, kv_layer, batch, cos, sin):
+        # GQA attend in place of the MLA block (same forward topology)
+        c = self.config
+        B, S, H = x.shape
+        D, Hq, Hk = c.head_dim, c.num_attention_heads, c.num_key_value_heads
+        q = x @ lp[f"q_proj{j}"]
+        k = x @ lp[f"k_proj{j}"]
+        v = x @ lp[f"v_proj{j}"]
+        if self.qkv_bias:
+            q = q + lp[f"q_bias{j}"]
+            k = k + lp[f"k_bias{j}"]
+            v = v + lp[f"v_bias{j}"]
+        q = apply_rope(q.reshape(B, S, Hq, D), cos, sin)
+        k = apply_rope(k.reshape(B, S, Hk, D), cos, sin)
+        v = v.reshape(B, S, Hk, D)
+        out, kv_cache = self.attn(
+            kv_cache, kv_layer, q, k, v, batch, self.sm_scale
+        )
+        return out.reshape(B, S, Hq * D) @ lp[f"o_proj{j}"], kv_cache
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        c = self.config
+        L, E = c.num_hidden_layers, c.num_experts
+        st: Dict[int, Dict[str, Any]] = {i: {} for i in range(L)}
+        experts: Dict[int, Dict[int, Dict[str, np.ndarray]]] = {
+            i: {} for i in range(L)}
+        top: Dict[str, Any] = {}
+        for name, w in named_tensors:
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name == "embed_tokens.weight":
+                top["embed_tokens"] = w
+            elif name == "norm.weight":
+                top["norm"] = w
+            elif name == "lm_head.weight":
+                top["lm_head"] = w.T
+            elif name.startswith("layers."):
+                parts = name.split(".")
+                li = int(parts[1])
+                if li >= L:
+                    continue
+                rest = ".".join(parts[2:])
+                import re as _re
+
+                m = _re.match(
+                    r"self_attn\.([01])\.(q|k|v|o)_proj\.(weight|bias)",
+                    rest)
+                if m:
+                    j, p, kind = m.groups()
+                    key = (f"{p}_proj{j}" if kind == "weight"
+                           else f"{p}_bias{j}")
+                    st[li][key] = (np.asarray(w).T if kind == "weight"
+                                   else w)
+                    continue
+                m = _re.match(
+                    r"input_layernorm\.([01])\.weight", rest)
+                if m:
+                    st[li][f"input_layernorm{m.group(1)}"] = w
+                    continue
+                m = _re.match(
+                    r"post_attention_layernorm\.([01])\.weight", rest)
+                if m:
+                    st[li][f"post_attention_layernorm{m.group(1)}"] = w
+                    continue
+                m = _re.match(
+                    r"mlps\.([01])\.(gate|up|down)_proj\.weight", rest)
+                if m:
+                    j, p = m.groups()
+                    if p == "down":
+                        st[li][f"down{j}"] = np.asarray(w).T
+                    else:
+                        st[li].setdefault(f"_gu{j}", {})[p] = (
+                            np.asarray(w).T)
+                    continue
+                if rest == "mlp.gate.weight":
+                    st[li]["router"] = np.asarray(w).T
+                elif rest == "mlp.gate.e_score_correction_bias":
+                    st[li]["correction_bias"] = w
+                elif rest.startswith("mlp.experts."):
+                    e = int(parts[4])
+                    experts[li].setdefault(e, {})[parts[5]] = w
+        Et = E + c.num_zero_experts
+        for li in range(L):
+            for j in ("0", "1"):
+                gu = st[li].pop(f"_gu{j}", None)
+                if gu:
+                    st[li][f"gate_up{j}"] = np.concatenate(
+                        [gu["gate"], gu["up"]], axis=1)
+            emap = experts[li]
+            st[li]["w_gate_up"] = np.stack([
+                np.concatenate([emap[e]["gate_proj"].T,
+                                emap[e]["up_proj"].T], axis=1)
+                for e in range(E)])
+            st[li]["w_down"] = np.stack(
+                [emap[e]["down_proj"].T for e in range(E)])
+            st[li].setdefault(
+                "correction_bias", np.zeros((Et,), np.float32))
+
+        shapes = self.param_shapes()
+        params: Dict[str, Any] = {
+            "embed_tokens": jnp.asarray(top["embed_tokens"], dtype=dtype),
+            "norm": jnp.asarray(top["norm"], dtype=dtype),
+            "lm_head": jnp.asarray(top["lm_head"], dtype=dtype),
+            "layers": {},
+        }
+        for k in shapes["layers"]:
+            params["layers"][k] = jnp.asarray(
+                np.stack([st[i][k] for i in range(L)]), dtype=dtype)
         return params

@@ -181,6 +181,51 @@ LONGCAT_CFG = {
 }
 
 
+LONGCAT_ULTRA_CFG = {
+    "architectures": ["ShortcutMoEForCausalLM"],
+    "model_type": "shortcut_moe",
+    "hidden_size": 64,
+    "intermediate_size": 96,
+    "expert_ffn_hidden_size": 48,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "num_hidden_layers": 2,
+    "vocab_size": 128,
+    "max_position_embeddings": 256,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 10000.0,
+    "n_routed_experts": 4,
+    "moe_topk": 2,
+    "zero_expert_num": 2,
+    "norm_topk_prob": False,
+    "scoring_func": "softmax",
+    "topk_method": "noaux_tc",
+    "tie_word_embeddings": False,
+}
+
+
+class TestLongcatUltra:
+    def test_scmoe_gqa_generates(self):
+        e = tiny_engine(LONGCAT_ULTRA_CFG)
+        assert e.model_config.num_kv_layers == 4
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert len(out["output_ids"]) == 5
+        out2 = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == out2["output_ids"]
+
+    def test_decode_matches_prefill(self):
+        e = tiny_engine(LONGCAT_ULTRA_CFG)
+        sp = {"max_new_tokens": 4, "temperature": 0.0}
+        out = e.generate(input_ids=PROMPT, sampling_params=sp)
+        toks = out["output_ids"]
+        e.flush_cache()
+        out2 = e.generate(
+            input_ids=PROMPT + toks[:3],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        assert out2["output_ids"][0] == toks[3]
+
+
 class TestLongcatFlash:
     def test_scmoe_generates(self):
         e = tiny_engine(LONGCAT_CFG)
