@@ -150,3 +150,49 @@ class TestNsaEngine:
         o1 = e.generate(input_ids=long_prompt, sampling_params=SP)
         o2 = e.generate(input_ids=long_prompt, sampling_params=SP)
         assert o1["output_ids"] == o2["output_ids"]
+
+
+TINY_MHA_NSA_CFG = {
+    "architectures": ["DeepseekMhaNsaForCausalLM"],
+    "model_type": "deepseek_mha_nsa",
+    "hidden_size": 64,
+    "intermediate_size": 96,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "num_hidden_layers": 2,
+    "vocab_size": 128,
+    "max_position_embeddings": 256,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 10000.0,
+    "head_dim": 16,
+    "tie_word_embeddings": False,
+    "kernel_size": 4,
+    "stride": 2,
+    "select_size": 4,
+    "top_n": 3,
+    "slc_att_num_init_blocks": 1,
+    "slc_att_num_local_blocks": 2,
+    "window_size": 6,
+    "n_routed_experts": 4,
+    "num_experts_per_tok": 2,
+    "moe_intermediate_size": 32,
+    "n_shared_experts": 1,
+    "first_k_dense_replace": 1,
+    "topk_method": "noaux_tc",
+    "scoring_func": "sigmoid",
+    "norm_topk_prob": True,
+}
+
+
+class TestDeepseekMhaNsa:
+    def test_generates_and_decode_matches_prefill(self):
+        e = tiny_engine(TINY_MHA_NSA_CFG)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert len(out["output_ids"]) == 6
+        toks = out["output_ids"]
+        e.flush_cache()
+        out2 = e.generate(
+            input_ids=PROMPT + toks[:4],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        assert out2["output_ids"][0] == toks[4]
