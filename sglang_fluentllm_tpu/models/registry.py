@@ -32,6 +32,7 @@ def get_model_class(architectures):
     from sglang_fluentllm_tpu.models import qwen3_nsa  # noqa: F401
     from sglang_fluentllm_tpu.models import longcat_large  # noqa: F401
     from sglang_fluentllm_tpu.models import deepseek_mha_nsa  # noqa: F401
+    from sglang_fluentllm_tpu.models import grok  # noqa: F401
 
     for arch in architectures:
         if arch in _REGISTRY:

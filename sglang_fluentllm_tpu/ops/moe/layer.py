@@ -49,6 +49,8 @@ def moe_act(gate, up, activation: str, alpha: float, limit: float):
         gate = jnp.minimum(gate, limit)
         up = jnp.clip(up, -limit, limit)
         return gate * jax.nn.sigmoid(alpha * gate) * (up + 1.0)
+    if activation == "gelu":
+        return jax.nn.gelu(gate) * up
     return jax.nn.silu(gate) * up
 
 

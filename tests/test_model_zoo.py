@@ -113,6 +113,16 @@ CONFIGS = {
         "moe_intermediate_size": 32, "router_dtype": "float32",
         "norm_topk_prob": True, "scoring_func": "softmax",
     },
+    "grok": {
+        **BASE, "architectures": ["Grok1ForCausalLM"],
+        "model_type": "grok-1", "head_dim": 16,
+        "num_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 32,
+        "attn_logit_softcapping": 30.0,
+        "router_logit_softcapping": 30.0,
+        "embedding_multiplier_scale": 78.38,
+        "output_multiplier_scale": 0.5773,
+    },
     "gpt2": {
         "architectures": ["GPT2LMHeadModel"], "model_type": "gpt2",
         "n_embd": 64, "n_head": 4, "n_layer": 2, "n_positions": 256,
@@ -149,6 +159,9 @@ def test_registry_coverage():
         "Cohere2ForCausalLM", "MistralForCausalLM", "GptOssForCausalLM",
         "Glm4MoeForCausalLM", "Qwen3NextForCausalLM",
         "KimiLinearForCausalLM", "LlamaForCausalLMMoE",
+        "Grok1ForCausalLM", "ShortcutMoEForCausalLM",
+        "DeepseekMhaNsaForCausalLM", "Qwen3NSAForCausalLM",
+        "LlamaForSequenceClassification",
     }
     assert expected <= set(_REGISTRY)
 
