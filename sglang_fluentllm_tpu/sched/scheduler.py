@@ -181,6 +181,7 @@ class Scheduler:
         self.spec_accept_sum = 0
         self.spec_accept_ct = 0
         self.num_cached_prompt_tokens = 0
+        self.num_jump_forward_tokens = 0
         self.num_prompt_tokens_seen = 0
         self.num_retracted = 0
         self.cum_cached_tokens = 0
@@ -428,6 +429,46 @@ class Scheduler:
             reqs.append(req)
             i += 1
         return reqs, items
+
+    def _try_jump_forward(self, req: Req, min_run: int = 2):
+        """Grammar jump-forward (reference jump-forward decoding via
+        xgrammar/outlines): while the DFA allows exactly ONE token, the
+        continuation is deterministic — append those tokens directly and
+        re-admit the request as a prefill CONTINUATION (KV intact,
+        ``num_computed_tokens`` unchanged) so one batched extend replaces
+        N decode steps."""
+        forced = req.grammar.guide.jump_forward(req.grammar.state)
+        if len(forced) < min_run:
+            return
+        kv_valid = req.seq_len - 1  # everything but the just-sampled token
+        applied = 0
+        for t in forced:
+            if len(req.output_ids) >= req.sampling_params.max_new_tokens:
+                break
+            req.output_ids.append(int(t))
+            # forced under the constraint: probability 1
+            req.output_token_logprobs.append(0.0)
+            if req.sampling_params.top_logprobs_num > 0:
+                req.output_top_logprobs.append([(0.0, int(t))])
+            req.grammar.accept(int(t))
+            self.num_generated_tokens += 1
+            self.num_jump_forward_tokens += 1
+            applied += 1
+            req.check_finished()
+            if req.finished():
+                break
+        if applied == 0:
+            return
+        # the forced tail has no KV yet: route through the prefill
+        # continuation path (extends [kv_valid:] and samples the next
+        # token under the advanced grammar state)
+        req.num_computed_tokens = min(kv_valid, req.seq_len - 1)
+        req.is_chunked = False
+        req.admitted_extend = 0
+        if req in self.running_batch:
+            self.running_batch.remove(req)
+        if not req.finished() and req not in self.waiting_queue:
+            self.waiting_queue.insert(0, req)
 
     def _retract_decode(self, min_idx: int = 0):
         """Evict the newest running request back to the waiting queue
@@ -1051,6 +1092,12 @@ class Scheduler:
                     break
             if req.first_token_time is None:
                 req.first_token_time = time.monotonic()
+            if (
+                req.grammar is not None
+                and not req.finished()
+                and req.inflight == 0
+            ):
+                self._try_jump_forward(req)
             if req.finished():
                 if req in self.running_batch:
                     self.running_batch.remove(req)

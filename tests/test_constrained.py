@@ -246,3 +246,31 @@ name ::= [A-Z] [a-z]*
             },
         )
         assert out["text"] in ("yes.", "no.")
+
+
+class TestJumpForward:
+    """Grammar jump-forward: deterministic DFA runs are appended without
+    decode steps (one prefill-continuation extend instead)."""
+
+    def test_literal_run_jumps(self, char_engine):
+        out = char_engine.generate(
+            prompt="q",
+            sampling_params={"max_new_tokens": 20, "temperature": 1.0,
+                            "regex": r"answer: [0-9][0-9]"},
+        )
+        assert re.fullmatch(r"answer: [0-9][0-9]", out["text"]), out["text"]
+        # the literal 'nswer=' run (after the sampled 'a') was jumped
+        assert char_engine.scheduler.num_jump_forward_tokens >= 5
+
+    def test_jump_forward_lossless_vs_mask_only(self, char_engine):
+        """Greedy output with jump-forward equals what pure masked
+        decoding would produce (the forced tokens are the only allowed
+        ones by construction)."""
+        out = char_engine.generate(
+            prompt="zz",
+            sampling_params={"max_new_tokens": 24, "temperature": 0.0,
+                            "regex": r"hello world [ab]"},
+        )
+        assert out["text"] in ("hello world a", "hello world b")
+        # 13 constrained chars (+ possibly the eos token)
+        assert out["meta_info"]["completion_tokens"] in (13, 14)
