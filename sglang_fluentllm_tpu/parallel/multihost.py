@@ -179,6 +179,8 @@ def run_follower(server_args, model_config=None,
         elif kind == "score":
             _, items, label_ids = msg
             runner.score_batch(items, label_ids)
+        elif kind == "classify":
+            runner.classify_batch(msg[1])
         elif kind == "update_weights_from_disk":
             runner.update_weights_from_disk(msg[1])
         elif kind == "update_weights_from_tensor":

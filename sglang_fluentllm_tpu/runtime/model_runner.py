@@ -633,6 +633,8 @@ class ModelRunner:
 
     def classify_batch(self, items) -> np.ndarray:
         """Classification logits for ExtendItems ([B, num_labels])."""
+        if self.broadcaster is not None:
+            self.broadcaster.publish(("classify", items))
         batch = self.batch_builder.build_extend(items)
         self.kv_cache, logits = self._classify_step(
             self.params, self.kv_cache, batch
