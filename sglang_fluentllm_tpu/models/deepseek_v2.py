@@ -290,9 +290,9 @@ class DeepseekV2ForCausalLM:
         ``dsa/nsa_indexer.py:899``): write index keys per token; decode
         selects top-``index_topk`` context tokens via the lightning
         indexer and MLA-attends over only the selected latents; extend
-        runs the dense path (selection engages once context exceeds
-        index_topk, which never happens inside one prefill chunk's own
-        window against itself plus a short prefix)."""
+        with context beyond index_topk runs chunked per-query selection
+        (``_dsa_extend_sparse``), shorter extends stay dense (selection
+        would keep every token anyway)."""
         import jax.numpy as jnp
 
         from sglang_fluentllm_tpu.mem.kv_cache import (
@@ -340,14 +340,169 @@ class DeepseekV2ForCausalLM:
         idx_new = kv_cache.idx.at[layer_id, loc].set(rows)
 
         if not batch.mode.is_decode():
-            # extend: dense MLA (the backend writes the latents)
-            out, mla = self.attn(
-                MLAKVCache(lat=kv_cache.lat), layer_id, q_nope, q_pe,
-                ckv, k_pe, batch, lp["w_kc"], lp["w_vc"], self.sm_scale,
+            T = batch.page_tables.shape[1] * batch.page_size
+            if T <= self.idx_topk or batch.custom_mask is not None:
+                # short context: selection would keep everything — dense
+                # MLA (the backend writes the latents)
+                out, mla = self.attn(
+                    MLAKVCache(lat=kv_cache.lat), layer_id, q_nope, q_pe,
+                    ckv, k_pe, batch, lp["w_kc"], lp["w_vc"],
+                    self.sm_scale,
+                )
+                return out, MLAKVCacheDSA(lat=mla.lat, idx=idx_new)
+            return self._dsa_extend_sparse(
+                lp, h, q_lora, q_nope, q_pe, ckv, k_pe, kv_cache,
+                idx_new, layer_id, batch, cos, sin,
             )
-            return out, MLAKVCacheDSA(lat=mla.lat, idx=idx_new)
 
+        return self._dsa_decode_sparse(
+            lp, h, q_lora, q_nope, q_pe, ckv, k_pe, kv_cache, idx_new,
+            layer_id, batch, cos, sin,
+        )
+
+    def _dsa_q_eff(self, lp, q_nope, q_pe, lat_dim):
+        """Absorbed queries in the lane-padded latent layout
+        [..., Hq, r_pad + rope_pad]."""
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.mem.kv_cache import padded_head_dim
+
+        c = self.config
+        r, dr = c.kv_lora_rank, c.qk_rope_head_dim
+        r_pad = padded_head_dim(r)
+        q_kc = jnp.einsum(
+            "...hd,hrd->...hr", q_nope.astype(jnp.float32),
+            lp["w_kc"].astype(jnp.float32),
+        )
+        q_eff = jnp.zeros(q_kc.shape[:-1] + (lat_dim,), jnp.float32)
+        q_eff = q_eff.at[..., :r].set(q_kc)
+        q_eff = q_eff.at[..., r_pad:r_pad + dr].set(
+            q_pe.astype(jnp.float32))
+        return q_eff
+
+    def _dsa_extend_sparse(self, lp, h, q_lora, q_nope, q_pe, ckv, k_pe,
+                           kv_cache, idx_new, layer_id, batch, cos, sin):
+        """Extend-phase DSA: per-query top-k over the full cached context
+        (reference ``nsa_indexer._get_topk_paged_extend`` +
+        sparse flashmla extend), processed in query chunks so the
+        gathered [Cq, topk, dim] latents stay bounded."""
+        import jax
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            MLAKVCache,
+            MLAKVCacheDSA,
+            mla_write,
+        )
+        from sglang_fluentllm_tpu.ops.attention.dsa import (
+            gather_slots,
+            mla_sparse_attend_multi,
+            select_topk,
+        )
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            page_gather,
+        )
+
+        c = self.config
+        B, S, Hq, dn = q_nope.shape
+        r, dr, dv = c.kv_lora_rank, c.qk_rope_head_dim, c.v_head_dim
+        d_idx = self.idx_dim
+        loc = batch.out_cache_loc.reshape(-1)
+        mla = mla_write(
+            MLAKVCache(lat=kv_cache.lat), layer_id, loc,
+            ckv.reshape(B * S, r), k_pe.reshape(B * S, dr),
+        )
+        kv_cache = MLAKVCacheDSA(lat=mla.lat, idx=idx_new)
+
+        # index queries + weights for every position
+        q_idx = (q_lora @ lp["idx_wq_b"]).reshape(
+            B, S, self.idx_heads, d_idx)
+        q_idx = jnp.concatenate(
+            [apply_rope(q_idx[..., :dr], cos, sin, interleaved=True),
+             q_idx[..., dr:]], axis=-1,
+        )
+        w = (h.astype(jnp.float32) @ lp["idx_weights_proj"].astype(
+            jnp.float32)) * (self.idx_heads ** -0.5) * (d_idx ** -0.5)
+        keys = page_gather(
+            kv_cache.idx[layer_id], batch.page_tables, batch.page_size
+        )[..., :d_idx]                                  # [B, T, d]
+        T = keys.shape[1]
+        q_eff = self._dsa_q_eff(
+            lp, q_nope, q_pe, kv_cache.lat.shape[-1])   # [B,S,Hq,dim]
+        lat_l = kv_cache.lat[layer_id]
+        K = min(self.idx_topk, T)
+
+        Cq = max(1, min(8, S))
+        Sp = -(-S // Cq) * Cq
+
+        def pad_q(x):
+            return jnp.pad(
+                x, [(0, 0), (0, Sp - S)] + [(0, 0)] * (x.ndim - 2))
+
+        q_idx_p = pad_q(q_idx)
+        w_p = pad_q(w)
+        q_eff_p = pad_q(q_eff)
+        pos_p = jnp.pad(batch.positions, ((0, 0), (0, Sp - S)))
+
+        def chunk_fn(_, ci):
+            sl = ci * Cq
+            qi = jax.lax.dynamic_slice_in_dim(q_idx_p, sl, Cq, 1)
+            wi = jax.lax.dynamic_slice_in_dim(w_p, sl, Cq, 1)
+            qe = jax.lax.dynamic_slice_in_dim(q_eff_p, sl, Cq, 1)
+            pi = jax.lax.dynamic_slice_in_dim(pos_p, sl, Cq, 1)
+            sc = jnp.einsum(
+                "bqhd,btd->bhqt", qi.astype(jnp.float32),
+                keys.astype(jnp.float32))
+            sc = jnp.einsum("bqh,bhqt->bqt", wi, jax.nn.relu(sc))
+            visible = (jnp.arange(T)[None, None, :]
+                       <= pi[:, :, None])
+            sc = jnp.where(visible, sc, -jnp.inf)
+            # per-position top-k (flatten the chunk into the batch dim)
+            pos2, valid2 = select_topk(sc.reshape(B * Cq, T), K)
+            pt = jnp.repeat(batch.page_tables, Cq, axis=0)
+            slots = gather_slots(pt, pos2, batch.page_size)
+            ctx = mla_sparse_attend_multi(
+                qe.reshape(B * Cq, 1, Hq, -1)[:, 0][:, None],
+                lat_l,
+                slots[:, None], valid2[:, None],
+                c.kv_lora_rank, self.sm_scale,
+            )[:, 0]                                    # [B*Cq, Hq, r]
+            return None, ctx.reshape(B, Cq, Hq, -1)
+
+        _, ctxs = jax.lax.scan(
+            chunk_fn, None, jnp.arange(Sp // Cq, dtype=jnp.int32))
+        ctx = jnp.moveaxis(ctxs, 0, 1).reshape(B, Sp, Hq, -1)[:, :S]
+        out = jnp.einsum(
+            "bshr,hrd->bshd", ctx, lp["w_vc"].astype(jnp.float32)
+        ).astype(h.dtype)
+        return out, kv_cache
+
+    def _dsa_decode_sparse(self, lp, h, q_lora, q_nope, q_pe, ckv, k_pe,
+                           kv_cache, idx_new, layer_id, batch, cos, sin):
         # --- decode: write latents, select, sparse-attend ---
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            MLAKVCache,
+            MLAKVCacheDSA,
+            mla_write,
+            padded_head_dim,
+        )
+        from sglang_fluentllm_tpu.ops.attention.dsa import (
+            gather_slots,
+            indexer_scores,
+            mla_sparse_attend,
+            select_topk,
+        )
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            page_gather,
+        )
+
+        c = self.config
+        B, S, Hq, dn = q_nope.shape
+        r, dr = c.kv_lora_rank, c.qk_rope_head_dim
+        d_idx = self.idx_dim
+        loc = batch.out_cache_loc.reshape(-1)
         mla = mla_write(
             MLAKVCache(lat=kv_cache.lat), layer_id, loc,
             ckv.reshape(B * S, r), k_pe.reshape(B * S, dr),

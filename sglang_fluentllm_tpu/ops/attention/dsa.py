@@ -82,3 +82,26 @@ def mla_sparse_attend(
     return jnp.einsum(
         "bhk,bkd->bhd", probs, sel[..., :r].astype(jnp.float32)
     )
+
+
+def mla_sparse_attend_multi(
+    q_eff: jax.Array,      # [B, Cq, Hq, dim] absorbed queries (chunk)
+    lat: jax.Array,        # [slots, dim]
+    sel_slots: jax.Array,  # [B, Cq, K]
+    sel_valid: jax.Array,  # [B, Cq, K]
+    r: int,
+    sm_scale: float,
+) -> jax.Array:
+    """Per-query sparse MLA attend for a chunk of queries
+    -> [B, Cq, Hq, r] latent ctx (extend-phase DSA)."""
+    sel = lat[sel_slots]                           # [B, Cq, K, dim]
+    scores = jnp.einsum(
+        "bqhd,bqkd->bqhk", q_eff.astype(jnp.float32),
+        sel.astype(jnp.float32),
+    ) * sm_scale
+    scores = jnp.where(sel_valid[:, :, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    return jnp.einsum(
+        "bqhk,bqkd->bqhd", probs, sel[..., :r].astype(jnp.float32)
+    )

@@ -125,6 +125,35 @@ class TestDsaEngine:
         out2 = e.generate(input_ids=PROMPT * 3, sampling_params=SP)
         assert out["output_ids"] == out2["output_ids"]
 
+    def test_sparse_extend_matches_dense_extend(self):
+        """When index_topk covers every visible token, the chunked
+        sparse-extend path must reproduce dense extend exactly. topk=16
+        forces the sparse branch (padded T > 16) while still selecting
+        all 12 visible tokens of the prompt."""
+        prompt = (PROMPT + PROMPT)[:12]
+        sp = {"max_new_tokens": 4, "temperature": 0.0}
+        dense = tiny_engine(dict(TINY_V32_CFG, index_topk=10 ** 6))
+        sparse = tiny_engine(dict(TINY_V32_CFG, index_topk=16))
+        a = dense.generate(input_ids=prompt, sampling_params=sp)
+        b = sparse.generate(input_ids=prompt, sampling_params=sp)
+        assert a["output_ids"] == b["output_ids"]
+
+    def test_sparse_extend_agrees_with_sparse_decode(self):
+        """Real selection (topk < ctx): extend-phase top-k at position t
+        must pick the same token set decode would, so prefill
+        continuation reproduces the decode tokens."""
+        cfg = dict(TINY_V32_CFG, index_topk=8)
+        e = tiny_engine(cfg)
+        prompt = (PROMPT * 4)[:30]
+        out = e.generate(input_ids=prompt, sampling_params=SP)
+        toks = out["output_ids"]
+        e.flush_cache()
+        out2 = e.generate(
+            input_ids=prompt + toks[:4],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        assert out2["output_ids"][0] == toks[4]
+
     def test_fused_qkv_checkpoint_split(self):
         """The V3.2 fused qkv_a layout loads into separate projections."""
         import jax
