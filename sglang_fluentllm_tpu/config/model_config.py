@@ -100,6 +100,26 @@ class ModelConfig:
         return self.is_mla and bool(self.hf_config.get("index_topk"))
 
     @property
+    def use_over_embedding(self) -> bool:
+        """LongCat OEP hashed n-gram embeddings present (reference
+        ``configs/configuration_flash.py:177-196``: either
+        oe_vocab_size_ratio or ngram_vocab_size_ratio activates it)."""
+        hf = self.hf_config
+        return bool(hf.get("oe_vocab_size_ratio")
+                    or hf.get("ngram_vocab_size_ratio"))
+
+    @property
+    def oep_dims(self):
+        """(M, K, N): base modulus, splits per n, max n-gram length."""
+        hf = self.hf_config
+        ratio = (hf.get("ngram_vocab_size_ratio")
+                 or hf.get("oe_vocab_size_ratio"))
+        m = int(self.vocab_size * float(ratio))
+        k = int(hf.get("emb_split_num") or hf.get("oe_split_num"))
+        n = int(hf.get("emb_neighbor_num") or hf.get("oe_neighbor_num"))
+        return m, k, n
+
+    @property
     def is_hybrid_linear(self) -> bool:
         return bool(
             self.layer_types

@@ -93,8 +93,21 @@ class HybridKVCache:
     rec: jax.Array   # [L_lin, R+1, Hv, Dk, Dv] f32 delta-rule state
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OEPKVCache:
+    """Over-embedding wrapper (LongCat OEP; reference oe_token_table in
+    ``oe_utils.py`` + ``schedule_batch.py:101``): the model's paged pool
+    plus a per-REQUEST token-history ring so decode can hash n-grams
+    whose recent tokens only exist on-device under the overlap
+    scheduler. Row ``max_reqs`` is the trash row for padded rows."""
+
+    inner: "KVCache"
+    ring: jax.Array  # [R+1, RING_W] i32 last tokens per request
+
+
 KVCache = (MHAKVCache | MLAKVCache | MLAKVCacheFP8 | MLAKVCacheDSA
-           | HybridKVCache)
+           | HybridKVCache | OEPKVCache)
 
 LANE = 128
 
@@ -134,6 +147,16 @@ def create_kv_cache(
     num_kv_heads_override: Optional[int] = None,
     max_reqs: Optional[int] = None,
 ) -> KVCache:
+    if config.use_over_embedding:
+        hf = dict(config.hf_config)
+        hf.pop("oe_vocab_size_ratio", None)
+        hf.pop("ngram_vocab_size_ratio", None)
+        bare = dataclasses.replace(config, hf_config=hf)
+        inner = create_kv_cache(
+            bare, num_slots, dtype, kv_cache_dtype,
+            num_kv_heads_override, max_reqs,
+        )
+        return _oep_wrap(config, inner, max_reqs)
     L = config.num_kv_layers or config.num_hidden_layers
     if config.is_mla:
         if kv_cache_dtype in ("fp8_e4m3", "fp8"):
@@ -167,6 +190,15 @@ def create_kv_cache(
     if config.is_hybrid_linear:
         return _hybrid_wrap(config, mha, dtype, max_reqs)
     return mha
+
+
+def _oep_wrap(config: ModelConfig, inner, max_reqs):
+    from sglang_fluentllm_tpu.ops.over_embedding import RING_W
+    assert max_reqs is not None, "OEP pool needs max_reqs"
+    return OEPKVCache(
+        inner=inner,
+        ring=jnp.zeros((max_reqs + 1, RING_W), dtype=jnp.int32),
+    )
 
 
 # ----------------------------------------------------------------------

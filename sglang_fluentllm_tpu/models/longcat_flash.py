@@ -18,6 +18,7 @@ router weight (``layers/moe/layer.py:61-72`` semantics). KV pool depth is
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Any, Dict
 
@@ -53,6 +54,28 @@ class LongcatFlashForCausalLM:
         self.use_gmm = jax.default_backend() == "tpu"
         self.ep_mesh = None
         self.ep_axis = "tp"
+        self.oep = None
+        if c.use_over_embedding:
+            from sglang_fluentllm_tpu.ops.over_embedding import (
+                oep_constants,
+            )
+
+            M, K, N = c.oep_dims
+            F = (N - 1) * K
+            assert c.hidden_size % F == 0, (
+                f"hidden {c.hidden_size} not divisible by {F} hash "
+                "families")
+            mods, weights, offsets = oep_constants(c.vocab_size, M, K, N)
+            self.oep = {
+                "K": K, "N": N, "F": F,
+                "oe_hidden": c.hidden_size // F,
+                "table_rows": int(mods.astype(np.int64).sum()),
+                "mods": jnp.asarray(mods),
+                "weights": jnp.asarray(weights),
+                "offsets": jnp.asarray(offsets),
+                "row_sums": np.concatenate(
+                    [[0], np.cumsum(mods.astype(np.int64))]),
+            }
 
     # ------------------------------------------------------------------
     def _attn_shapes(self, j: str) -> Dict[str, Any]:
@@ -97,12 +120,17 @@ class LongcatFlashForCausalLM:
             "w_gate_up": (L, E, H, 2 * Im),
             "w_down": (L, E, Im, H),
         })
-        return {
+        shapes = {
             "embed_tokens": (c.vocab_size, H),
             "layers": layers,
             "norm": (H,),
             "lm_head": (H, c.vocab_size),
         }
+        if self.oep is not None:
+            shapes["oe_table"] = (self.oep["table_rows"],
+                                  self.oep["oe_hidden"])
+            shapes["oe_proj"] = (self.oep["F"], self.oep["oe_hidden"], H)
+        return shapes
 
     def param_specs(self) -> Dict[str, Any]:
         shapes = self.param_shapes()
@@ -118,7 +146,7 @@ class LongcatFlashForCausalLM:
                 return P(None, "tp", None, None)
             return P()
 
-        return {
+        specs = {
             "embed_tokens": P("tp", None),
             "norm": P(),
             "lm_head": P(None, "tp"),
@@ -126,6 +154,14 @@ class LongcatFlashForCausalLM:
                 k: spec_for(k, v) for k, v in shapes["layers"].items()
             },
         }
+        if self.oep is not None:
+            # the fused n-gram table is small next to the word embedding
+            # (sum of moduli ~ F * M rows of hidden/F dims); replicated
+            # gather needs no collective (reference shards it TP with an
+            # AllToAll — an optimization, over_embedding.py:85)
+            specs["oe_table"] = P()
+            specs["oe_proj"] = P()
+        return specs
 
     def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
         rng = np.random.RandomState(seed)
@@ -173,11 +209,63 @@ class LongcatFlashForCausalLM:
         return out.reshape(B, S, Hq * c.v_head_dim) @ lp[f"o_proj{j}"], \
             kv_cache
 
+    def _oep_embed(self, params, ring, batch: ForwardBatch):
+        """(hidden, ring'): hashed n-gram embedding (reference
+        FusedOverEmbedding.forward, over_embedding.py:231) with the
+        device token-history ring standing in for oe_token_table."""
+        from sglang_fluentllm_tpu.ops.over_embedding import (
+            RING_W,
+            ngram_ids,
+            oep_combine,
+            ring_history,
+            ring_update_extend,
+        )
+
+        o = self.oep
+        N = o["N"]
+        B, S = batch.input_ids.shape
+        R_trash = ring.shape[0] - 1
+        rows = jnp.where(batch.state_idx < 0, R_trash, batch.state_idx)
+        if batch.mode.is_decode():
+            pos = batch.positions[:, 0]
+            hist = ring_history(ring, rows, pos, N - 1)   # [B, N-1]
+            toks = jnp.concatenate(
+                [batch.input_ids[:, :1], hist], axis=1)[:, None, :]
+            ring = ring.at[rows, pos % RING_W].set(batch.input_ids[:, 0])
+        else:
+            start = batch.positions[:, 0]
+            tail = batch.hist_tail
+            # -1 = host doesn't know (overlap mixed rows): patch from
+            # the ring, which decode has kept current for those rows
+            j = jnp.arange(RING_W, 0, -1, dtype=jnp.int32)[None, :]
+            p_tail = start[:, None] - j
+            ring_vals = jnp.take_along_axis(
+                ring[rows], p_tail % RING_W, axis=1)
+            tail = jnp.where(tail < 0,
+                             jnp.where(p_tail >= 0, ring_vals, 0), tail)
+            tokens_ext = jnp.concatenate([tail, batch.input_ids], axis=1)
+            ring = ring_update_extend(
+                ring, rows, tokens_ext, start, batch.q_lens)
+            toks = jnp.stack(
+                [tokens_ext[:, RING_W - d:RING_W - d + S]
+                 for d in range(N)], axis=-1)             # [B, S, N]
+        ids = ngram_ids(toks, o["mods"], o["weights"], o["offsets"],
+                        o["K"])                           # [B, S|1, F]
+        word = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
+        h = oep_combine(word, params["oe_table"], params["oe_proj"], ids)
+        return h, ring
+
     def forward(self, params, kv_cache, batch: ForwardBatch):
         c = self.config
         eps = c.rms_norm_eps
         B, S = batch.input_ids.shape
-        h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
+        oep_wrap = None
+        if self.oep is not None:
+            oep_wrap = kv_cache
+            h, new_ring = self._oep_embed(params, kv_cache.ring, batch)
+            kv_cache = kv_cache.inner
+        else:
+            h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
         cos = self.rope.cos[batch.positions]
         sin = self.rope.sin[batch.positions]
 
@@ -220,12 +308,52 @@ class LongcatFlashForCausalLM:
             (params["layers"],
              jnp.arange(c.num_hidden_layers, dtype=jnp.int32)),
         )
+        if oep_wrap is not None:
+            kv_cache = dataclasses.replace(
+                oep_wrap, inner=kv_cache, ring=new_ring)
         return kv_cache, rms_norm(r, params["norm"], eps)
 
     def compute_logits(self, params, hidden):
         return (hidden @ params["lm_head"]).astype(jnp.float32)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _oep_collect(name, w, top) -> bool:
+        """Route OEP checkpoint tensors (reference load_weight name
+        forms, over_embedding.py:182-228): family tables
+        ``model.oe_embed_tokens{i}`` / ``ngram_embeddings.embedders.{i}``
+        and projections ``oe_embed_proj{i}`` / ``post_projs.{i}``."""
+        base = name.split(".weight")[0]
+        if ".oe_embed_tokens" in name or "embedders." in name:
+            i = (int(base.split("embedders.")[1].split(".")[0])
+                 if "embedders." in name
+                 else int(base.split("oe_embed_tokens")[1]))
+            top.setdefault("_oe_fams", {})[i] = w
+            return True
+        if ".oe_embed_proj" in name or "post_projs." in name:
+            i = (int(base.split("post_projs.")[1].split(".")[0])
+                 if "post_projs." in name
+                 else int(base.split("oe_embed_proj")[1]))
+            top.setdefault("_oe_projs", {})[i] = np.asarray(w).T
+            return True
+        return False
+
+    def _oep_finish(self, top, params, dtype):
+        if self.oep is None:
+            return
+        o = self.oep
+        fams, projs = top["_oe_fams"], top["_oe_projs"]
+        table = np.zeros((o["table_rows"], o["oe_hidden"]), np.float32)
+        for i in range(o["F"]):
+            lo, hi = int(o["row_sums"][i]), int(o["row_sums"][i + 1])
+            assert fams[i].shape[0] == hi - lo, (
+                f"family {i}: {fams[i].shape[0]} rows != modulus "
+                f"{hi - lo}")
+            table[lo:hi] = fams[i]
+        params["oe_table"] = jnp.asarray(table, dtype=dtype)
+        params["oe_proj"] = jnp.asarray(
+            np.stack([projs[i] for i in range(o["F"])]), dtype=dtype)
+
     def load_weights(self, named_tensors, dtype=jnp.bfloat16):
         c = self.config
         L, E = c.num_hidden_layers, c.num_experts
@@ -245,6 +373,8 @@ class LongcatFlashForCausalLM:
                 top["norm"] = w
             elif name == "lm_head.weight":
                 top["lm_head"] = w.T
+            elif self.oep is not None and self._oep_collect(name, w, top):
+                pass
             elif name.startswith("layers."):
                 parts = name.split(".")
                 li = int(parts[1])
@@ -323,6 +453,7 @@ class LongcatFlashForCausalLM:
             mats = [st[i][k] for i in range(L)]
             kd = jnp.float32 if k == "correction_bias" else dtype
             params["layers"][k] = jnp.asarray(np.stack(mats), dtype=kd)
+        self._oep_finish(top, params, dtype)
         return params
 
 
@@ -402,6 +533,8 @@ class ShortcutMoEForCausalLM(LongcatFlashForCausalLM):
                 top["norm"] = w
             elif name == "lm_head.weight":
                 top["lm_head"] = w.T
+            elif self.oep is not None and self._oep_collect(name, w, top):
+                pass
             elif name.startswith("layers."):
                 parts = name.split(".")
                 li = int(parts[1])
@@ -474,4 +607,5 @@ class ShortcutMoEForCausalLM(LongcatFlashForCausalLM):
         for k in shapes["layers"]:
             params["layers"][k] = jnp.asarray(
                 np.stack([st[i][k] for i in range(L)]), dtype=dtype)
+        self._oep_finish(top, params, dtype)
         return params

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch, ForwardMode
+from sglang_fluentllm_tpu.ops.over_embedding import RING_W
 from sglang_fluentllm_tpu.utils import next_power_of_2, pick_bucket
 
 
@@ -31,6 +32,9 @@ class ExtendItem:
     slots: np.ndarray       # [extend_len] kv slots for the new tokens
     pages: np.ndarray       # pages covering prefix+extend
     state_idx: int = -1     # hybrid-linear state row (req_pool_idx)
+    # over-embedding: the RING_W tokens before prefix_len (0-padded below
+    # position 0; all -1 = unknown host-side, model reads its device ring)
+    hist_tail: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -71,9 +75,12 @@ class BatchBuilder:
         seq_lens = np.zeros((Bp,), dtype=np.int32)
         q_lens = np.zeros((Bp,), dtype=np.int32)
         state_idx = np.full((Bp,), -1, dtype=np.int32)
+        hist_tail = np.zeros((Bp, RING_W), dtype=np.int32)
         runs = True
         for i, it in enumerate(items):
             e = len(it.input_ids)
+            if it.hist_tail is not None and len(it.hist_tail):
+                hist_tail[i, -len(it.hist_tail):] = it.hist_tail
             input_ids[i, :e] = it.input_ids
             positions[i, :e] = np.arange(it.prefix_len, it.prefix_len + e)
             out_loc[i, :e] = it.slots
@@ -97,6 +104,7 @@ class BatchBuilder:
             q_lens=q_lens,
             custom_mask=cm,
             state_idx=state_idx,
+            hist_tail=hist_tail,
             mode=mode,
             page_size=self.page_size,
             pages_are_runs=runs,

@@ -54,6 +54,10 @@ class ForwardBatch:
     # index (req_pool_idx; -1 on padded rows -> trash row). None for pure
     # paged-attention models.
     state_idx: Optional[jax.Array] = None  # [B] i32
+    # over-embedding models: last RING_W tokens before each row's chunk
+    # (0 below position 0; -1 = host doesn't know, read the device ring —
+    # mixed decode-as-extend rows under the overlap scheduler)
+    hist_tail: Optional[jax.Array] = None  # [B, RING_W] i32
 
     # --- static metadata (hashable; changes trigger recompile) ---
     mode: ForwardMode = dataclasses.field(

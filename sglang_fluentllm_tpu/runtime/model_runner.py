@@ -302,6 +302,14 @@ class ModelRunner:
             # prefix reuse would skip the recurrent replay (reference
             # MambaRadixCache restrictions) — force it off
             sa.disable_radix_cache = True
+        if mc.use_over_embedding:
+            # the n-gram ring covers extend via the host history tail,
+            # so radix reuse is fine; spec drafts would need their own
+            # ring bookkeeping (reference negates table row 0 for draft
+            # prefill) — not wired yet
+            assert sa.speculative_algorithm is None, (
+                "over-embedding + speculative decoding not supported yet"
+            )
 
         self.allocator = KVAllocator(
             num_pages, sa.page_size, self.max_reqs, max_context
@@ -336,8 +344,13 @@ class ModelRunner:
         from sglang_fluentllm_tpu.mem.kv_cache import (
             HybridKVCache,
             MHAKVCache,
+            OEPKVCache,
         )
 
+        if isinstance(kv_cache, OEPKVCache):
+            return OEPKVCache(
+                inner=self._kv_spec(kv_cache.inner), ring=P()
+            )
         if isinstance(kv_cache, HybridKVCache):
             inner = kv_cache.mha
             if isinstance(inner, MHAKVCache):

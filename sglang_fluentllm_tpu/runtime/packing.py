@@ -40,6 +40,7 @@ class BatchMeta(NamedTuple):
     runs: bool = False    # all page lists are consecutive runs
     has_state: bool = False  # hybrid-linear state_idx present
     want_lp: bool = False    # some request wants sampled-token logprobs
+    hist_w: int = 0          # over-embedding history tail width (0 = none)
 
 
 def pack_batch(
@@ -60,6 +61,10 @@ def pack_batch(
     ]
     if fb.state_idx is not None:
         int_parts.append(np.asarray(fb.state_idx, np.int32))
+    hist_w = 0
+    if fb.hist_tail is not None:
+        hist_w = fb.hist_tail.shape[1]
+        int_parts.append(np.asarray(fb.hist_tail, np.int32).ravel())
     float_parts = [
         np.asarray(sm.temperature, np.float32),
         np.asarray(sm.top_p, np.float32),
@@ -96,6 +101,7 @@ def pack_batch(
         runs=bool(fb.pages_are_runs),
         has_state=fb.state_idx is not None,
         want_lp=bool(sm.want_logprobs),
+        hist_w=hist_w,
     )
     return ints, floats, meta
 
@@ -125,6 +131,8 @@ def unpack_batch(
     top_k = take(B)
     is_greedy = take(B).astype(bool)
     state_idx = take(B) if meta.has_state else None
+    hist_tail = (take(B * meta.hist_w).reshape(B, meta.hist_w)
+                 if meta.hist_w else None)
     penalized_ids = eos_mask_ids = min_new_remaining = None
     freq = pres = rep = None
     vocab_mask_words = None
@@ -148,6 +156,7 @@ def unpack_batch(
         q_lens=q_lens,
         custom_mask=custom_mask,
         state_idx=state_idx,
+        hist_tail=hist_tail,
         mode=meta.mode,
         page_size=meta.page_size,
         pages_are_runs=meta.runs,

@@ -363,6 +363,9 @@ class Scheduler:
                         req.req_pool_idx, start + extend
                     ),
                     state_idx=req.req_pool_idx,
+                    hist_tail=np.asarray(
+                        req.fill_ids[max(0, start - 8):start], np.int32
+                    ),
                 )
             )
         return items if items else None
@@ -696,6 +699,9 @@ class Scheduler:
                             slots=np.asarray([it.slots[0]], np.int32),
                             pages=it.pages,
                             state_idx=it.state_idx,
+                            # recent tokens may be unresolved futures:
+                            # tell OEP models to read the device ring
+                            hist_tail=np.full((8,), -1, np.int32),
                         ))
                         prefill_reqs.append(req)
                 return self._launch_extend(prefill_reqs, items)
