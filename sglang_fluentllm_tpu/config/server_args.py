@@ -38,6 +38,10 @@ class ServerArgs:
     # ---- memory / KV cache ----
     page_size: int = 16
     mem_fraction_static: float = 0.85
+    # offload this many GiB of the largest weight leaves to pinned host
+    # memory (reference --cpu-offload-gb; XLA streams them to HBM per
+    # step — see runtime/offloader.py)
+    cpu_offload_gb: float = 0.0
     max_total_tokens: Optional[int] = None
     max_running_requests: Optional[int] = None
     max_prefill_tokens: int = 8192
@@ -132,6 +136,9 @@ class ServerArgs:
     random_seed: Optional[int] = None
     skip_tokenizer_init: bool = False
     enable_nan_detection: bool = False
+    # startup micro-bench across hosts flagging slow chips (reference
+    # utils/slow_rank_detector.py)
+    enable_slow_host_check: bool = False
     sampling_backend: str = "jax"
     constrained_json_whitespace_pattern: Optional[str] = None
     grammar_backend: str = "native"

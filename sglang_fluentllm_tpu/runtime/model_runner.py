@@ -43,6 +43,7 @@ from sglang_fluentllm_tpu.ops.sampler import (
 )
 from sglang_fluentllm_tpu.runtime.batch_builder import BatchBuilder
 from sglang_fluentllm_tpu.runtime.forward_batch import ForwardBatch
+from sglang_fluentllm_tpu.runtime.offloader import onramp_params
 from sglang_fluentllm_tpu.runtime.packing import pack_batch, unpack_batch
 from sglang_fluentllm_tpu.runtime.weight_loader import load_model_params
 
@@ -186,6 +187,12 @@ class ModelRunner:
         self.step_counter = 0
         self._future_ct = 0
 
+        if server_args.enable_slow_host_check:
+            from sglang_fluentllm_tpu.utils.slow_host_detector import (
+                execute as _slow_check,
+            )
+
+            _slow_check()
         self._load_params()
         self._init_memory_pool()
         self._init_jit()
@@ -216,6 +223,17 @@ class ModelRunner:
         params = load_model_params(self.model, self.server_args, self.dtype)
         params = self._maybe_quantize(params)
         self.params = self._shard(params, self.model.param_specs())
+        self._offload_mask = None
+        if self.server_args.cpu_offload_gb > 0:
+            from sglang_fluentllm_tpu.runtime.offloader import (
+                offload_params,
+            )
+
+            self.params, _, self._offload_mask = offload_params(
+                self.params, jax.tree.map(lambda x: x.sharding,
+                                          self.params),
+                self.server_args.cpu_offload_gb,
+            )
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         logger.info("loaded %.2fM params", n_params / 1e6)
 
@@ -387,6 +405,7 @@ class ModelRunner:
                     meta, custom_mask):
             # unpack the single-transfer batch (runtime/packing.py); the
             # trailing two ints are [future_write_offset, step_counter]
+            params = onramp_params(params, self._offload_mask)
             batch, sampling = unpack_batch(
                 ints[:-2], floats, meta, custom_mask
             )
@@ -468,6 +487,7 @@ class ModelRunner:
             """k fused decode steps (meta.S == k): one dispatch, one
             transfer, k sampled tokens per row. The [B, k] batch fields
             carry per-step slots; positions/seq_lens advance on-device."""
+            params = onramp_params(params, self._offload_mask)
             batch, sampling = unpack_batch(ints[:-2], floats, meta, None)
             write_offset = ints[-2]
             key0 = jax.random.fold_in(base_key, ints[-1])
@@ -529,6 +549,7 @@ class ModelRunner:
         def hidden_fn(params, kv_cache, batch: ForwardBatch):
             """Pooled last-token hidden state (embedding path — reference
             Engine.encode / serving_embedding role)."""
+            params = onramp_params(params, self._offload_mask)
             kv_cache, h = model.forward(params, kv_cache, batch)
             idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
             h_last = jnp.take_along_axis(
@@ -542,6 +563,7 @@ class ModelRunner:
         def score_fn(params, kv_cache, batch: ForwardBatch, label_ids):
             """Next-token log-probs at given label ids (scoring path —
             reference Engine.score / serving_score.py role)."""
+            params = onramp_params(params, self._offload_mask)
             kv_cache, h = model.forward(params, kv_cache, batch)
             idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
             h_last = jnp.take_along_axis(
@@ -557,6 +579,7 @@ class ModelRunner:
             def classify_fn(params, kv_cache, batch: ForwardBatch):
                 """Last-token classification logits (reference /classify
                 reward-model serving)."""
+                params = onramp_params(params, self._offload_mask)
                 kv_cache, h = model.forward(params, kv_cache, batch)
                 idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
                 h_last = jnp.take_along_axis(
@@ -569,6 +592,7 @@ class ModelRunner:
 
         def logits_fn(params, kv_cache, batch: ForwardBatch):
             """Full per-position logits (for verify / logprob queries)."""
+            params = onramp_params(params, self._offload_mask)
             kv_cache, h = model.forward(params, kv_cache, batch)
             logits = model.compute_logits(
                 params, h.reshape(-1, h.shape[-1])
