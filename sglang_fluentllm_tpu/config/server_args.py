@@ -136,6 +136,7 @@ class ServerArgs:
     random_seed: Optional[int] = None
     skip_tokenizer_init: bool = False
     enable_nan_detection: bool = False
+    enable_custom_logit_processor: bool = False
     # startup micro-bench across hosts flagging slow chips (reference
     # utils/slow_rank_detector.py)
     enable_slow_host_check: bool = False

@@ -18,7 +18,10 @@ from sglang_fluentllm_tpu.config import ModelConfig, ServerArgs
 from sglang_fluentllm_tpu.runtime.model_runner import ModelRunner
 from sglang_fluentllm_tpu.sched.detokenizer import Detokenizer
 from sglang_fluentllm_tpu.sched.req import Req
-from sglang_fluentllm_tpu.sched.sampling_params import SamplingParams
+from sglang_fluentllm_tpu.sched.sampling_params import (
+    SamplingParams,
+    resolve_think_end_id,
+)
 from sglang_fluentllm_tpu.sched.scheduler import Scheduler
 from sglang_fluentllm_tpu.utils import configure_logger
 
@@ -115,6 +118,13 @@ class Engine:
             sps = [SamplingParams.from_dict(s) for s in sampling_params]
         else:
             sps = [SamplingParams.from_dict(sampling_params) for _ in range(n)]
+        for sp in sps:
+            resolve_think_end_id(sp, self.tokenizer)
+            if (sp.custom_logit_processor is not None
+                    and not self.server_args.enable_custom_logit_processor):
+                raise ValueError(
+                    "custom_logit_processor requires "
+                    "--enable-custom-logit-processor")
         if return_logprob:
             for sp in sps:
                 sp.return_logprob = True

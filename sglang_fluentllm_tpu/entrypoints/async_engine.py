@@ -25,7 +25,10 @@ from sglang_fluentllm_tpu.engine import load_eos_ids, load_tokenizer
 from sglang_fluentllm_tpu.runtime.model_runner import ModelRunner
 from sglang_fluentllm_tpu.sched.detokenizer import Detokenizer
 from sglang_fluentllm_tpu.sched.req import Req
-from sglang_fluentllm_tpu.sched.sampling_params import SamplingParams
+from sglang_fluentllm_tpu.sched.sampling_params import (
+    SamplingParams,
+    resolve_think_end_id,
+)
 from sglang_fluentllm_tpu.sched.scheduler import Scheduler, StepOutput
 
 logger = logging.getLogger(__name__)
@@ -340,6 +343,12 @@ class AsyncEngine:
         self._loop = asyncio.get_running_loop()
         self.last_receive_time = time.time()
         sp = SamplingParams.from_dict(sampling_params)
+        resolve_think_end_id(sp, self.tokenizer)
+        if (sp.custom_logit_processor is not None
+                and not self.server_args.enable_custom_logit_processor):
+            raise ValueError(
+                "custom_logit_processor requires the server to run with "
+                "--enable-custom-logit-processor")
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)

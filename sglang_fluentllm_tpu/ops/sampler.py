@@ -42,6 +42,14 @@ class SamplingMetadata:
     # constrained decoding: packed allowed-token bitmask [B, ceil(V/32)]
     # (int32 words; row of all ones = unconstrained)
     vocab_mask_words: Optional[jax.Array] = None
+    # thinking budget (reference apply_thinking_budgets,
+    # sampling_batch_info.py:234): absolute seq_len at which to force
+    # the think-end token (-1 = off) + the per-row think-end id
+    think_stop: Optional[jax.Array] = None   # [B] i32
+    think_end: Optional[jax.Array] = None    # [B] i32
+    # host-only (never packed/transferred): [(row, processor, params)]
+    # applied through pure_callback when present
+    custom_procs: Optional[list] = None
     # static fast path: host knows at batch-build time that every request
     # is greedy -> jit specializes to a pure argmax (no sort, no gumbel)
     all_greedy: bool = dataclasses.field(

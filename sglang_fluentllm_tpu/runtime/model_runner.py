@@ -424,7 +424,25 @@ class ModelRunner:
                 h, idx[:, None, None], axis=1
             )[:, 0]
             logits = model.compute_logits(params, h_last)
+            if meta.has_custom:
+                # user logit processors run host-side via pure_callback
+                # (pipeline depth is clamped to 1 for such batches, so
+                # _custom_rows is unambiguous)
+                logits = jax.pure_callback(
+                    self._apply_custom_logits,
+                    jax.ShapeDtypeStruct(logits.shape, logits.dtype),
+                    logits,
+                )
             ids = sample(logits, sampling, key)
+            if meta.has_think:
+                # force the think-end token when a row crosses its
+                # budget (reference apply_thinking_budgets)
+                ids = jnp.where(
+                    (sampling.think_stop > 0)
+                    & (batch.seq_lens >= sampling.think_stop)
+                    & (batch.seq_lens < sampling.think_stop + 1),
+                    sampling.think_end, ids,
+                )
             if meta.want_lp or meta.topk > 0:
                 logprobs = compute_logprobs(logits, ids)
             else:
@@ -499,7 +517,7 @@ class ModelRunner:
             )
 
             def one_step(carry, j):
-                kv_cache, ids = carry
+                kv_cache, ids, tstop = carry
                 sub = dataclasses.replace(
                     batch,
                     input_ids=ids[:, None],
@@ -515,6 +533,16 @@ class ModelRunner:
                 new_ids = sample(
                     logits, sampling, jax.random.fold_in(key0, j)
                 )
+                if meta.has_think:
+                    # force at the budget, and deactivate a row as soon
+                    # as it closes naturally WITHIN this fused window
+                    # (across windows the scheduler deactivates from
+                    # resolved output_ids)
+                    natural = new_ids == sampling.think_end
+                    force = (tstop > 0) & (sub.seq_lens == tstop)
+                    new_ids = jnp.where(force, sampling.think_end,
+                                        new_ids)
+                    tstop = jnp.where(natural | force, -1, tstop)
                 if meta.want_lp or meta.topk > 0:
                     logprobs = compute_logprobs(logits, new_ids)
                 else:
@@ -524,11 +552,14 @@ class ModelRunner:
                 else:
                     tk = (jnp.zeros((0,), jnp.float32),
                           jnp.zeros((0,), jnp.float32))
-                return (kv_cache, new_ids), (new_ids, logprobs, tk)
+                return (kv_cache, new_ids, tstop), (new_ids, logprobs,
+                                                    tk)
 
-            (kv_cache, last_ids), (all_ids, all_logprobs, all_tk) = (
+            tstop0 = (sampling.think_stop if meta.has_think
+                      else jnp.zeros((meta.B,), jnp.int32))
+            (kv_cache, last_ids, _), (all_ids, all_logprobs, all_tk) = (
                 jax.lax.scan(
-                    one_step, (kv_cache, first_ids),
+                    one_step, (kv_cache, first_ids, tstop0),
                     jnp.arange(k_steps, dtype=jnp.int32),
                 )
             )
@@ -602,6 +633,23 @@ class ModelRunner:
         self._logits_step = jax.jit(logits_fn, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
+    def _apply_custom_logits(self, logits):
+        """pure_callback target (reference applies processors on the
+        sampler's device tensors; here the rows round-trip to host as
+        numpy — acceptable because such batches are depth-1/k=1)."""
+        import numpy as np
+
+        rows = getattr(self, "_custom_rows", None)
+        if not rows:
+            return logits
+        out = np.asarray(logits).copy()
+        for i, proc, params in rows:
+            if i < out.shape[0]:
+                out[i] = np.asarray(
+                    proc(out[i:i + 1], [params or {}])
+                )[0]
+        return out
+
     def forward_batch_generation(
         self,
         batch: ForwardBatch,
@@ -619,6 +667,7 @@ class ModelRunner:
                 ("gen", batch, sampling, future_offset)
             )
         self.step_counter += 1
+        self._custom_rows = sampling.custom_procs
         ints, floats, meta = pack_batch(batch, sampling)
         ints = np.concatenate(
             [ints, [future_offset % self.FUTURE_CAP, self.step_counter]]

@@ -41,6 +41,8 @@ class BatchMeta(NamedTuple):
     has_state: bool = False  # hybrid-linear state_idx present
     want_lp: bool = False    # some request wants sampled-token logprobs
     hist_w: int = 0          # over-embedding history tail width (0 = none)
+    has_think: bool = False  # thinking-budget arrays present
+    has_custom: bool = False  # custom logit processors (pure_callback)
 
 
 def pack_batch(
@@ -65,6 +67,9 @@ def pack_batch(
     if fb.hist_tail is not None:
         hist_w = fb.hist_tail.shape[1]
         int_parts.append(np.asarray(fb.hist_tail, np.int32).ravel())
+    if sm.think_stop is not None:
+        int_parts.append(np.asarray(sm.think_stop, np.int32))
+        int_parts.append(np.asarray(sm.think_end, np.int32))
     float_parts = [
         np.asarray(sm.temperature, np.float32),
         np.asarray(sm.top_p, np.float32),
@@ -102,6 +107,8 @@ def pack_batch(
         has_state=fb.state_idx is not None,
         want_lp=bool(sm.want_logprobs),
         hist_w=hist_w,
+        has_think=sm.think_stop is not None,
+        has_custom=sm.custom_procs is not None,
     )
     return ints, floats, meta
 
@@ -133,6 +140,10 @@ def unpack_batch(
     state_idx = take(B) if meta.has_state else None
     hist_tail = (take(B * meta.hist_w).reshape(B, meta.hist_w)
                  if meta.hist_w else None)
+    think_stop = think_end = None
+    if meta.has_think:
+        think_stop = take(B)
+        think_end = take(B)
     penalized_ids = eos_mask_ids = min_new_remaining = None
     freq = pres = rep = None
     vocab_mask_words = None
@@ -175,6 +186,8 @@ def unpack_batch(
         eos_mask_ids=eos_mask_ids,
         min_new_remaining=min_new_remaining,
         vocab_mask_words=vocab_mask_words,
+        think_stop=think_stop,
+        think_end=think_end,
         top_logprobs_num=meta.topk,
         return_input_logprob=meta.inp_lp,
         want_logprobs=meta.want_lp,

@@ -36,6 +36,17 @@ class SamplingParams:
     return_logprob: bool = False
     top_logprobs_num: int = 0
     logprob_start_len: int = -1
+    # thinking-budget truncation (reference sampling_params.py:52):
+    # after ``thinking_budget`` generated tokens the sampler force-emits
+    # the think-end token; deactivates if the model closes naturally.
+    # ``think_end_id`` comes from the tokenizer ("</think>") or may be
+    # given explicitly (tokenizer-free serving).
+    thinking_budget: Optional[int] = None
+    think_end_id: Optional[int] = None
+    # custom logit processor: serialized CustomLogitProcessor (to_str)
+    # + its per-request params; requires --enable-custom-logit-processor
+    custom_logit_processor: Optional[str] = None
+    custom_params: Optional[Dict[str, Any]] = None
 
     def __post_init__(self):
         self.verify()
@@ -53,6 +64,8 @@ class SamplingParams:
             raise ValueError("max_new_tokens must be >= 0")
         if self.repetition_penalty <= 0:
             raise ValueError("repetition_penalty must be > 0")
+        if self.thinking_budget is not None and self.thinking_budget <= 0:
+            raise ValueError("thinking_budget must be > 0")
         n_constraints = sum(
             x is not None for x in (self.json_schema, self.regex, self.ebnf)
         )
@@ -80,3 +93,23 @@ class SamplingParams:
             or self.repetition_penalty != 1.0
             or self.min_new_tokens > 0
         )
+
+
+def resolve_think_end_id(sp: "SamplingParams", tokenizer) -> None:
+    """Fill ``think_end_id`` from the tokenizer's ``</think>`` token when
+    a thinking budget is requested without an explicit id (reference
+    reads ``tokenizer.think_end_id``, sampling_batch_info.py:88)."""
+    if not sp.thinking_budget or sp.think_end_id is not None:
+        return
+    if tokenizer is None:
+        return
+    tid = getattr(tokenizer, "think_end_id", None)
+    if tid is None:
+        try:
+            tid = tokenizer.convert_tokens_to_ids("</think>")
+            unk = getattr(tokenizer, "unk_token_id", None)
+            if tid is None or tid < 0 or tid == unk:
+                tid = None
+        except Exception:  # noqa: BLE001
+            tid = None
+    sp.think_end_id = tid

@@ -386,6 +386,7 @@ class Scheduler:
         if k > 1 and (
             self._needs_penalties(self.running_batch)
             or self._has_grammar(self.running_batch)
+            or self._has_custom(self.running_batch)
         ):
             # penalty/grammar state must refresh between tokens; fall back
             # to single-step decode while such requests are running
@@ -588,9 +589,9 @@ class Scheduler:
         # while constrained requests are active (reference computes masks
         # one step behind with a 1-deep overlap, SURVEY B.8)
         max_inflight = self.max_inflight
-        if self._has_grammar(self.running_batch) or self._needs_penalties(
-            self.running_batch
-        ):
+        if (self._has_grammar(self.running_batch)
+                or self._needs_penalties(self.running_batch)
+                or self._has_custom(self.running_batch)):
             # penalty state is built from resolved output_ids; running with
             # a deep pipeline would lag the repetition window by up to
             # depth-1 sampled-but-unresolved tokens (reference overlap lags
@@ -844,6 +845,13 @@ class Scheduler:
     def _has_grammar(reqs: List[Req]) -> bool:
         return any(r.grammar is not None for r in reqs)
 
+    @staticmethod
+    def _has_custom(reqs: List[Req]) -> bool:
+        return any(
+            r.sampling_params.custom_logit_processor is not None
+            for r in reqs
+        )
+
     def _sampling_meta(self, reqs: List[Req], pad_to: int) -> SamplingMetadata:
         sps = [r.sampling_params for r in reqs]
         meta = SamplingMetadata.from_lists(
@@ -880,6 +888,42 @@ class Scheduler:
         meta.want_logprobs = any(
             r.sampling_params.return_logprob for r in reqs
         )
+        # thinking budget (reference sampling_batch_info.py:88-105):
+        # absolute stop = prompt_len + budget; deactivated once the
+        # think-end token shows up naturally in the output
+        if any(r.sampling_params.thinking_budget
+               and r.sampling_params.think_end_id is not None
+               for r in reqs):
+            think_stop = np.full((pad_to,), -1, np.int32)
+            think_end = np.full((pad_to,), -1, np.int32)
+            for i, r in enumerate(reqs):
+                sp = r.sampling_params
+                if not sp.thinking_budget or sp.think_end_id is None:
+                    continue
+                if sp.think_end_id in r.output_ids:
+                    continue          # closed naturally
+                think_stop[i] = (len(r.origin_input_ids)
+                                 + sp.thinking_budget)
+                think_end[i] = sp.think_end_id
+            meta.think_stop = think_stop
+            meta.think_end = think_end
+        if self._has_custom(reqs):
+            from sglang_fluentllm_tpu.sched.custom_logit_processor import (
+                CustomLogitProcessor,
+            )
+
+            procs = []
+            for i, r in enumerate(reqs):
+                sp = r.sampling_params
+                if sp.custom_logit_processor is None:
+                    continue
+                procs.append((
+                    i,
+                    CustomLogitProcessor.from_str(
+                        sp.custom_logit_processor),
+                    sp.custom_params,
+                ))
+            meta.custom_procs = procs
         if not self._needs_penalties(reqs):
             return meta
         from sglang_fluentllm_tpu.utils import next_power_of_2

@@ -114,3 +114,121 @@ class TestOffloader:
         a = e.generate(input_ids=[3, 5, 7], sampling_params=sp)
         b = e.generate(input_ids=[3, 5, 7], sampling_params=sp)
         assert a["output_ids"] == b["output_ids"]
+
+
+class TestThinkingBudget:
+    def test_forces_think_end_at_budget(self):
+        """After thinking_budget generated tokens the engine emits the
+        think-end token in-jit (reference apply_thinking_budgets)."""
+        from tests.utils import tiny_engine
+
+        e = tiny_engine()
+        END = 99
+        out = e.generate(
+            input_ids=[3, 5, 7, 11],
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                             "thinking_budget": 3, "think_end_id": END},
+        )
+        ids = out["output_ids"]
+        assert len(ids) == 8
+        assert ids[3] == END, ids
+        # baseline without a budget differs at that position (dummy
+        # weights never greedily pick 99 four steps in a row)
+        base = e.generate(
+            input_ids=[3, 5, 7, 11],
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0},
+        )["output_ids"]
+        assert base[:3] == ids[:3]
+
+    def test_natural_close_deactivates(self):
+        """A row that emits think_end naturally before the budget is
+        never force-truncated (in-window deactivation in the fused
+        decode scan)."""
+        from tests.utils import tiny_engine
+
+        e = tiny_engine()
+        base = e.generate(
+            input_ids=[3, 5, 7, 11],
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0},
+        )["output_ids"]
+        # think-end = the token the model emits naturally at step 1;
+        # budget would otherwise force it again at step 5
+        out = e.generate(
+            input_ids=[3, 5, 7, 11],
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                             "thinking_budget": 4,
+                             "think_end_id": int(base[0])},
+        )
+        assert out["output_ids"] == base
+
+    def test_invalid_budget_rejected(self):
+        import pytest
+
+        from sglang_fluentllm_tpu.sched.sampling_params import (
+            SamplingParams,
+        )
+
+        with pytest.raises(ValueError):
+            SamplingParams(thinking_budget=0)
+
+
+from sglang_fluentllm_tpu.sched.custom_logit_processor import (  # noqa: E402
+    CustomLogitProcessor,
+)
+
+
+class BoostProcessor(CustomLogitProcessor):
+    def __call__(self, logits, custom_param_list=None):
+        import numpy as np
+
+        out = np.asarray(logits).copy()
+        p = (custom_param_list or [{}])[0]
+        out[:, int(p.get("token_id", 0))] += float(p.get("boost", 0.0))
+        return out
+
+
+class TestCustomLogitProcessor:
+    def test_serialization_roundtrip(self):
+        s = BoostProcessor().to_str()
+        proc = CustomLogitProcessor.from_str(s)
+        import numpy as np
+
+        lg = np.zeros((1, 8), np.float32)
+        out = proc(lg, [{"token_id": 3, "boost": 5.0}])
+        assert out[0, 3] == 5.0 and out[0, 0] == 0.0
+
+    def test_requires_enable_flag(self):
+        import pytest
+
+        from tests.utils import tiny_engine
+
+        e = tiny_engine()
+        with pytest.raises(ValueError, match="enable-custom"):
+            e.generate(
+                input_ids=[3, 5, 7],
+                sampling_params={
+                    "max_new_tokens": 2,
+                    "custom_logit_processor": BoostProcessor().to_str(),
+                },
+            )
+
+    def test_processor_steers_sampling(self):
+        """A +1e9 boost on one token makes greedy pick it every step."""
+        from tests.utils import tiny_engine
+
+        e = tiny_engine(enable_custom_logit_processor=True)
+        out = e.generate(
+            input_ids=[3, 5, 7],
+            sampling_params={
+                "max_new_tokens": 4, "temperature": 0.0,
+                "custom_logit_processor": BoostProcessor().to_str(),
+                "custom_params": {"token_id": 42, "boost": 1e9},
+            },
+        )
+        assert out["output_ids"] == [42, 42, 42, 42]
+        # and without it, a different greedy path
+        base = e.generate(
+            input_ids=[3, 5, 7],
+            sampling_params={"max_new_tokens": 4, "temperature": 0.0},
+        )
+        assert base["output_ids"] != [42, 42, 42, 42]
