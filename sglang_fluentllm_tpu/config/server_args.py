@@ -91,6 +91,9 @@ class ServerArgs:
     decode_bs_buckets: Optional[List[int]] = None
     prefill_token_buckets: Optional[List[int]] = None
     disable_jit_warmup: bool = False
+    # named custom warmups run at startup (entrypoints/warmup.py
+    # registry; reference srt/warmup.py --warmups)
+    warmups: Optional[List[str]] = None
     # decode steps fused into one device program (host cost amortization —
     # the analog of the reference fusing multi-step spec decode into a
     # single CUDA graph). 1 = classic one-step decode.
@@ -204,8 +207,9 @@ class ServerArgs:
                         name, dest=f.name, action="store_true", default=False
                     )
             elif "List" in str(ftype):
-                parser.add_argument(name, dest=f.name, type=int, nargs="*",
-                                    default=default)
+                etype = str if "str" in str(ftype) else int
+                parser.add_argument(name, dest=f.name, type=etype,
+                                    nargs="*", default=default)
             else:
                 pytype = str
                 s = str(ftype)

@@ -854,6 +854,12 @@ def launch_server(server_args: ServerArgs):
     server = HttpServer(engine)
 
     async def _on_startup(app):
+        if server_args.warmups:
+            from sglang_fluentllm_tpu.entrypoints.warmup import (
+                execute_warmups,
+            )
+
+            await execute_warmups(server_args.warmups, engine)
         logger.info(
             "server ready on http://%s:%d", server_args.host,
             server_args.port,
