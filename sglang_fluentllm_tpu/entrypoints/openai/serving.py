@@ -71,6 +71,20 @@ class OpenAIServing:
             if m.name:
                 d["name"] = m.name
             messages.append(d)
+        if self.engine.server_args.chat_template == "longcat":
+            from sglang_fluentllm_tpu.entrypoints.openai import (
+                longcat_prompt,
+            )
+
+            text = longcat_prompt.build_input(
+                messages,
+                tools=([t.model_dump() for t in request.tools]
+                       if request.tools else None),
+                tool_choice=(request.tool_choice.model_dump()
+                             if hasattr(request.tool_choice, "model_dump")
+                             else request.tool_choice),
+            )
+            return tok.encode(text)
         kwargs: Dict[str, Any] = {}
         if request.tools:
             kwargs["tools"] = [t.model_dump() for t in request.tools]
@@ -136,7 +150,47 @@ class OpenAIServing:
 
         # tool-call extraction (function_call/parser.py)
         tool_calls = None
-        if request.tools and request.tool_choice != "none":
+        if (self.engine.server_args.chat_template == "longcat"
+                and request.tools and request.tool_choice != "none"):
+            from sglang_fluentllm_tpu.entrypoints.openai import (
+                longcat_prompt,
+            )
+
+            parsed = longcat_prompt.parse_response(
+                text,
+                tool_choice=(request.tool_choice.model_dump()
+                             if hasattr(request.tool_choice, "model_dump")
+                             else request.tool_choice),
+            )
+            text = parsed.get("content")
+            reasoning = parsed.get("reasoning_content") or reasoning
+            if parsed.get("tool_calls"):
+                import uuid as _uuid
+
+                from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+                    FunctionCall,
+                    ToolCall,
+                )
+
+                tool_calls = [
+                    ToolCall(
+                        id=f"call_{_uuid.uuid4().hex[:24]}",
+                        index=i,
+                        function=FunctionCall(
+                            name=c["function"]["name"],
+                            arguments=(
+                                c["function"]["arguments"]
+                                if isinstance(c["function"]["arguments"],
+                                              str)
+                                else __import__("json").dumps(
+                                    c["function"]["arguments"])),
+                        ),
+                    )
+                    for i, c in enumerate(parsed["tool_calls"])
+                    if c.get("type") == "function"
+                ]
+                finish = "tool_calls"
+        elif request.tools and request.tool_choice != "none":
             from sglang_fluentllm_tpu.function_call.parser import (
                 FunctionCallParser,
             )
