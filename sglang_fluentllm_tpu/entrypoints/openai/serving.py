@@ -71,6 +71,16 @@ class OpenAIServing:
             if m.name:
                 d["name"] = m.name
             messages.append(d)
+        if self.engine.server_args.chat_template in ("harmony",
+                                                     "gpt-oss"):
+            from sglang_fluentllm_tpu.entrypoints.openai import harmony
+
+            text = harmony.render_conversation(
+                messages,
+                tools=([t.model_dump() for t in request.tools]
+                       if request.tools else None),
+            )
+            return tok.encode(text)
         if self.engine.server_args.chat_template == "longcat":
             from sglang_fluentllm_tpu.entrypoints.openai import (
                 longcat_prompt,
@@ -150,7 +160,33 @@ class OpenAIServing:
 
         # tool-call extraction (function_call/parser.py)
         tool_calls = None
-        if (self.engine.server_args.chat_template == "longcat"
+        if self.engine.server_args.chat_template in ("harmony",
+                                                     "gpt-oss"):
+            from sglang_fluentllm_tpu.entrypoints.openai import harmony
+
+            parsed = harmony.parse_output(text)
+            text = parsed.get("content")
+            reasoning = parsed.get("reasoning_content") or reasoning
+            if parsed.get("tool_calls"):
+                import uuid as _uuid
+
+                from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+                    FunctionCall,
+                    ToolCall,
+                )
+
+                tool_calls = [
+                    ToolCall(
+                        id=f"call_{_uuid.uuid4().hex[:24]}",
+                        index=i,
+                        function=FunctionCall(
+                            name=c["function"]["name"],
+                            arguments=c["function"]["arguments"]),
+                    )
+                    for i, c in enumerate(parsed["tool_calls"])
+                ]
+                finish = "tool_calls"
+        elif (self.engine.server_args.chat_template == "longcat"
                 and request.tools and request.tool_choice != "none"):
             from sglang_fluentllm_tpu.entrypoints.openai import (
                 longcat_prompt,

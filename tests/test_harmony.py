@@ -1,0 +1,105 @@
+"""gpt-oss Harmony chat format (harmony_utils analog)."""
+
+from sglang_fluentllm_tpu.entrypoints.openai import harmony as hy
+
+TOOLS = [{
+    "type": "function",
+    "function": {
+        "name": "get_weather",
+        "description": "Weather lookup",
+        "parameters": {
+            "type": "object",
+            "properties": {"city": {"type": "string"}},
+            "required": ["city"],
+        },
+    },
+}]
+
+
+class TestRender:
+    def test_system_and_channels_header(self):
+        p = hy.render_conversation(
+            [{"role": "user", "content": "hi"}])
+        assert p.startswith("<|start|>system<|message|>")
+        assert "Reasoning: medium" in p
+        assert "# Valid channels: analysis, commentary, final." in p
+        assert "<|start|>user<|message|>hi<|end|>" in p
+        assert p.endswith("<|start|>assistant")
+
+    def test_system_message_becomes_developer_instructions(self):
+        p = hy.render_conversation([
+            {"role": "system", "content": "answer in French"},
+            {"role": "user", "content": "hi"},
+        ])
+        assert ("<|start|>developer<|message|># Instructions\n\n"
+                "answer in French<|end|>") in p
+
+    def test_tools_render_and_commentary_routing_note(self):
+        p = hy.render_conversation(
+            [{"role": "user", "content": "w?"}], tools=TOOLS)
+        assert "namespace functions {" in p
+        assert "type get_weather" in p
+        assert "commentary channel: 'functions'" in p
+
+    def test_history_tool_call_and_response(self):
+        p = hy.render_conversation([
+            {"role": "user", "content": "w?"},
+            {"role": "assistant", "tool_calls": [
+                {"type": "function",
+                 "function": {"name": "get_weather",
+                              "arguments": '{"city": "SF"}'}}]},
+            {"role": "tool", "name": "get_weather", "content": "sunny"},
+        ], tools=TOOLS)
+        assert ("<|start|>assistant<|channel|>commentary "
+                "to=functions.get_weather<|constrain|>json"
+                '<|message|>{"city": "SF"}<|call|>') in p
+        assert ("<|start|>functions.get_weather to=assistant"
+                "<|channel|>commentary<|message|>sunny<|end|>") in p
+
+
+class TestParse:
+    def test_analysis_and_final_split(self):
+        out = hy.parse_output(
+            "<|channel|>analysis<|message|>let me think"
+            "<|end|><|start|>assistant<|channel|>final"
+            "<|message|>the answer<|return|>")
+        assert out["reasoning_content"] == "let me think"
+        assert out["content"] == "the answer"
+        assert out["tool_calls"] is None
+
+    def test_commentary_tool_call(self):
+        out = hy.parse_output(
+            "<|channel|>analysis<|message|>need weather<|end|>"
+            "<|start|>assistant<|channel|>commentary "
+            "to=functions.get_weather<|constrain|>json"
+            '<|message|>{"city": "SF"}<|call|>')
+        assert out["tool_calls"][0]["function"]["name"] == "get_weather"
+        assert out["tool_calls"][0]["function"]["arguments"] == (
+            '{"city": "SF"}')
+        assert out["reasoning_content"] == "need weather"
+
+    def test_plain_text_without_channels(self):
+        out = hy.parse_output("no channels here")
+        assert out["content"] == "no channels here"
+        assert out["tool_calls"] is None
+
+    def test_render_parse_roundtrip_through_detector(self):
+        """The render-side call format parses with the existing
+        GptOssDetector too (same grammar both ways)."""
+        from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+            Function,
+            Tool,
+        )
+        from sglang_fluentllm_tpu.function_call.parser import (
+            FunctionCallParser,
+        )
+
+        tools = [Tool(function=Function(
+            name="get_weather",
+            parameters={"type": "object"}))]
+        text = ("<|channel|>commentary to=functions.get_weather"
+                '<|constrain|>json<|message|>{"city": "SF"}<|call|>')
+        parser = FunctionCallParser(tools, "gpt-oss")
+        assert parser.has_tool_call(text)
+        _, items = parser.parse_non_stream(text)
+        assert items and items[0].name == "get_weather"
