@@ -81,6 +81,17 @@ def _recurrent_step(q, k, v, g, beta, state):
     return out, state
 
 
+def gdn_pallas_mode() -> str:
+    """'auto' (Pallas on real TPU), 'interpret' (Pallas everywhere, for
+    tests), or 'off' — env SFT_GDN_PALLAS overrides."""
+    import os
+
+    mode = os.environ.get("SFT_GDN_PALLAS", "auto")
+    if mode == "auto":
+        return "auto" if jax.default_backend() == "tpu" else "off"
+    return mode
+
+
 def _chunked(q, k, v, g, beta, state):
     """Chunked delta rule. q/k [B, Hv, S, Dk] (l2normed, q scaled),
     v [B, Hv, S, Dv], g/beta [B, Hv, S] (g pre-masked, NOT cumsummed),
@@ -114,6 +125,21 @@ def _chunked(q, k, v, g, beta, state):
     )
     u = attn @ v_beta                                  # [B,H,N,C,Dv]
     k_cumdecay = attn @ (k_beta * jnp.exp(g)[..., None])
+
+    mode = gdn_pallas_mode()
+    if mode != "off":
+        from sglang_fluentllm_tpu.ops.pallas_gdn import (
+            gdn_chunk_scan,
+            supported,
+        )
+
+        if supported(CHUNK, Dk, Dv):
+            out, state = gdn_chunk_scan(
+                q, k, u, k_cumdecay, decay, g, state,
+                interpret=(mode == "interpret"),
+            )
+            return out.reshape(B, H, S, Dv), state
+
     strict = jnp.tril(jnp.ones((CHUNK, CHUNK), bool))  # incl diag
 
     def chunk_step(state, xs):

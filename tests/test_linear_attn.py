@@ -192,3 +192,40 @@ class TestConv:
             np.asarray(full_out), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(st2), np.asarray(full_state),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPallasGdnKernel:
+    def test_interpret_matches_xla_scan(self):
+        """The Pallas chunk-scan kernel (interpret mode) reproduces the
+        XLA lax.scan path bit-for-bit-ish on a long ragged batch."""
+        import os
+
+        import numpy as np
+
+        from sglang_fluentllm_tpu.ops import linear_attn as la
+
+        rng = np.random.RandomState(5)
+        B, S, H, D = 2, 200, 2, 128
+        q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+        k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+        v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+        g = -np.abs(rng.standard_normal((B, S, H))).astype(np.float32)
+        beta = rng.uniform(0.2, 0.9, (B, S, H)).astype(np.float32)
+        st = np.zeros((B, H, D, D), np.float32)
+        qlen = np.asarray([200, 130], np.int32)
+
+        saved = os.environ.get("SFT_GDN_PALLAS")
+        try:
+            os.environ["SFT_GDN_PALLAS"] = "off"
+            o1, s1 = la.gated_delta_rule(q, k, v, g, beta, st, qlen)
+            os.environ["SFT_GDN_PALLAS"] = "interpret"
+            o2, s2 = la.gated_delta_rule(q, k, v, g, beta, st, qlen)
+        finally:
+            if saved is None:
+                os.environ.pop("SFT_GDN_PALLAS", None)
+            else:
+                os.environ["SFT_GDN_PALLAS"] = saved
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o2), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=2e-4, atol=2e-4)
