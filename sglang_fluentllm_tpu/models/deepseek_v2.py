@@ -519,10 +519,30 @@ class DeepseekV2ForCausalLM:
         # weights_proj(x.float()) * h^-0.5 * softmax_scale(d^-0.5)
         w = (h[:, 0].astype(jnp.float32) @ lp["idx_weights_proj"]
              .astype(jnp.float32)) * (self.idx_heads ** -0.5)             * (d_idx ** -0.5)
-        keys = page_gather(
-            kv_cache.idx[layer_id], batch.page_tables, batch.page_size
-        )[..., :d_idx]
-        scores = indexer_scores(q_idx, w, keys, batch.seq_lens)
+        from sglang_fluentllm_tpu.ops.attention.pallas_dsa_indexer import (
+            dsa_indexer_scores_paged,
+            dsa_pallas_mode,
+            supported as idx_supported,
+        )
+
+        mode = dsa_pallas_mode()
+        if mode != "off" and idx_supported(
+            batch.page_size, self.idx_heads, batch.page_tables.shape[1]
+        ):
+            # stream index keys straight from the paged pool (no HBM
+            # materialization of the gathered [B, T, d] keys)
+            scores = dsa_indexer_scores_paged(
+                q_idx, w, kv_cache.idx, layer_id,
+                batch.page_tables, batch.seq_lens,
+                page_size=batch.page_size,
+                interpret=(mode == "interpret"),
+            )
+        else:
+            keys = page_gather(
+                kv_cache.idx[layer_id], batch.page_tables,
+                batch.page_size
+            )[..., :d_idx]
+            scores = indexer_scores(q_idx, w, keys, batch.seq_lens)
         pos, valid = select_topk(scores, self.idx_topk)
         slots = gather_slots(batch.page_tables, pos, batch.page_size)
 

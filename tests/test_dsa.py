@@ -184,3 +184,38 @@ class TestDsaEngine:
         wt = fused
         assert wt[:, :ql].shape == lp["q_a_proj"].shape
         np.testing.assert_array_equal(wt[:, ql:ql + di], lp["idx_wk"])
+
+
+class TestPallasIndexer:
+    def test_matches_xla_gather_path(self):
+        """Pallas paged indexer scoring (interpret) == page_gather +
+        indexer_scores, including padding rows and non-consecutive
+        page tables."""
+        import jax.numpy as jnp
+
+        from sglang_fluentllm_tpu.ops.attention.dsa import indexer_scores
+        from sglang_fluentllm_tpu.ops.attention.pallas_dsa_indexer import (
+            dsa_indexer_scores_paged,
+            supported,
+        )
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            page_gather,
+        )
+
+        rng = np.random.RandomState(2)
+        ps, P, B, h, d = 32, 8, 3, 8, 128
+        assert supported(ps, h, P)
+        slots = (P * 4 + 20) * ps           # slack past the last run
+        pool = rng.standard_normal((2, slots, d)).astype(np.float32)
+        pt = np.stack([
+            rng.permutation(P * 4)[:P] for _ in range(B)
+        ]).astype(np.int32)
+        seq = np.asarray([200, 256, 3], np.int32)
+        q = rng.standard_normal((B, h, d)).astype(np.float32)
+        w = rng.standard_normal((B, h)).astype(np.float32)
+        got = np.asarray(dsa_indexer_scores_paged(
+            q, w, pool, 1, pt, seq, page_size=ps, interpret=True))
+        keys = page_gather(jnp.asarray(pool)[1], jnp.asarray(pt), ps)
+        ref = np.asarray(indexer_scores(q, w, keys, seq))
+        ref = np.where(np.isinf(ref), -1e30, ref)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
