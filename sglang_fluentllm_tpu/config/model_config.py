@@ -302,6 +302,17 @@ class ModelConfig:
             mc.topk_method = "noaux_tc"
             mc.n_group = cfg.get("num_expert_group", 1) or 1
             mc.num_shared_experts = cfg.get("num_shared_experts", 0) or 0
+        if mc.model_type == "qwen":
+            # Qwen-1 (QWenLMHeadModel): RMSNorm eps under
+            # layer_norm_epsilon; config intermediate_size is 2x the MLP
+            # width (reference models/qwen.py:171 passes
+            # intermediate_size // 2); qkv has biases (c_attn)
+            mc.rms_norm_eps = cfg.get("layer_norm_epsilon", 1e-6)
+            mc.intermediate_size = mc.intermediate_size // 2
+            mc.rope_theta = cfg.get("rotary_emb_base", 10000.0)
+            mc.attention_bias = True
+            mc.max_position_embeddings = cfg.get(
+                "seq_length", mc.max_position_embeddings)
         if mc.model_type == "glm4_moe":
             # HF Glm4MoeConfig encodes V3-style routing implicitly
             # (sigmoid scores + bias-corrected group-limited selection,

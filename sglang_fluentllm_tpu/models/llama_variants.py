@@ -123,6 +123,47 @@ class BaichuanForCausalLM(LlamaForCausalLM):
         return super().load_weights(_remap(named_tensors, split), dtype)
 
 
+@register("QWenLMHeadModel")
+class QWenLMHeadModel(LlamaForCausalLM):
+    """Qwen-1 (reference ``srt/models/qwen.py``): llama body with fused
+    biased c_attn, w2/w1 gate/up naming, and transformer.h checkpoint
+    layout."""
+
+    has_qkv_bias = True
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        c = self.config
+        qd = c.num_attention_heads * c.head_dim
+
+        def split(name, w):
+            if name.startswith("transformer."):
+                name = name[len("transformer."):]
+            name = (name
+                    .replace("wte.weight", "embed_tokens.weight")
+                    .replace("ln_f.weight", "norm.weight"))
+            if name.startswith("h."):
+                name = "layers." + name[len("h."):]
+            name = (name
+                    .replace(".ln_1.", ".input_layernorm.")
+                    .replace(".ln_2.", ".post_attention_layernorm.")
+                    .replace(".attn.c_proj.", ".self_attn.o_proj.")
+                    # w2 is the gate, w1 the up projection
+                    # (reference stacked_params qwen.py:268-269)
+                    .replace(".mlp.w2.", ".mlp.gate_proj.")
+                    .replace(".mlp.w1.", ".mlp.up_proj.")
+                    .replace(".mlp.c_proj.", ".mlp.down_proj."))
+            if ".attn.c_attn." in name:
+                base = name.split(".attn.c_attn.")[0] + ".self_attn."
+                kind = name.rsplit(".", 1)[1]          # weight | bias
+                yield base + f"q_proj.{kind}", w[:qd]
+                yield base + f"k_proj.{kind}", w[qd:2 * qd]
+                yield base + f"v_proj.{kind}", w[2 * qd:]
+            else:
+                yield name, w
+
+        return super().load_weights(_remap(named_tensors, split), dtype)
+
+
 @register("ExaoneForCausalLM")
 class ExaoneForCausalLM(LlamaForCausalLM):
     """EXAONE: llama body under transformer.h/attn.attention/c_fc_0

@@ -292,3 +292,72 @@ class TestQwen3NextHybrid:
         out2 = e.generate(input_ids=[3, 11, 42, 7, 19], sampling_params=SP)
         assert out["output_ids"] == out2["output_ids"]
         assert out2["meta_info"]["cached_tokens"] == 0
+
+
+class TestQwen1:
+    """Qwen-1 legacy arch (reference srt/models/qwen.py)."""
+
+    CFG = {
+        "architectures": ["QWenLMHeadModel"],
+        "model_type": "qwen",
+        "hidden_size": 64,
+        "intermediate_size": 256,     # 2x the true MLP width
+        "num_attention_heads": 4,
+        "num_hidden_layers": 2,
+        "vocab_size": 128,
+        "seq_length": 256,
+        "layer_norm_epsilon": 1e-6,
+        "rotary_emb_base": 10000.0,
+        "no_bias": True,
+        "tie_word_embeddings": False,
+    }
+
+    def test_generates(self):
+        e = tiny_engine(self.CFG)
+        sp = {"max_new_tokens": 5, "temperature": 0.0}
+        a = e.generate(input_ids=[3, 9, 27], sampling_params=sp)
+        b = e.generate(input_ids=[3, 9, 27], sampling_params=sp)
+        assert a["output_ids"] == b["output_ids"]
+        assert len(a["output_ids"]) == 5
+
+    def test_checkpoint_name_mapping(self):
+        """transformer.h c_attn/w1/w2 checkpoints land in the llama
+        parameter layout (fused qkv split + gate/up order)."""
+        import numpy as np
+
+        e = tiny_engine(self.CFG)
+        model = e.runner.model
+        c = e.runner.model_config
+        assert c.intermediate_size == 128       # halved at parse
+        rng = np.random.RandomState(0)
+        H, I, V, L = 64, 128, 128, 2
+        named = [("transformer.wte.weight",
+                  rng.standard_normal((V, H)).astype(np.float32)),
+                 ("transformer.ln_f.weight", np.ones(H, np.float32)),
+                 ("lm_head.weight",
+                  rng.standard_normal((V, H)).astype(np.float32))]
+        gate = {}
+        for i in range(L):
+            pre = f"transformer.h.{i}."
+            named += [
+                (pre + "ln_1.weight", np.ones(H, np.float32)),
+                (pre + "ln_2.weight", np.ones(H, np.float32)),
+                (pre + "attn.c_attn.weight",
+                 rng.standard_normal((3 * H, H)).astype(np.float32)),
+                (pre + "attn.c_attn.bias",
+                 rng.standard_normal((3 * H,)).astype(np.float32)),
+                (pre + "attn.c_proj.weight",
+                 rng.standard_normal((H, H)).astype(np.float32)),
+                (pre + "mlp.w1.weight",
+                 rng.standard_normal((I, H)).astype(np.float32)),
+                (pre + "mlp.w2.weight",
+                 rng.standard_normal((I, H)).astype(np.float32)),
+                (pre + "mlp.c_proj.weight",
+                 rng.standard_normal((H, I)).astype(np.float32)),
+            ]
+            gate[i] = named[-2][1]              # w2 = gate
+        params = model.load_weights(named, dtype=np.float32)
+        import numpy as np
+
+        got_gate = np.asarray(params["layers"]["gate_proj"][0])
+        np.testing.assert_allclose(got_gate, gate[0].T, rtol=1e-6)
