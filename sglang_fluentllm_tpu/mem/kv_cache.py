@@ -91,6 +91,11 @@ class HybridKVCache:
     mha: MHAKVCache
     conv: jax.Array  # [L_lin, R+1, conv_dim, K] conv tail (HF state len)
     rec: jax.Array   # [L_lin, R+1, Hv, Dk, Dv] f32 delta-rule state
+    # spec-verify only: per-layer exact-inverse update records so the
+    # worker can roll rejected window tokens back out of conv/rec
+    # (reference MambaPool speculative state slots role). None outside
+    # TARGET_VERIFY traces.
+    aux: object = None
 
 
 @jax.tree_util.register_dataclass

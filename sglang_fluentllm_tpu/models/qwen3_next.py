@@ -197,7 +197,12 @@ class Qwen3NextForCausalLM:
         idx = jnp.where(batch.state_idx < 0, R_trash, batch.state_idx)
         conv_state = kv.conv[lin_idx][idx]        # [B, conv_dim, K]
         rec_state = kv.rec[lin_idx][idx]          # [B, hv, dk, dv]
-        if batch.mode.is_extend():
+        from sglang_fluentllm_tpu.runtime.forward_batch import (
+            ForwardMode,
+        )
+
+        verify = batch.mode == ForwardMode.TARGET_VERIFY
+        if batch.mode.is_extend() and not verify:
             # rows starting at position 0 are FRESH sequences: the pool
             # row may hold a finished/retracted request's state — reset
             fresh = (batch.positions[:, 0] == 0) & (batch.q_lens > 0)
@@ -230,10 +235,27 @@ class Qwen3NextForCausalLM:
             q = jnp.repeat(q, G, axis=2)
             k = jnp.repeat(k, G, axis=2)
 
-        out, rec_state = gated_delta_rule(
-            q, k, v, g.astype(v.dtype), beta.astype(v.dtype), rec_state,
-            q_len=batch.q_lens if S > 1 else None,
-        )
+        aux = None
+        if verify:
+            # spec verify: per-token recurrence + exact-inverse records
+            # so rejected tokens can be rolled back out of the state
+            # (rollback_linear_state below)
+            from sglang_fluentllm_tpu.ops.linear_attn import (
+                gated_delta_rule_aux,
+            )
+
+            conv_pre = kv.conv[lin_idx][idx]
+            out, rec_state, rec_aux = gated_delta_rule_aux(
+                q, k, v, g.astype(jnp.float32),
+                beta.astype(jnp.float32), rec_state, batch.q_lens,
+            )
+            aux = {"rec": rec_aux, "conv_pre": conv_pre, "mixed": mixed}
+        else:
+            out, rec_state = gated_delta_rule(
+                q, k, v, g.astype(v.dtype), beta.astype(v.dtype),
+                rec_state,
+                q_len=batch.q_lens if S > 1 else None,
+            )
         # gated RMS norm then merge heads (Qwen3NextRMSNormGated)
         out32 = out.astype(jnp.float32)
         var = jnp.mean(out32 * out32, axis=-1, keepdims=True)
@@ -247,6 +269,7 @@ class Qwen3NextForCausalLM:
             mha=kv.mha,
             conv=kv.conv.at[lin_idx, idx].set(conv_state),
             rec=kv.rec.at[lin_idx, idx].set(rec_state),
+            aux=(kv.aux or []) + [aux] if aux is not None else kv.aux,
         )
         return out, kv
 
@@ -272,7 +295,8 @@ class Qwen3NextForCausalLM:
         )
         attn_out = attn_out.reshape(B, S, Hq * D) * jax.nn.sigmoid(gate)
         out = attn_out @ lp["o_proj"]
-        return out, HybridKVCache(mha=mha, conv=kv.conv, rec=kv.rec)
+        return out, HybridKVCache(mha=mha, conv=kv.conv, rec=kv.rec,
+                                  aux=kv.aux)
 
     def _moe(self, lp, x2d):
         c = self.config
@@ -331,6 +355,44 @@ class Qwen3NextForCausalLM:
         w = (params["embed_tokens"].T if self.config.tie_word_embeddings
              else params["lm_head"])
         return (hidden @ w).astype(jnp.float32)
+
+    def rollback_linear_state(self, kv_cache: HybridKVCache,
+                              batch: ForwardBatch,
+                              kept: jax.Array) -> HybridKVCache:
+        """After spec acceptance: invert the conv/rec updates of the
+        window tokens beyond ``kept`` per row (exact; reference MambaPool
+        speculative-state restore role). ``kv_cache.aux`` comes from the
+        TARGET_VERIFY forward."""
+        from sglang_fluentllm_tpu.ops.linear_attn import gdn_rollback
+
+        assert kv_cache.aux is not None
+        conv, rec = kv_cache.conv, kv_cache.rec
+        R_trash = conv.shape[1] - 1
+        idx = jnp.where(batch.state_idx < 0, R_trash, batch.state_idx)
+        K = conv.shape[-1]
+        S = batch.input_ids.shape[1]
+        for lin_i, aux in enumerate(kv_cache.aux):
+            new_rec = gdn_rollback(rec[lin_i][idx], aux["rec"], kept)
+            # conv tail = last K inputs of (pre-window tail ++ kept
+            # window inputs): pure index arithmetic, no inversion needed
+            mixed = aux["mixed"]                  # [B, S, conv_dim]
+            pre = aux["conv_pre"]                 # [B, conv_dim, K]
+            j = jnp.arange(K, dtype=jnp.int32)[None, :]       # [1, K]
+            comb = kept[:, None] + j                          # [B, K]
+            from_pre = comb < K
+            pre_col = jnp.clip(comb, 0, K - 1)
+            win_col = jnp.clip(comb - K, 0, S - 1)
+            pre_vals = jnp.take_along_axis(
+                pre, pre_col[:, None, :], axis=2)             # [B,C,K]
+            win_vals = jnp.take_along_axis(
+                mixed, win_col[:, :, None], axis=1
+            ).swapaxes(1, 2)                                  # [B,C,K]
+            new_conv = jnp.where(
+                from_pre[:, None, :], pre_vals,
+                win_vals.astype(pre.dtype))
+            rec = rec.at[lin_i, idx].set(new_rec)
+            conv = conv.at[lin_i, idx].set(new_conv)
+        return HybridKVCache(mha=kv_cache.mha, conv=conv, rec=rec)
 
     # ------------------------------------------------------------------
     def load_weights(self, named_tensors, dtype=jnp.bfloat16):

@@ -81,6 +81,78 @@ def _recurrent_step(q, k, v, g, beta, state):
     return out, state
 
 
+def gated_delta_rule_aux(
+    q: jax.Array,       # [B, S, Hv, Dk]
+    k: jax.Array,       # [B, S, Hv, Dk]
+    v: jax.Array,       # [B, S, Hv, Dv]
+    g: jax.Array,       # [B, S, Hv] log-decay
+    beta: jax.Array,    # [B, S, Hv]
+    state: jax.Array,   # [B, Hv, Dk, Dv] f32
+    q_len: jax.Array,   # [B] valid tokens (0 = padded row)
+):
+    """Per-token recurrent delta rule for SHORT windows (spec verify)
+    that also returns the exact per-step update aux needed to invert
+    rejected steps:
+
+        state_t = state_{t-1} * exp(g_t) + k_t (x) delta_t
+        =>  state_{t-1} = (state_t - k_t (x) delta_t) * exp(-g_t)
+
+    Returns (out [B, S, Hv, Dv], state', aux) with aux = (k_l2 [B, S,
+    Hv, Dk], delta [B, S, Hv, Dv], g_eff [B, S, Hv]); masked steps
+    (t >= q_len) store zeros so inversion is a no-op.
+    """
+    B, S, H, Dk = q.shape
+    scale = Dk ** -0.5
+    qf = l2norm(q.swapaxes(0, 1).astype(jnp.float32)) * scale  # [S,B,H,Dk]
+    kf = l2norm(k.swapaxes(0, 1).astype(jnp.float32))
+    vf = v.swapaxes(0, 1).astype(jnp.float32)
+    gf = g.swapaxes(0, 1).astype(jnp.float32)
+    bf = beta.swapaxes(0, 1).astype(jnp.float32)
+    tmask = (jnp.arange(S)[:, None] < q_len[None, :])          # [S, B]
+
+    def step(state, xs):
+        qt, kt, vt, gt, bt, m = xs
+        gt = jnp.where(m[:, None], gt, 0.0)
+        st = state * jnp.exp(gt)[..., None, None]
+        kv_mem = jnp.einsum("bhkv,bhk->bhv", st, kt)
+        delta = (vt - kv_mem) * bt[..., None]
+        delta = jnp.where(m[:, None, None], delta, 0.0)
+        st = st + kt[..., :, None] * delta[..., None, :]
+        out = jnp.einsum("bhkv,bhk->bhv", st, qt)
+        return st, (out, kt, delta, gt)
+
+    state, (outs, ks, deltas, gs) = jax.lax.scan(
+        step, state.astype(jnp.float32),
+        (qf, kf, vf, gf, bf, tmask),
+    )
+    out = outs.swapaxes(0, 1).astype(v.dtype)
+    aux = (ks.swapaxes(0, 1), deltas.swapaxes(0, 1),
+           gs.swapaxes(0, 1))
+    return out, state, aux
+
+
+def gdn_rollback(
+    state: jax.Array,   # [B, Hv, Dk, Dv] f32 (post-window)
+    aux,                # (k_l2, delta, g_eff) from gated_delta_rule_aux
+    kept: jax.Array,    # [B] window tokens to keep
+) -> jax.Array:
+    """Exactly invert the state updates of steps t >= kept."""
+    ks, deltas, gs = aux
+    S = ks.shape[1]
+
+    def step(st, t):
+        undo = (t >= kept)[:, None]
+        gt = jnp.where(undo, gs[:, t], 0.0)
+        dt = jnp.where(undo[..., None], deltas[:, t], 0.0)
+        st = st - ks[:, t][..., :, None] * dt[..., None, :]
+        st = st * jnp.exp(-gt)[..., None, None]
+        return st, None
+
+    state, _ = jax.lax.scan(
+        step, state, jnp.arange(S - 1, -1, -1, dtype=jnp.int32))
+    return state
+
+
 def gdn_pallas_mode() -> str:
     """'auto' (Pallas on real TPU), 'interpret' (Pallas everywhere, for
     tests), or 'off' — env SFT_GDN_PALLAS overrides."""

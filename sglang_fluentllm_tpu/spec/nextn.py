@@ -556,3 +556,102 @@ class MoeNextNDraftModel(DeepseekNextNDraftModel):
             x = x + (jax.nn.silu(normed2 @ lp["gate_proj"])
                      * (normed2 @ lp["up_proj"])) @ lp["down_proj"]
         return x, kv_cache
+
+
+class Qwen3NextMtpDraftModel(MoeNextNDraftModel):
+    """Qwen3-Next MTP draft (reference ``models/qwen3_next_mtp.py``: the
+    MTP model forces ``full_attention_interval = 1``, so the single
+    draft layer is the gated FULL-attention block + MoE — no GDN state).
+    The draft's 1-layer KV pool is plain MHA; the target's
+    ``_full_layer`` expects its HybridKVCache wrapper, so the draft
+    wraps/unwraps around the call."""
+
+    def param_shapes(self):
+        c = self.config
+        H = c.hidden_size
+        layer = {**self.target._full_shapes(c),
+                 **self.target._mlp_shapes(c)}
+        return {
+            "enorm": (H,),
+            "hnorm": (H,),
+            "eh_proj": (2 * H, H),
+            "final_norm": (H,),
+            "layer": layer,
+        }
+
+    def _layer(self, params, kv_cache, x, batch: ForwardBatch):
+        from sglang_fluentllm_tpu.mem.kv_cache import HybridKVCache
+
+        c = self.config
+        lp = params["layer"]
+        eps = c.rms_norm_eps
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+        normed = rms_norm(x, lp["input_layernorm"], eps)
+        z = jnp.zeros((0,), x.dtype)
+        hk = HybridKVCache(mha=kv_cache, conv=z, rec=z)
+        attn_out, hk = self.target._full_layer(
+            lp, normed, hk, 0, batch, cos, sin
+        )
+        x = x + attn_out
+        normed2 = rms_norm(x, lp["post_attention_layernorm"], eps)
+        B, S, H = x.shape
+        x = x + self.target._moe(lp, normed2.reshape(B * S, H)).reshape(
+            B, S, H)
+        return x, hk.mha
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        """MTP checkpoint: layers.{L} (or a standalone layer-0 export)
+        with qwen3-next full-attention + MoE names, plus the
+        enorm/hnorm/eh_proj fusion tensors."""
+        import re as _re
+
+        staged: Dict[str, Any] = {}
+        layer_pairs = []
+        li_seen = set()
+        for name, w in named_tensors:
+            n = name
+            if n.startswith("model."):
+                n = n[len("model."):]
+            if n.startswith("mtp."):
+                n = n[len("mtp."):]
+            m = _re.match(r"layers\.(\d+)\.(.*)", n)
+            if m:
+                li_seen.add(int(m.group(1)))
+                layer_pairs.append((int(m.group(1)), m.group(2), w))
+            elif n in ("enorm.weight", "hnorm.weight",
+                       "pre_fc_norm_embedding.weight",
+                       "pre_fc_norm_hidden.weight"):
+                key = ("enorm" if "emb" in n or n.startswith("enorm")
+                       else "hnorm")
+                staged[key] = w
+            elif n in ("eh_proj.weight", "fc.weight"):
+                staged["eh_proj"] = np.asarray(w).T
+            elif n in ("shared_head.norm.weight", "norm.weight",
+                       "final_layernorm.weight"):
+                staged["final_norm"] = w
+        mtp_li = max(li_seen) if li_seen else 0
+        sub = [("layers.0." + rest, w)
+               for li, rest, w in layer_pairs if li == mtp_li]
+        one_cfg = dataclasses.replace(
+            self.config, num_hidden_layers=1,
+            hf_config=dict(self.config.hf_config,
+                           layer_types=["full_attention"]),
+            layer_types=["full_attention"],
+        )
+        helper = type(self.target)(one_cfg, self.attn)
+        V, H = 1, self.config.hidden_size
+        helper_params = helper.load_weights(
+            sub + [("embed_tokens.weight", np.zeros((V, H), np.float32)),
+                   ("norm.weight", np.ones((H,), np.float32)),
+                   ("lm_head.weight", np.zeros((V, H), np.float32))],
+            dtype,
+        )
+        layer = {k: v[0] for k, v in helper_params["full_layers"].items()}
+        return {
+            "enorm": jnp.asarray(staged["enorm"], dtype),
+            "hnorm": jnp.asarray(staged["hnorm"], dtype),
+            "eh_proj": jnp.asarray(staged["eh_proj"], dtype),
+            "final_norm": jnp.asarray(staged["final_norm"], dtype),
+            "layer": layer,
+        }

@@ -123,6 +123,16 @@ class SpecWorker:
                 # without the deepseek block API (LongCat ScMoE) fall
                 # back to the llama-style shared-weight draft.
                 cls = DeepseekNextNDraftModel
+            elif (runner.model_config.is_hybrid_linear
+                  and hasattr(runner.model, "_full_layer")):
+                # Qwen3-Next MTP: the draft layer is the gated
+                # full-attention block (reference qwen3_next_mtp.py
+                # forces full_attention_interval = 1)
+                from sglang_fluentllm_tpu.spec.nextn import (
+                    Qwen3NextMtpDraftModel,
+                )
+
+                cls = Qwen3NextMtpDraftModel
             elif (runner.model_config.is_moe
                   and hasattr(runner.model, "_attn_block")
                   and hasattr(runner.model, "_moe_mlp")):
@@ -150,7 +160,8 @@ class SpecWorker:
                 draft_params, self.draft_model.param_specs()
             )
             one_layer = dataclasses.replace(
-                self.draft_config, num_hidden_layers=1
+                self.draft_config, num_hidden_layers=1,
+                layer_types=None,
             )
             self.draft_kv = create_kv_cache(
                 one_layer, num_slots, dtype=runner.dtype,
@@ -235,6 +246,7 @@ class SpecWorker:
                 page_tables=batch.page_tables,
                 seq_lens=base_seq + K,
                 q_lens=jnp.where(batch.q_lens > 0, K + 1, 0),
+                state_idx=batch.state_idx,
                 mode=ForwardMode.TARGET_VERIFY,
                 page_size=batch.page_size,
                 pages_are_runs=batch.pages_are_runs,
@@ -268,6 +280,11 @@ class SpecWorker:
             out_logprobs = jnp.take_along_axis(
                 logp, safe[:, :, None], axis=2
             )[..., 0]
+            if getattr(kv_t, "aux", None) is not None:
+                # hybrid-linear target: roll rejected window tokens back
+                # out of the conv/delta-rule state (exact inverse)
+                kv_t = target.rollback_linear_state(
+                    kv_t, verify, accept + 1)
             return kv_t, h, out_tokens, accept + 1, out_logprobs
 
         if algo == "PLD":

@@ -429,3 +429,27 @@ class TestMoeNextN:
         assert out["output_ids"] == ref["output_ids"]
         assert out["meta_info"].get("spec_accept_rate") is not None \
             or True
+
+
+class TestQwen3NextMtp:
+    """Hybrid-target MTP (reference qwen3_next_mtp.py). The draft layer
+    is the gated full-attention block; the target's GDN state must stay
+    consistent through accept/reject windows."""
+
+    def test_qwen3_next_mtp_lossless(self):
+        from tests.test_model_zoo import CONFIGS
+
+        cfg = CONFIGS["qwen3_next"]
+        base = tiny_engine(cfg)
+        ref = base.generate(input_ids=PROMPT, sampling_params=SP)
+        e = tiny_engine(
+            cfg,
+            speculative_algorithm="NEXTN",
+            speculative_num_steps=3,
+        )
+        from sglang_fluentllm_tpu.spec.nextn import Qwen3NextMtpDraftModel
+
+        assert isinstance(
+            e.scheduler.spec.draft_model, Qwen3NextMtpDraftModel)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == ref["output_ids"]
