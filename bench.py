@@ -108,6 +108,8 @@ def build_engine():
         decode_steps_per_launch=int(
             os.environ.get("SFT_BENCH_DECODE_STEPS", "8")),
         random_seed=0,
+        quantization=os.environ.get("SFT_BENCH_QUANT") or None,
+        kv_cache_dtype=os.environ.get("SFT_BENCH_KV_DTYPE", "auto"),
     )
 
 
@@ -192,6 +194,11 @@ def main():
             "serving_path": "engine+overlap_scheduler",
         },
     }
+    if os.environ.get("SFT_BENCH_QUANT"):
+        result["detail"]["quantization"] = os.environ["SFT_BENCH_QUANT"]
+    if os.environ.get("SFT_BENCH_KV_DTYPE", "auto") != "auto":
+        result["detail"]["kv_cache_dtype"] = os.environ[
+            "SFT_BENCH_KV_DTYPE"]
     print(json.dumps(result))
 
 
