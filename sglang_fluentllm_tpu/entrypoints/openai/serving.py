@@ -7,6 +7,8 @@ streaming deltas) and ``serving_completions.py``, built on AsyncEngine.
 
 from __future__ import annotations
 
+import os
+
 import json
 import uuid
 from typing import Any, AsyncIterator, Dict, List, Optional
@@ -96,6 +98,13 @@ class OpenAIServing:
             )
             return tok.encode(text)
         kwargs: Dict[str, Any] = {}
+        ct = self.engine.server_args.chat_template
+        if ct and (ct.endswith(".jinja") or os.path.isfile(ct)):
+            # custom template file (reference template_manager.py role)
+            if not hasattr(self, "_custom_template"):
+                with open(ct) as fp:
+                    self._custom_template = fp.read()
+            kwargs["chat_template"] = self._custom_template
         if request.tools:
             kwargs["tools"] = [t.model_dump() for t in request.tools]
         try:

@@ -103,3 +103,52 @@ class TestParse:
         assert parser.has_tool_call(text)
         _, items = parser.parse_non_stream(text)
         assert items and items[0].name == "get_weather"
+
+
+class TestCustomTemplateFile:
+    def test_jinja_file_template_applied(self, tmp_path):
+        """--chat-template <file.jinja> overrides the tokenizer's
+        template (reference template_manager.py role)."""
+        import json
+
+        from tests.server_utils import write_tiny_tokenizer
+        from tests.utils import TINY_LLAMA_CFG, tiny_engine, write_model_dir
+
+        d = write_model_dir(TINY_LLAMA_CFG)
+        write_tiny_tokenizer(d)
+        tpl = tmp_path / "t.jinja"
+        # vocab is word-level "<i>" tokens: render into that vocab so
+        # the template's effect is visible in the token ids
+        tpl.write_text(
+            "{% for m in messages %}{{ m.content }} {% endfor %}<9>")
+        e = tiny_engine(model_path_override=d, skip_tokenizer_init=False,
+                        chat_template=str(tpl))
+        from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+            ChatCompletionRequest,
+            ChatMessage,
+        )
+        from sglang_fluentllm_tpu.entrypoints.openai.serving import (
+            OpenAIServing,
+        )
+
+        class FakeAsync:
+            tokenizer = e.async_tokenizer if hasattr(e, "async_tokenizer") \
+                else None
+
+        # use the underlying sync engine's tokenizer through a minimal
+        # serving shim
+        class Shim:
+            pass
+
+        shim = Shim()
+        shim.tokenizer = e.tokenizer
+        shim.server_args = e.server_args
+        srv = OpenAIServing.__new__(OpenAIServing)
+        srv.engine = shim
+        req = ChatCompletionRequest(
+            model="m",
+            messages=[ChatMessage(role="user", content="<3> <5>")],
+        )
+        ids = srv._apply_chat_template(req)
+        assert list(ids)[-1] == 9, ids     # template's trailing <9>
+        assert 3 in list(ids) and 5 in list(ids)
