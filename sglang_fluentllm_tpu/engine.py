@@ -293,6 +293,21 @@ class Engine:
     def flush_cache(self) -> bool:
         return self.scheduler.flush_cache()
 
+    def collective_rpc(self, method: str, **kwargs):
+        """Invoke a named method on the model runner (reference
+        ``Engine.collective_rpc``, engine.py:567 — there a zmq RPC to
+        every scheduler process; here JAX owns all local chips from one
+        process, and multi-host followers replay through the step
+        broadcast). Raises AttributeError for unknown methods."""
+        fn = getattr(self.runner, method, None)
+        if fn is None or not callable(fn):
+            raise AttributeError(f"runner has no RPC method {method!r}")
+        return fn(**kwargs)
+
+    def save_sharded_model(self, path: str, **kwargs):
+        return self.collective_rpc("save_sharded_model", path=path,
+                                   **kwargs)
+
     def get_server_info(self) -> Dict[str, Any]:
         return {
             "model_path": self.server_args.model_path,

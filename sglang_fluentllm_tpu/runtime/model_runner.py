@@ -945,6 +945,52 @@ class ModelRunner:
             )
         return self.update_weights_from_tensor(staged, flush=flush)
 
+    def save_sharded_model(self, path: str, max_shard_gb: float = 4.0):
+        """Persist the CURRENT (possibly RLHF-updated) weights as
+        sharded safetensors in the runner's native pytree layout
+        (reference ``Engine.save_sharded_model`` / scheduler RPC).
+        Reloadable with ``--load-format native``."""
+        import json as _json
+        import os as _os
+
+        from jax.tree_util import tree_flatten_with_path
+
+        from safetensors.numpy import save_file
+
+        _os.makedirs(path, exist_ok=True)
+        leaves, _ = tree_flatten_with_path(jax.device_get(self.params))
+        flat = {}
+        for kp, v in leaves:
+            key = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k)))
+                for k in kp
+            )
+            flat[key] = np.asarray(v)
+        limit = int(max_shard_gb * (1 << 30))
+        shards, cur, size = [], {}, 0
+        for k, v in flat.items():
+            if cur and size + v.nbytes > limit:
+                shards.append(cur)
+                cur, size = {}, 0
+            cur[k] = v
+            size += v.nbytes
+        if cur:
+            shards.append(cur)
+        index = {"metadata": {"format": "sft_native"}, "weight_map": {}}
+        n = len(shards)
+        for i, shard in enumerate(shards):
+            fname = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+            save_file(shard, _os.path.join(path, fname))
+            for k in shard:
+                index["weight_map"][k] = fname
+        with open(_os.path.join(path,
+                                "model.safetensors.index.json"),
+                  "w") as fp:
+            _json.dump(index, fp)
+        logger.info("saved %d tensors in %d shards to %s",
+                    len(flat), n, path)
+        return {"shards": n, "tensors": len(flat)}
+
     def get_weights_by_name(self, name: str, truncate_size: int = 100):
         node = self.params
         for part in name.split("."):

@@ -59,7 +59,37 @@ def load_model_params(model, server_args, dtype):
         logger.info("loading dummy (random) weights")
         return model.init_dummy_params(seed=server_args.random_seed or 0,
                                        dtype=dtype)
+    if server_args.load_format == "native":
+        return load_native_params(model, server_args.model_path, dtype)
     logger.info("loading weights from %s", server_args.model_path)
     return model.load_weights(
         iterate_safetensors(server_args.model_path), dtype=dtype
     )
+
+
+def load_native_params(model, path: str, dtype):
+    """Load a runner-native sharded checkpoint (the format written by
+    ``ModelRunner.save_sharded_model``): flat '/'-joined pytree keys,
+    restored into the model's param_shapes structure."""
+    import glob
+    import os
+
+    import jax.numpy as jnp
+    from safetensors.numpy import load_file
+
+    logger.info("loading native checkpoint from %s", path)
+    flat = {}
+    for f in sorted(glob.glob(os.path.join(path,
+                                           "model-*.safetensors"))):
+        flat.update(load_file(f))
+
+    def build(tree, prefix):
+        if isinstance(tree, dict):
+            return {k: build(v, prefix + (str(k),))
+                    for k, v in tree.items()}
+        key = "/".join(prefix)
+        # dtypes were saved from the live params — restore verbatim
+        # (correction tables stay f32, weights keep their serving dtype)
+        return jnp.asarray(flat[key])
+
+    return build(model.param_shapes(), ())
