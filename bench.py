@@ -106,7 +106,7 @@ def build_engine():
         max_total_tokens=BATCH_SIZE * (PREFILL_LEN + LONG_NEW + 64),
         max_running_requests=2 * BATCH_SIZE,
         decode_steps_per_launch=int(
-            os.environ.get("SFT_BENCH_DECODE_STEPS", "8")),
+            os.environ.get("SFT_BENCH_DECODE_STEPS", "16")),
         random_seed=0,
         quantization=os.environ.get("SFT_BENCH_QUANT") or None,
         kv_cache_dtype=os.environ.get("SFT_BENCH_KV_DTYPE", "auto"),

@@ -97,7 +97,7 @@ class ServerArgs:
     # decode steps fused into one device program (host cost amortization —
     # the analog of the reference fusing multi-step spec decode into a
     # single CUDA graph). 1 = classic one-step decode.
-    decode_steps_per_launch: int = 1
+    decode_steps_per_launch: int = 16
     # launched-but-unresolved batch window (tunnel dispatch latency hiding)
     overlap_pipeline_depth: int = 4
 

@@ -383,6 +383,16 @@ class Scheduler:
         k = 1 if force_k1 else max(
             1, self.server_args.decode_steps_per_launch
         )
+        if k > 1 and self.running_batch:
+            # never fuse far past the longest remaining budget in the
+            # batch (finished rows' extra window steps are discarded at
+            # resolve — pure waste)
+            most = max(
+                (r.sampling_params.max_new_tokens - len(r.output_ids)
+                 - r.inflight)
+                for r in self.running_batch
+            )
+            k = max(1, min(k, most))
         if k > 1 and (
             self._needs_penalties(self.running_batch)
             or self._has_grammar(self.running_batch)
