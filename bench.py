@@ -42,8 +42,10 @@ QWEN25_05B = {
 
 BATCH_SIZE = 64
 PREFILL_LEN = 128
-SHORT_NEW = 8
-LONG_NEW = 72
+# whole fused-decode windows (k=16) in both phases: the delta then
+# isolates 64 steady-state decode tokens without partial-window skew
+SHORT_NEW = 16
+LONG_NEW = 80
 PAGE_SIZE = 32
 
 # TPU v5e spec sheet: ~819 GB/s HBM. The axon-tunneled chip sustains
