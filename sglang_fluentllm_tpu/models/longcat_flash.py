@@ -255,6 +255,43 @@ class LongcatFlashForCausalLM:
         h = oep_combine(word, params["oe_table"], params["oe_proj"], ids)
         return h, ring
 
+    def _decoder_layer(self, lp, r, kv_cache, kv_base, batch, cos, sin):
+        """One ScMoE decoder block (two MLA attentions + shortcut MoE,
+        reference FLASHDecoderLayer:253); reused by the NEXTN draft
+        (``spec/nextn.py`` LongcatNextNDraftModel)."""
+        c = self.config
+        eps = c.rms_norm_eps
+        B, S = r.shape[:2]
+        x1 = rms_norm(r, lp["input_layernorm0"], eps)
+        a0, kv_cache = self._mla(
+            lp, "0", x1, kv_cache, kv_base, batch, cos, sin
+        )
+        r = r + a0
+        x1 = rms_norm(r, lp["post_attention_layernorm0"], eps)
+
+        # shortcut MoE branch from x1
+        flat = x1.reshape(B * S, -1)
+        logits = flat @ lp["router"]
+        moe_out = moe_forward(
+            flat, logits, lp["w_gate_up"], lp["w_down"], c,
+            correction_bias=lp["correction_bias"],
+            use_gmm=self.use_gmm,
+        ).reshape(B, S, -1)
+
+        # dense branch continues
+        g, u = jnp.split(x1 @ lp["gate_up0"], 2, axis=-1)
+        r = r + (jax.nn.silu(g) * u) @ lp["down0"]
+        x2 = rms_norm(r, lp["input_layernorm1"], eps)
+        a1, kv_cache = self._mla(
+            lp, "1", x2, kv_cache, kv_base + 1, batch, cos, sin
+        )
+        r = r + a1
+        x3 = rms_norm(r, lp["post_attention_layernorm1"], eps)
+        g, u = jnp.split(x3 @ lp["gate_up1"], 2, axis=-1)
+        m1 = (jax.nn.silu(g) * u) @ lp["down1"]
+        # shortcut rejoins; both flow into the next layer's residual
+        return r + m1 + moe_out, kv_cache
+
     def forward(self, params, kv_cache, batch: ForwardBatch):
         c = self.config
         eps = c.rms_norm_eps
@@ -272,35 +309,9 @@ class LongcatFlashForCausalLM:
         def layer_fn(carry, xs):
             r, kv_cache = carry
             lp, layer_id = xs
-            x1 = rms_norm(r, lp["input_layernorm0"], eps)
-            a0, kv_cache = self._mla(
-                lp, "0", x1, kv_cache, 2 * layer_id, batch, cos, sin
+            r, kv_cache = self._decoder_layer(
+                lp, r, kv_cache, 2 * layer_id, batch, cos, sin
             )
-            r = r + a0
-            x1 = rms_norm(r, lp["post_attention_layernorm0"], eps)
-
-            # shortcut MoE branch from x1
-            flat = x1.reshape(B * S, -1)
-            logits = flat @ lp["router"]
-            moe_out = moe_forward(
-                flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                correction_bias=lp["correction_bias"],
-                use_gmm=self.use_gmm,
-            ).reshape(B, S, -1)
-
-            # dense branch continues
-            g, u = jnp.split(x1 @ lp["gate_up0"], 2, axis=-1)
-            r = r + (jax.nn.silu(g) * u) @ lp["down0"]
-            x2 = rms_norm(r, lp["input_layernorm1"], eps)
-            a1, kv_cache = self._mla(
-                lp, "1", x2, kv_cache, 2 * layer_id + 1, batch, cos, sin
-            )
-            r = r + a1
-            x3 = rms_norm(r, lp["post_attention_layernorm1"], eps)
-            g, u = jnp.split(x3 @ lp["gate_up1"], 2, axis=-1)
-            m1 = (jax.nn.silu(g) * u) @ lp["down1"]
-            # shortcut rejoins; both flow into the next layer's residual
-            r = r + m1 + moe_out
             return (r, kv_cache), None
 
         (r, kv_cache), _ = jax.lax.scan(

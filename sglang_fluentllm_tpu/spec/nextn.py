@@ -655,3 +655,183 @@ class Qwen3NextMtpDraftModel(MoeNextNDraftModel):
             "final_norm": jnp.asarray(staged["final_norm"], dtype),
             "layer": layer,
         }
+
+
+class LongcatNextNDraftModel(NextNDraftModel):
+    """LongCat Flash MTP draft (reference ``models/flash_nextn.py``
+    FLASHModelNextN): enorm/hnorm/eh_proj + ONE decoder block that is
+    either a full ScMoE FLASH layer (``nextn_use_scmoe``, two MLA
+    attentions + shortcut MoE — draft KV holds 2 layers) or a dense
+    block (one MLA attention + dense MLP, FlASHDenseDecoderLayer)."""
+
+    def __init__(self, config: ModelConfig, target_model, attn_backend):
+        super().__init__(config, target_model, attn_backend)
+        self.rope = target_model.rope
+        self.sm_scale = target_model.sm_scale
+        self.scmoe = bool(config.hf_config.get("nextn_use_scmoe"))
+        self.draft_kv_layers = 2 if self.scmoe else 1
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H = c.hidden_size
+        if self.scmoe:
+            layer = {
+                k: tuple(v[1:])
+                for k, v in self.target.param_shapes()["layers"].items()
+            }
+        else:
+            # keep the '0'-branch key suffix: the dense draft reuses the
+            # target's _mla(lp, "0", ...) path
+            layer = {
+                k: tuple(v[1:])
+                for k, v in self.target._attn_shapes("0").items()
+            }
+            I = c.intermediate_size
+            layer.update({
+                "input_layernorm0": (H,),
+                "post_attention_layernorm0": (H,),
+                "gate_up0": (H, 2 * I),
+                "down0": (I, H),
+            })
+        return {
+            "enorm": (H,),
+            "hnorm": (H,),
+            "eh_proj": (2 * H, H),
+            "final_norm": (H,),
+            "layer": layer,
+        }
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        rng = np.random.RandomState(seed)
+
+        def build(tree):
+            if isinstance(tree, dict):
+                return {k: build(v) for k, v in tree.items()}
+            return jnp.asarray(
+                rng.standard_normal(tree).astype(np.float32) * 0.02,
+                dtype=dtype)
+
+        p = build(self.param_shapes())
+        for k in ("enorm", "hnorm", "final_norm"):
+            p[k] = jnp.ones_like(p[k])
+        for k in list(p["layer"]):
+            if "layernorm" in k:
+                p["layer"][k] = jnp.ones_like(p["layer"][k])
+            if k == "correction_bias":
+                p["layer"][k] = jnp.zeros_like(
+                    p["layer"][k]).astype(jnp.float32)
+        return p
+
+    def _layer(self, params, kv_cache, x, batch: ForwardBatch):
+        c = self.config
+        lp = params["layer"]
+        eps = c.rms_norm_eps
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+        if self.scmoe:
+            return self.target._decoder_layer(
+                lp, x, kv_cache, 0, batch, cos, sin)
+        normed = rms_norm(x, lp["input_layernorm0"], eps)
+        a0, kv_cache = self.target._mla(
+            lp, "0", normed, kv_cache, 0, batch, cos, sin)
+        x = x + a0
+        normed2 = rms_norm(x, lp["post_attention_layernorm0"], eps)
+        g, u = jnp.split(normed2 @ lp["gate_up0"], 2, axis=-1)
+        x = x + (jax.nn.silu(g) * u) @ lp["down0"]
+        return x, kv_cache
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        """MTP layer tensors under model.layers.{L} (or a standalone
+        layer-0 export). ScMoE reuses the target family loader on a
+        one-layer model; the dense form maps FlASHDenseDecoderLayer's
+        un-suffixed names onto the '0'-branch keys."""
+        import re as _re
+
+        staged: Dict[str, Any] = {}
+        layer_pairs = []
+        li_seen = set()
+        for name, w in named_tensors:
+            n = name
+            if n.startswith("model."):
+                n = n[len("model."):]
+            m = _re.match(r"layers\.(\d+)\.(.*)", n)
+            if m:
+                li_seen.add(int(m.group(1)))
+                layer_pairs.append((int(m.group(1)), m.group(2), w))
+            elif n in ("enorm.weight", "hnorm.weight"):
+                staged[n.split(".")[0]] = w
+            elif n == "eh_proj.weight":
+                staged["eh_proj"] = np.asarray(w).T
+            elif n in ("shared_head.norm.weight", "final_layernorm.weight",
+                       "norm.weight"):
+                staged["final_norm"] = w
+        mtp_li = max(li_seen) if li_seen else 0
+        sub = [(rest, w) for li, rest, w in layer_pairs if li == mtp_li]
+        if self.scmoe:
+            one_cfg = dataclasses.replace(
+                self.config, num_hidden_layers=1, num_kv_layers=2)
+            helper = type(self.target)(one_cfg, self.attn)
+            H = self.config.hidden_size
+            hp = helper.load_weights(
+                [("layers.0." + rest, w) for rest, w in sub]
+                + [("embed_tokens.weight",
+                    np.zeros((1, H), np.float32)),
+                   ("norm.weight", np.ones((H,), np.float32)),
+                   ("lm_head.weight", np.zeros((1, H), np.float32))],
+                dtype,
+            )
+            layer = {k: v[0] for k, v in hp["layers"].items()}
+        else:
+            c = self.config
+            r, dn, dv = (c.kv_lora_rank, c.qk_nope_head_dim,
+                         c.v_head_dim)
+            Hq = c.num_attention_heads
+            lay: Dict[str, Any] = {}
+            for rest, w in sub:
+                key = None
+                tmap = {
+                    "self_attn.q_a_proj.weight": ("q_a_proj0", True),
+                    "self_attn.q_a_layernorm.weight":
+                        ("q_a_layernorm0", False),
+                    "self_attn.q_b_proj.weight": ("q_b_proj0", True),
+                    "self_attn.q_proj.weight": ("q_proj0", True),
+                    "self_attn.kv_a_proj_with_mqa.weight":
+                        ("kv_a_proj0", True),
+                    "self_attn.kv_a_layernorm.weight":
+                        ("kv_a_layernorm0", False),
+                    "self_attn.o_proj.weight": ("o_proj0", True),
+                    "input_layernorm.weight": ("input_layernorm0", False),
+                    "post_attention_layernorm.weight":
+                        ("post_attention_layernorm0", False),
+                    "mlp.down_proj.weight": ("down0", True),
+                }
+                if rest in tmap:
+                    key, t = tmap[rest]
+                    lay[key] = np.asarray(w).T if t else w
+                elif rest == "self_attn.kv_b_proj.weight":
+                    kvb = np.asarray(w).T.reshape(r, Hq, dn + dv)
+                    lay["w_kc0"] = np.transpose(kvb[..., :dn], (1, 0, 2))
+                    lay["w_vc0"] = np.transpose(kvb[..., dn:], (1, 0, 2))
+                elif rest == "mlp.gate_proj.weight":
+                    lay["_gate"] = np.asarray(w).T
+                elif rest == "mlp.up_proj.weight":
+                    lay["_up"] = np.asarray(w).T
+                elif rest == "mlp.gate_up_proj.weight":
+                    lay["gate_up0"] = np.asarray(w).T
+            if "gate_up0" not in lay and "_gate" in lay:
+                lay["gate_up0"] = np.concatenate(
+                    [lay.pop("_gate"), lay.pop("_up")], axis=1)
+            layer = lay
+        out: Dict[str, Any] = {
+            "enorm": jnp.asarray(staged["enorm"], dtype),
+            "hnorm": jnp.asarray(staged["hnorm"], dtype),
+            "eh_proj": jnp.asarray(staged["eh_proj"], dtype),
+            "final_norm": jnp.asarray(staged["final_norm"], dtype),
+            "layer": {
+                k: (jnp.asarray(v, jnp.float32)
+                    if k == "correction_bias"
+                    else jnp.asarray(v, dtype))
+                for k, v in layer.items()
+            },
+        }
+        return out

@@ -123,6 +123,15 @@ class SpecWorker:
                 # without the deepseek block API (LongCat ScMoE) fall
                 # back to the llama-style shared-weight draft.
                 cls = DeepseekNextNDraftModel
+            elif (runner.model_config.is_mla
+                  and hasattr(runner.model, "_decoder_layer")):
+                # LongCat ScMoE MTP (reference models/flash_nextn.py):
+                # full ScMoE block or dense MLA block draft
+                from sglang_fluentllm_tpu.spec.nextn import (
+                    LongcatNextNDraftModel,
+                )
+
+                cls = LongcatNextNDraftModel
             elif (runner.model_config.is_hybrid_linear
                   and hasattr(runner.model, "_full_layer")):
                 # Qwen3-Next MTP: the draft layer is the gated
@@ -162,6 +171,8 @@ class SpecWorker:
             one_layer = dataclasses.replace(
                 self.draft_config, num_hidden_layers=1,
                 layer_types=None,
+                num_kv_layers=getattr(
+                    self.draft_model, "draft_kv_layers", None),
             )
             self.draft_kv = create_kv_cache(
                 one_layer, num_slots, dtype=runner.dtype,

@@ -453,3 +453,46 @@ class TestQwen3NextMtp:
             e.scheduler.spec.draft_model, Qwen3NextMtpDraftModel)
         out = e.generate(input_ids=PROMPT, sampling_params=SP)
         assert out["output_ids"] == ref["output_ids"]
+
+
+class TestLongcatNextN:
+    """LongCat Flash MTP drafts (reference models/flash_nextn.py):
+    dense MLA block and full ScMoE block variants."""
+
+    LC_CFG = {
+        "architectures": ["LongcatFlashForCausalLM"],
+        "model_type": "longcat_flash",
+        "hidden_size": 64, "intermediate_size": 96,
+        "moe_intermediate_size": 64,
+        "num_attention_heads": 4, "num_hidden_layers": 2,
+        "vocab_size": 128, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+        "q_lora_rank": 48, "kv_lora_rank": 64,
+        "qk_nope_head_dim": 32, "qk_rope_head_dim": 16,
+        "v_head_dim": 32, "n_routed_experts": 4, "moe_topk": 2,
+        "zero_expert_num": 1, "tie_word_embeddings": False,
+    }
+
+    def _run(self, cfg):
+        base = tiny_engine(cfg)
+        ref = base.generate(input_ids=PROMPT, sampling_params=SP)
+        e = tiny_engine(cfg, speculative_algorithm="NEXTN",
+                        speculative_num_steps=3)
+        from sglang_fluentllm_tpu.spec.nextn import (
+            LongcatNextNDraftModel,
+        )
+
+        assert isinstance(
+            e.scheduler.spec.draft_model, LongcatNextNDraftModel)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == ref["output_ids"]
+        return e
+
+    def test_dense_draft_lossless(self):
+        e = self._run(self.LC_CFG)
+        assert not e.scheduler.spec.draft_model.scmoe
+
+    def test_scmoe_draft_lossless(self):
+        cfg = dict(self.LC_CFG, nextn_use_scmoe=True)
+        e = self._run(cfg)
+        assert e.scheduler.spec.draft_model.scmoe
