@@ -146,9 +146,34 @@ class LlamaForCausalLM:
         return params
 
     # ------------------------------------------------------------------
+    def eagle3_capture_ids(self) -> Tuple[int, ...]:
+        """Default EAGLE-3 aux-hidden capture layers (reference
+        ``models/llama.py:710`` ``set_eagle3_layers_to_capture``:
+        ``[2, L//2, L-3]`` — layer ids whose INPUT residual stream is
+        captured), clamped + deduped for small models."""
+        L = self.config.num_hidden_layers
+        ids = sorted({min(max(i, 1), L) for i in (2, L // 2, L - 3)})
+        return tuple(ids)
+
+    def forward_with_aux(
+        self, params, kv_cache, batch: ForwardBatch,
+        capture_ids: Tuple[int, ...],
+    ):
+        """Forward that additionally captures the residual stream entering
+        layers ``capture_ids`` (EAGLE-3 aux hidden states, reference
+        ``models/llama.py:379-403``). Returns (kv, h_final,
+        aux [B, S, len(ids)*H])."""
+        return self._forward_tower(params, kv_cache, batch,
+                                   tuple(capture_ids))
+
     def forward(
         self, params, kv_cache, batch: ForwardBatch
     ) -> Tuple[Any, jax.Array]:
+        kv_cache, h, _ = self._forward_tower(params, kv_cache, batch, None)
+        return kv_cache, h
+
+    def _forward_tower(self, params, kv_cache, batch: ForwardBatch,
+                       capture_ids):
         c = self.config
         B, S = batch.input_ids.shape
         Hq, Hk, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -160,9 +185,13 @@ class LlamaForCausalLM:
         cos = self.rope.cos[batch.positions]
         sin = self.rope.sin[batch.positions]
         res_scale = self.residual_scale
+        cap_arr = (jnp.asarray(capture_ids, jnp.int32)
+                   if capture_ids else None)
+        aux0 = (jnp.zeros((len(capture_ids), B, S, c.hidden_size), h.dtype)
+                if capture_ids else jnp.zeros((), h.dtype))
 
         def layer_fn(carry, xs):
-            h, kv_cache = carry
+            h, kv_cache, aux = carry
             lp, layer_id = xs
             normed = rms_norm(h, lp["input_layernorm"], eps)
             q = matmul(normed, lp["q_proj"])
@@ -201,16 +230,23 @@ class LlamaForCausalLM:
             if res_scale != 1.0:
                 mlp = mlp * jnp.asarray(res_scale, h.dtype)
             h = h + mlp
-            return (h, kv_cache), None
+            if cap_arr is not None:
+                # capture the residual stream ENTERING layer (layer_id+1)
+                sel = (cap_arr == layer_id + 1).astype(aux.dtype)
+                aux = aux + sel[:, None, None, None] * h[None]
+            return (h, kv_cache, aux), None
 
         L = c.num_hidden_layers
-        (h, kv_cache), _ = jax.lax.scan(
+        (h, kv_cache, aux), _ = jax.lax.scan(
             layer_fn,
-            (h, kv_cache),
+            (h, kv_cache, aux0),
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
         h = rms_norm(h, params["norm"], eps)
-        return kv_cache, h
+        if capture_ids:
+            nc = len(capture_ids)
+            aux = aux.transpose(1, 2, 0, 3).reshape(B, S, nc * c.hidden_size)
+        return kv_cache, h, aux
 
     def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
         """hidden [B, H] -> logits [B, V] (f32)."""

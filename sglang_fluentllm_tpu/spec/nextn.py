@@ -835,3 +835,186 @@ class LongcatNextNDraftModel(NextNDraftModel):
             },
         }
         return out
+
+
+class Eagle3DraftModel(NextNDraftModel):
+    """EAGLE-3 draft (reference ``models/llama_eagle3.py``): one llama
+    decoder layer whose attention input is ``cat(input_layernorm(embed(tok)),
+    hidden_norm(h))`` (so q/k/v projections take 2H), a ``fc`` mapping the
+    target's concatenated aux hidden states (nc*H, captured from
+    ``eagle_aux_hidden_state_layer_ids``) down to H, the draft's OWN embed
+    table + lm_head over a REDUCED draft vocab, and a ``d2t`` table mapping
+    draft token ids to target ids (reference ``llama_eagle3.py:264``
+    ``hot_token_id = d2t + arange``).
+
+    Chaining: within a window, step j+1 consumes the draft layer's pre-norm
+    residual output (H wide — ``fc`` is only applied when the input hidden
+    is the nc*H target aux, reference ``llama_eagle3.py:191-192``)."""
+
+    def __init__(self, config, target_model, attn_backend):
+        super().__init__(config, target_model, attn_backend)
+        hf = config.hf_config or {}
+        tgt_cfg = target_model.config
+        ids = hf.get("eagle_aux_hidden_state_layer_ids")
+        if ids:
+            self.capture_ids = tuple(int(i) for i in ids)
+        elif hasattr(target_model, "eagle3_capture_ids"):
+            self.capture_ids = target_model.eagle3_capture_ids()
+        else:
+            raise ValueError(
+                "EAGLE3 requires a target model with aux-hidden capture "
+                f"support (got {type(target_model).__name__})"
+            )
+        if not hasattr(target_model, "forward_with_aux"):
+            raise ValueError(
+                "EAGLE3 target must implement forward_with_aux "
+                f"(got {type(target_model).__name__})"
+            )
+        self.target_vocab = tgt_cfg.vocab_size
+        self.draft_vocab = int(hf.get("draft_vocab_size",
+                                      config.vocab_size))
+
+    @property
+    def hidden_feed_dim(self) -> int:
+        return len(self.capture_ids) * self.config.hidden_size
+
+    # -- params --------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H = c.hidden_size
+        D, Hq, Hk = c.head_dim, c.num_attention_heads, c.num_key_value_heads
+        I = c.intermediate_size
+        nc = len(self.capture_ids)
+        return {
+            "embed_tokens": (c.vocab_size, H),
+            "fc": (nc * H, H),
+            "input_layernorm": (H,),
+            "hidden_norm": (H,),
+            "q_proj": (2 * H, Hq * D),
+            "k_proj": (2 * H, Hk * D),
+            "v_proj": (2 * H, Hk * D),
+            "o_proj": (Hq * D, H),
+            "post_attention_layernorm": (H,),
+            "gate_proj": (H, I),
+            "up_proj": (H, I),
+            "down_proj": (I, H),
+            "norm": (H,),
+            "lm_head": (H, self.draft_vocab),
+            "d2t_targets": (self.draft_vocab,),
+        }
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        rng = np.random.RandomState(seed)
+        p = {}
+        for k, shape in self.param_shapes().items():
+            if k == "d2t_targets":
+                p[k] = jnp.arange(shape[0], dtype=jnp.int32)
+            elif k in ("input_layernorm", "hidden_norm",
+                       "post_attention_layernorm", "norm"):
+                p[k] = jnp.ones(shape, dtype)
+            else:
+                p[k] = jnp.asarray(
+                    rng.standard_normal(shape).astype(np.float32) * 0.02,
+                    dtype)
+        return p
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        staging: Dict[str, Any] = {}
+        mid_map = {
+            "self_attn.q_proj.weight": ("q_proj", True),
+            "self_attn.k_proj.weight": ("k_proj", True),
+            "self_attn.v_proj.weight": ("v_proj", True),
+            "self_attn.o_proj.weight": ("o_proj", True),
+            "mlp.gate_proj.weight": ("gate_proj", True),
+            "mlp.up_proj.weight": ("up_proj", True),
+            "mlp.down_proj.weight": ("down_proj", True),
+            "input_layernorm.weight": ("input_layernorm", False),
+            "hidden_norm.weight": ("hidden_norm", False),
+            "post_attention_layernorm.weight": (
+                "post_attention_layernorm", False),
+        }
+        for name, w in named_tensors:
+            n = name
+            for pref in ("model.",):
+                if n.startswith(pref):
+                    n = n[len(pref):]
+            if n == "d2t":
+                d2t = np.asarray(w, np.int64)
+                staging["d2t_targets"] = (
+                    d2t + np.arange(d2t.shape[0])).astype(np.int32)
+            elif n == "t2d":
+                continue
+            elif n == "embed_tokens.weight":
+                staging["embed_tokens"] = w
+            elif n == "fc.weight":
+                staging["fc"] = np.asarray(w).T
+            elif n == "lm_head.weight":
+                staging["lm_head"] = np.asarray(w).T
+            elif n == "norm.weight":
+                staging["norm"] = w
+            else:
+                for pref in ("midlayer.", "layers.0."):
+                    if n.startswith(pref):
+                        n = n[len(pref):]
+                if n in mid_map:
+                    key, t = mid_map[n]
+                    staging[key] = np.asarray(w).T if t else w
+        out = {}
+        for k, shape in self.param_shapes().items():
+            if k == "d2t_targets" and k not in staging:
+                out[k] = jnp.arange(shape[0], dtype=jnp.int32)
+            elif k == "d2t_targets":
+                out[k] = jnp.asarray(staging[k], jnp.int32)
+            else:
+                out[k] = jnp.asarray(staging[k], dtype)
+        return out
+
+    # -- forward -------------------------------------------------------
+    def forward(self, params, target_params, kv_cache, batch: ForwardBatch,
+                hidden):
+        c = self.config
+        H = c.hidden_size
+        B, S = batch.input_ids.shape
+        Hq, Hk, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        eps = c.rms_norm_eps
+        emb = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
+        if hidden.shape[-1] != H:
+            h = hidden.astype(emb.dtype) @ params["fc"]
+        else:
+            h = hidden.astype(emb.dtype)
+        x2 = jnp.concatenate(
+            [
+                rms_norm(emb, params["input_layernorm"], eps),
+                rms_norm(h, params["hidden_norm"], eps),
+            ],
+            axis=-1,
+        )
+        q = (x2 @ params["q_proj"]).reshape(B, S, Hq, D)
+        k = (x2 @ params["k_proj"]).reshape(B, S, Hk, D)
+        v = (x2 @ params["v_proj"]).reshape(B, S, Hk, D)
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn_out, kv_cache = self.attn(
+            kv_cache, 0, q, k, v, batch, self.sm_scale
+        )
+        resid = h + attn_out.reshape(B, S, Hq * D) @ params["o_proj"]
+        normed2 = rms_norm(resid, params["post_attention_layernorm"], eps)
+        mlp = (jax.nn.silu(normed2 @ params["gate_proj"])
+               * (normed2 @ params["up_proj"])) @ params["down_proj"]
+        # pre-norm residual is BOTH the logits input (normed in
+        # compute_logits) and the chained hidden for the next draft step
+        return kv_cache, resid + mlp
+
+    def compute_logits(self, params, target_params, hidden):
+        c = self.config
+        h = rms_norm(hidden, params["norm"], c.rms_norm_eps)
+        ld = (h @ params["lm_head"]).astype(jnp.float32)  # [..., Vd]
+        if self.draft_vocab == self.target_vocab:
+            return ld
+        # scatter the reduced draft vocab into target-vocab logits so the
+        # shared sampler (penalties/grammar masks sized V) applies as-is
+        out = jnp.full((*ld.shape[:-1], self.target_vocab), -1e30,
+                       jnp.float32)
+        return out.at[..., params["d2t_targets"]].set(ld)

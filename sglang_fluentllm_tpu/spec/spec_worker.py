@@ -113,7 +113,16 @@ class SpecWorker:
                 NextNDraftModel,
             )
 
-            if self.algorithm == "EAGLE":
+            if self.algorithm == "EAGLE3":
+                # true EAGLE-3: draft fed by CONCATENATED aux hidden
+                # states captured from multiple target layers, reduced
+                # draft vocab + d2t map (reference models/llama_eagle3.py)
+                from sglang_fluentllm_tpu.spec.nextn import (
+                    Eagle3DraftModel,
+                )
+
+                cls = Eagle3DraftModel
+            elif self.algorithm == "EAGLE":
                 cls = EagleDraftModel
             elif runner.model_config.is_mla and hasattr(
                 runner.model, "_mla_block"
@@ -178,8 +187,10 @@ class SpecWorker:
                 one_layer, num_slots, dtype=runner.dtype,
             )
             H = runner.model_config.hidden_size
+            # EAGLE3 carries the target's nc*H aux concat between windows
+            Hs = getattr(self.draft_model, "hidden_feed_dim", H)
             self.hidden_state = jnp.zeros(
-                (runner.max_reqs, H), runner.dtype
+                (runner.max_reqs, Hs), runner.dtype
             )
         else:  # STANDALONE: independent small-LM draft checkpoint
             assert server_args.speculative_draft_model_path, (
@@ -219,6 +230,18 @@ class SpecWorker:
         base_key = self.runner.rng_base
         algo = self.algorithm
         cap = self.runner.FUTURE_CAP
+        # EAGLE3: target forwards also return the multi-layer aux-hidden
+        # concat, which is what feeds the draft (not the final hidden)
+        eagle3_ids = getattr(draft, "capture_ids", None)
+        eagle3 = algo == "EAGLE3" and eagle3_ids is not None
+
+        def _target_fwd(params_t, kv_t, fb):
+            """(kv, h_for_logits, feed_for_draft)."""
+            if eagle3:
+                return target.forward_with_aux(
+                    params_t, kv_t, fb, eagle3_ids)
+            kv_t, h = target.forward(params_t, kv_t, fb)
+            return kv_t, h, h
 
         def _ring_resolve(future_map, future_seq, batch):
             """Resolve the window's input token AND base sequence length
@@ -247,7 +270,9 @@ class SpecWorker:
 
         def _verify(params_t, kv_t, batch, window, sampling, key0, K, B):
             """One target extend over [t_last, d_1..d_K]; exact-match
-            acceptance; returns (kv_t, h, out_tokens, counts, logprobs)."""
+            acceptance; returns (kv_t, feed, out_tokens, counts, logprobs)
+            where feed is the hidden handed to the NEXT draft window (the
+            final hidden, or the aux concat for EAGLE3)."""
             base_seq = batch.seq_lens
             pos = base_seq[:, None] - 1 + jnp.arange(K + 1)[None, :]
             verify = ForwardBatch(
@@ -262,7 +287,7 @@ class SpecWorker:
                 page_size=batch.page_size,
                 pages_are_runs=batch.pages_are_runs,
             )
-            kv_t, h = target.forward(params_t, kv_t, verify)
+            kv_t, h, feed = _target_fwd(params_t, kv_t, verify)
             logits = target.compute_logits(
                 params_t, h.reshape(B * (K + 1), -1)
             ).reshape(B, K + 1, -1)
@@ -296,7 +321,7 @@ class SpecWorker:
                 # out of the conv/delta-rule state (exact inverse)
                 kv_t = target.rollback_linear_state(
                     kv_t, verify, accept + 1)
-            return kv_t, h, out_tokens, accept + 1, out_logprobs
+            return kv_t, feed, out_tokens, accept + 1, out_logprobs
 
         if algo == "PLD":
             def pld_fn(params_t, kv_t, ints, floats, meta):
@@ -341,7 +366,14 @@ class SpecWorker:
                 batch = dataclasses.replace(
                     batch, seq_lens=base_seq, out_cache_loc=slots
                 )
-                hid0 = hid_state[req_idx]                # [B, H]
+                hid0 = hid_state[req_idx]        # [B, H] (nc*H for EAGLE3)
+                if eagle3:
+                    # reduce the carried aux concat to H BEFORE the scan so
+                    # the chained carry has a stable [B, H] shape (the fc
+                    # is only ever applied to target aux, reference
+                    # llama_eagle3.py:191-192)
+                    hid0 = (hid0.astype(params_d["fc"].dtype)
+                            @ params_d["fc"])
 
                 def dstep(carry, j):
                     kv_d, tok, hid = carry
@@ -416,7 +448,7 @@ class SpecWorker:
                     ints[: -(B + 2)], floats, meta, None
                 )
                 key = jax.random.fold_in(base_key, ints[-1])
-                kv_t, h = target.forward(params_t, kv_t, batch)
+                kv_t, h, feed = _target_fwd(params_t, kv_t, batch)
                 idx = jnp.clip(batch.q_lens - 1, 0, h.shape[1] - 1)
                 h_last = jnp.take_along_axis(
                     h, idx[:, None, None], axis=1
@@ -425,11 +457,15 @@ class SpecWorker:
                 ids = sample(logits, sampling, key)
                 logprobs = compute_logprobs(logits, ids)
                 # draft prefill over the same tokens, fed by target hidden
+                # (aux concat for EAGLE3)
                 kv_d, _hd = draft.forward(
-                    params_d, params_t, kv_d, batch, h
+                    params_d, params_t, kv_d, batch, feed
                 )
+                feed_last = jnp.take_along_axis(
+                    feed, idx[:, None, None], axis=1
+                )[:, 0]
                 hid_state = hid_state.at[req_idx].set(
-                    h_last.astype(hid_state.dtype)
+                    feed_last.astype(hid_state.dtype)
                 )
                 future_map = jax.lax.dynamic_update_slice(
                     future_map, ids, (write_offset,)

@@ -496,3 +496,108 @@ class TestLongcatNextN:
         cfg = dict(self.LC_CFG, nextn_use_scmoe=True)
         e = self._run(cfg)
         assert e.scheduler.spec.draft_model.scmoe
+
+
+class TestEagle3Checkpoint:
+    """EAGLE-3 draft checkpoint (llama_eagle3 layout): fc over the target's
+    multi-layer aux-hidden concat, 2H-input midlayer attention, reduced
+    draft vocab mapped through d2t — and still lossless."""
+
+    def _eagle3_dir(self, nc=2, draft_vocab=96):
+        import json
+        import os
+        import tempfile
+
+        import safetensors.numpy
+
+        rng = np.random.RandomState(7)
+        H, I, V = 64, 128, 128
+        Hq, Hk, D = 4, 2, 16
+
+        def r(*shape):
+            return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+        sd = {
+            "embed_tokens.weight": r(V, H),
+            "fc.weight": r(H, nc * H),
+            "lm_head.weight": r(draft_vocab, H),
+            "norm.weight": np.ones((H,), np.float32),
+            "midlayer.input_layernorm.weight": np.ones((H,), np.float32),
+            "midlayer.hidden_norm.weight": np.ones((H,), np.float32),
+            "midlayer.post_attention_layernorm.weight":
+                np.ones((H,), np.float32),
+            "midlayer.self_attn.q_proj.weight": r(Hq * D, 2 * H),
+            "midlayer.self_attn.k_proj.weight": r(Hk * D, 2 * H),
+            "midlayer.self_attn.v_proj.weight": r(Hk * D, 2 * H),
+            "midlayer.self_attn.o_proj.weight": r(H, Hq * D),
+            "midlayer.mlp.gate_proj.weight": r(I, H),
+            "midlayer.mlp.up_proj.weight": r(I, H),
+            "midlayer.mlp.down_proj.weight": r(H, I),
+            # d2t stores DIFFS: target_id = draft_id + d2t[draft_id]
+            "d2t": np.full((draft_vocab,), 32, np.int64),
+        }
+        d = tempfile.mkdtemp(prefix="eagle3_draft_")
+        cfg = dict(TINY_LLAMA_CFG)
+        cfg["architectures"] = ["LlamaForCausalLMEagle3"]
+        cfg["num_hidden_layers"] = 1
+        cfg["draft_vocab_size"] = draft_vocab
+        cfg["eagle_aux_hidden_state_layer_ids"] = [1, 2]
+        with open(os.path.join(d, "config.json"), "w") as fp:
+            json.dump(cfg, fp)
+        safetensors.numpy.save_file(
+            sd, os.path.join(d, "model.safetensors"))
+        return d
+
+    def test_eagle3_draft_lossless(self, baseline):
+        from sglang_fluentllm_tpu.spec.nextn import Eagle3DraftModel
+
+        d = self._eagle3_dir()
+        e = tiny_engine(
+            speculative_algorithm="EAGLE3",
+            speculative_draft_model_path=d,
+            speculative_num_steps=3,
+        )
+        spec = e.scheduler.spec
+        assert isinstance(spec.draft_model, Eagle3DraftModel)
+        assert spec.draft_model.capture_ids == (1, 2)
+        assert spec.draft_model.draft_vocab == 96
+        # carried hidden is the nc*H aux concat
+        assert spec.hidden_state.shape[-1] == 2 * 64
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+
+    def test_eagle3_d2t_targets_loaded(self):
+        """Unit-level checkpoint load: d2t diffs become absolute target
+        ids, and reduced-vocab draft logits scatter into target vocab."""
+        import os
+
+        import safetensors.numpy
+
+        from sglang_fluentllm_tpu.config import ModelConfig
+        from sglang_fluentllm_tpu.spec.nextn import Eagle3DraftModel
+
+        d = self._eagle3_dir()
+        e = tiny_engine(speculative_algorithm="EAGLE3",
+                        speculative_num_steps=2)
+        cfg = ModelConfig.from_model_path(d)
+        dm = Eagle3DraftModel(cfg, e.scheduler.runner.model,
+                              e.scheduler.runner.attn_backend)
+        tensors = safetensors.numpy.load_file(
+            os.path.join(d, "model.safetensors"))
+        p = dm.load_weights(iter(tensors.items()))
+        d2t = np.asarray(p["d2t_targets"])
+        assert (d2t == np.arange(96) + 32).all()
+        # draft logits scatter into target-vocab positions
+        import jax.numpy as jnp
+        hid = jnp.ones((1, 64), jnp.bfloat16)
+        logits = dm.compute_logits(p, None, hid)
+        assert logits.shape == (1, 128)
+        assert np.asarray(logits[0, :32] <= -1e29).all()
+
+    def test_eagle3_dummy_weights_smoke(self, baseline):
+        """No draft checkpoint: EAGLE3 with dummy weights derives geometry
+        + capture ids from the target and stays lossless."""
+        e = tiny_engine(speculative_algorithm="EAGLE3",
+                        speculative_num_steps=3)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
