@@ -292,7 +292,28 @@ class LongcatFlashForCausalLM:
         # shortcut rejoins; both flow into the next layer's residual
         return r + m1 + moe_out, kv_cache
 
+    def eagle3_capture_ids(self):
+        """Default EAGLE-3 aux-hidden capture layers (same recipe as the
+        reference llama target, ``models/llama.py:713``), clamped +
+        deduped for small models. Reference ``models/longcat_flash.py:385``
+        threads ``layers_to_capture`` through the decoder layers."""
+        L = self.config.num_hidden_layers
+        return tuple(sorted({min(max(i, 1), L) for i in (2, L // 2, L - 3)}))
+
+    def forward_with_aux(self, params, kv_cache, batch: ForwardBatch,
+                         capture_ids):
+        """Forward capturing the residual stream entering layers
+        ``capture_ids`` (EAGLE-3, reference ``models/longcat_eagle3.py``).
+        Returns (kv, h_final, aux [B, S, len(ids)*H])."""
+        return self._forward_tower(params, kv_cache, batch,
+                                   tuple(capture_ids))
+
     def forward(self, params, kv_cache, batch: ForwardBatch):
+        kv_cache, h, _ = self._forward_tower(params, kv_cache, batch, None)
+        return kv_cache, h
+
+    def _forward_tower(self, params, kv_cache, batch: ForwardBatch,
+                       capture_ids):
         c = self.config
         eps = c.rms_norm_eps
         B, S = batch.input_ids.shape
@@ -305,24 +326,34 @@ class LongcatFlashForCausalLM:
             h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
         cos = self.rope.cos[batch.positions]
         sin = self.rope.sin[batch.positions]
+        cap_arr = (jnp.asarray(capture_ids, jnp.int32)
+                   if capture_ids else None)
+        aux0 = (jnp.zeros((len(capture_ids), B, S, c.hidden_size), h.dtype)
+                if capture_ids else jnp.zeros((), h.dtype))
 
         def layer_fn(carry, xs):
-            r, kv_cache = carry
+            r, kv_cache, aux = carry
             lp, layer_id = xs
             r, kv_cache = self._decoder_layer(
                 lp, r, kv_cache, 2 * layer_id, batch, cos, sin
             )
-            return (r, kv_cache), None
+            if cap_arr is not None:
+                sel = (cap_arr == layer_id + 1).astype(aux.dtype)
+                aux = aux + sel[:, None, None, None] * r[None]
+            return (r, kv_cache, aux), None
 
-        (r, kv_cache), _ = jax.lax.scan(
-            layer_fn, (h, kv_cache),
+        (r, kv_cache, aux), _ = jax.lax.scan(
+            layer_fn, (h, kv_cache, aux0),
             (params["layers"],
              jnp.arange(c.num_hidden_layers, dtype=jnp.int32)),
         )
         if oep_wrap is not None:
             kv_cache = dataclasses.replace(
                 oep_wrap, inner=kv_cache, ring=new_ring)
-        return kv_cache, rms_norm(r, params["norm"], eps)
+        if capture_ids:
+            nc = len(capture_ids)
+            aux = aux.transpose(1, 2, 0, 3).reshape(B, S, nc * c.hidden_size)
+        return kv_cache, rms_norm(r, params["norm"], eps), aux
 
     def compute_logits(self, params, hidden):
         return (hidden @ params["lm_head"]).astype(jnp.float32)

@@ -909,8 +909,7 @@ class Eagle3DraftModel(NextNDraftModel):
         for k, shape in self.param_shapes().items():
             if k == "d2t_targets":
                 p[k] = jnp.arange(shape[0], dtype=jnp.int32)
-            elif k in ("input_layernorm", "hidden_norm",
-                       "post_attention_layernorm", "norm"):
+            elif "norm" in k:
                 p[k] = jnp.ones(shape, dtype)
             else:
                 p[k] = jnp.asarray(
@@ -1018,3 +1017,145 @@ class Eagle3DraftModel(NextNDraftModel):
         out = jnp.full((*ld.shape[:-1], self.target_vocab), -1e30,
                        jnp.float32)
         return out.at[..., params["d2t_targets"]].set(ld)
+
+
+class LongcatEagle3DraftModel(Eagle3DraftModel):
+    """LongCat EAGLE-3 draft (reference ``models/longcat_eagle3.py``
+    ``LongcatForCausalLMEagle3NextN``): fc over the target's aux-hidden
+    concat, ONE dense decoder block whose MLA attention consumes the
+    ``cat(input_layernorm(embeds), hidden_norm(h))`` 2H input
+    (``LongcatDecoderLayerEagle3NextN:66`` builds the MLA with
+    ``hidden_size=2*H``), a dense MLP, and the draft's own embed +
+    full-vocab lm_head (no d2t reduction)."""
+
+    draft_kv_layers = 1
+
+    def __init__(self, config, target_model, attn_backend):
+        super().__init__(config, target_model, attn_backend)
+        self.rope = target_model.rope
+        self.sm_scale = target_model.sm_scale
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H = c.hidden_size
+        I = c.intermediate_size
+        nc = len(self.capture_ids)
+        # one-layer MLA branch shapes (strip the leading L axis); the
+        # input-side projections read the 2H concat
+        attn = {
+            k: tuple(v[1:])
+            for k, v in self.target._attn_shapes("0").items()
+        }
+        for k in ("q_a_proj0", "q_proj0", "kv_a_proj0"):
+            if k in attn:
+                attn[k] = (2 * H,) + attn[k][1:]
+        return {
+            "embed_tokens": (c.vocab_size, H),
+            "fc": (nc * H, H),
+            "input_layernorm": (H,),
+            "hidden_norm": (H,),
+            "post_attention_layernorm": (H,),
+            "gate_up": (H, 2 * I),
+            "down": (I, H),
+            "norm": (H,),
+            "lm_head": (H, self.draft_vocab),
+            "d2t_targets": (self.draft_vocab,),
+            **attn,
+        }
+
+    def forward(self, params, target_params, kv_cache, batch: ForwardBatch,
+                hidden):
+        c = self.config
+        H = c.hidden_size
+        eps = c.rms_norm_eps
+        emb = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
+        if hidden.shape[-1] != H:
+            h = hidden.astype(emb.dtype) @ params["fc"]
+        else:
+            h = hidden.astype(emb.dtype)
+        x2 = jnp.concatenate(
+            [
+                rms_norm(emb, params["input_layernorm"], eps),
+                rms_norm(h, params["hidden_norm"], eps),
+            ],
+            axis=-1,
+        )
+        cos = self.rope.cos[batch.positions]
+        sin = self.rope.sin[batch.positions]
+        a0, kv_cache = self.target._mla(
+            params, "0", x2, kv_cache, 0, batch, cos, sin)
+        resid = h + a0
+        normed2 = rms_norm(resid, params["post_attention_layernorm"], eps)
+        g, u = jnp.split(normed2 @ params["gate_up"], 2, axis=-1)
+        mlp = (jax.nn.silu(g) * u) @ params["down"]
+        return kv_cache, resid + mlp
+
+    def load_weights(self, named_tensors, dtype=jnp.bfloat16):
+        c = self.config
+        r, dn, dv = c.kv_lora_rank, c.qk_nope_head_dim, c.v_head_dim
+        Hq = c.num_attention_heads
+        staging: Dict[str, Any] = {}
+        mid_map = {
+            "self_attn.q_a_proj.weight": ("q_a_proj0", True),
+            "self_attn.q_a_layernorm.weight": ("q_a_layernorm0", False),
+            "self_attn.q_b_proj.weight": ("q_b_proj0", True),
+            "self_attn.q_proj.weight": ("q_proj0", True),
+            "self_attn.kv_a_proj_with_mqa.weight": ("kv_a_proj0", True),
+            "self_attn.kv_a_layernorm.weight": ("kv_a_layernorm0", False),
+            "self_attn.o_proj.weight": ("o_proj0", True),
+            "input_layernorm.weight": ("input_layernorm", False),
+            "hidden_norm.weight": ("hidden_norm", False),
+            "post_attention_layernorm.weight":
+                ("post_attention_layernorm", False),
+            "mlp.down_proj.weight": ("down", True),
+        }
+        gate = up = None
+        for name, w in named_tensors:
+            n = name
+            for pref in ("model.",):
+                if n.startswith(pref):
+                    n = n[len(pref):]
+            if n == "d2t":
+                d2t = np.asarray(w, np.int64)
+                staging["d2t_targets"] = (
+                    d2t + np.arange(d2t.shape[0])).astype(np.int32)
+            elif n == "t2d":
+                continue
+            elif n == "embed_tokens.weight":
+                staging["embed_tokens"] = w
+            elif n == "fc.weight":
+                staging["fc"] = np.asarray(w).T
+            elif n == "lm_head.weight":
+                staging["lm_head"] = np.asarray(w).T
+            elif n == "norm.weight":
+                staging["norm"] = w
+            else:
+                for pref in ("midlayer.", "layers.0."):
+                    if n.startswith(pref):
+                        n = n[len(pref):]
+                if n in mid_map:
+                    key, t = mid_map[n]
+                    staging[key] = np.asarray(w).T if t else w
+                elif n == "self_attn.kv_b_proj.weight":
+                    kvb = np.asarray(w).T.reshape(r, Hq, dn + dv)
+                    staging["w_kc0"] = np.transpose(
+                        kvb[..., :dn], (1, 0, 2))
+                    staging["w_vc0"] = np.transpose(
+                        kvb[..., dn:], (1, 0, 2))
+                elif n == "mlp.gate_proj.weight":
+                    gate = np.asarray(w).T
+                elif n == "mlp.up_proj.weight":
+                    up = np.asarray(w).T
+                elif n == "mlp.gate_up_proj.weight":
+                    staging["gate_up"] = np.asarray(w).T
+        if "gate_up" not in staging and gate is not None:
+            staging["gate_up"] = np.concatenate([gate, up], axis=1)
+        out = {}
+        for k, shape in self.param_shapes().items():
+            if k == "d2t_targets":
+                out[k] = (jnp.asarray(staging[k], jnp.int32)
+                          if k in staging
+                          else jnp.arange(shape[0], dtype=jnp.int32))
+            else:
+                out[k] = jnp.asarray(staging[k], dtype)
+        return out

@@ -119,9 +119,16 @@ class SpecWorker:
                 # draft vocab + d2t map (reference models/llama_eagle3.py)
                 from sglang_fluentllm_tpu.spec.nextn import (
                     Eagle3DraftModel,
+                    LongcatEagle3DraftModel,
                 )
 
-                cls = Eagle3DraftModel
+                if (runner.model_config.is_mla
+                        and hasattr(runner.model, "_attn_shapes")):
+                    # LongCat flagship: MLA midlayer draft (reference
+                    # models/longcat_eagle3.py)
+                    cls = LongcatEagle3DraftModel
+                else:
+                    cls = Eagle3DraftModel
             elif self.algorithm == "EAGLE":
                 cls = EagleDraftModel
             elif runner.model_config.is_mla and hasattr(

@@ -601,3 +601,24 @@ class TestEagle3Checkpoint:
                         speculative_num_steps=3)
         out = e.generate(input_ids=PROMPT, sampling_params=SP)
         assert out["output_ids"] == baseline
+
+
+class TestLongcatEagle3:
+    """LongCat EAGLE-3 (reference models/longcat_eagle3.py): MLA midlayer
+    draft over the 2H [embeds; hidden] concat fed by the target's aux
+    hidden concat — lossless vs target-only greedy."""
+
+    def test_longcat_eagle3_dummy_lossless(self):
+        cfg = dict(TestLongcatNextN.LC_CFG)
+        base = tiny_engine(cfg)
+        ref = base.generate(input_ids=PROMPT, sampling_params=SP)
+        e = tiny_engine(cfg, speculative_algorithm="EAGLE3",
+                        speculative_num_steps=3)
+        from sglang_fluentllm_tpu.spec.nextn import LongcatEagle3DraftModel
+
+        spec = e.scheduler.spec
+        assert isinstance(spec.draft_model, LongcatEagle3DraftModel)
+        nc = len(spec.draft_model.capture_ids)
+        assert spec.hidden_state.shape[-1] == nc * 64
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == ref["output_ids"]
