@@ -152,7 +152,23 @@ class Qwen2MoeForCausalLM:
             out = out + gate * shared
         return out
 
+    def eagle3_capture_ids(self):
+        """EAGLE-3 default capture layers (reference qwen3_moe.py supports
+        capture_aux_hidden_states; recipe from llama.py:713)."""
+        L = self.config.num_hidden_layers
+        return tuple(sorted({min(max(i, 1), L) for i in (2, L // 2, L - 3)}))
+
     def forward(self, params, kv_cache, batch: ForwardBatch):
+        kv_cache, h, _ = self._forward_tower(params, kv_cache, batch, None)
+        return kv_cache, h
+
+    def forward_with_aux(self, params, kv_cache, batch: ForwardBatch,
+                         capture_ids):
+        return self._forward_tower(params, kv_cache, batch,
+                                   tuple(capture_ids))
+
+    def _forward_tower(self, params, kv_cache, batch: ForwardBatch,
+                       capture_ids):
         c = self.config
         B, S = batch.input_ids.shape
         Hq, Hk, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -160,9 +176,13 @@ class Qwen2MoeForCausalLM:
         h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
         cos = self.rope.cos[batch.positions]
         sin = self.rope.sin[batch.positions]
+        cap_arr = (jnp.asarray(capture_ids, jnp.int32)
+                   if capture_ids else None)
+        aux0 = (jnp.zeros((len(capture_ids), B, S, c.hidden_size), h.dtype)
+                if capture_ids else jnp.zeros((), h.dtype))
 
         def layer_fn(carry, xs):
-            h, kv_cache = carry
+            h, kv_cache, aux = carry
             lp, layer_id = xs
             normed = rms_norm(h, lp["input_layernorm"], eps)
             q = normed @ lp["q_proj"]
@@ -187,14 +207,20 @@ class Qwen2MoeForCausalLM:
             normed2 = rms_norm(h, lp["post_attention_layernorm"], eps)
             moe_out = self._moe(lp, normed2.reshape(B * S, -1))
             h = h + moe_out.reshape(B, S, -1)
-            return (h, kv_cache), None
+            if cap_arr is not None:
+                sel = (cap_arr == layer_id + 1).astype(aux.dtype)
+                aux = aux + sel[:, None, None, None] * h[None]
+            return (h, kv_cache, aux), None
 
-        (h, kv_cache), _ = jax.lax.scan(
-            layer_fn, (h, kv_cache),
+        (h, kv_cache, aux), _ = jax.lax.scan(
+            layer_fn, (h, kv_cache, aux0),
             (params["layers"],
              jnp.arange(c.num_hidden_layers, dtype=jnp.int32)),
         )
-        return kv_cache, rms_norm(h, params["norm"], eps)
+        if capture_ids:
+            aux = aux.transpose(1, 2, 0, 3).reshape(
+                B, S, len(capture_ids) * c.hidden_size)
+        return kv_cache, rms_norm(h, params["norm"], eps), aux
 
     def compute_logits(self, params, hidden):
         w = (params["embed_tokens"].T if self.config.tie_word_embeddings

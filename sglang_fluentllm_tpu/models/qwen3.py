@@ -42,6 +42,17 @@ class Qwen3ForCausalLM(LlamaForCausalLM):
         return params
 
     def forward(self, params, kv_cache, batch: ForwardBatch):
+        kv_cache, h, _ = self._forward_tower(params, kv_cache, batch, None)
+        return kv_cache, h
+
+    def forward_with_aux(self, params, kv_cache, batch: ForwardBatch,
+                         capture_ids):
+        """EAGLE-3 aux-hidden capture (see LlamaForCausalLM)."""
+        return self._forward_tower(params, kv_cache, batch,
+                                   tuple(capture_ids))
+
+    def _forward_tower(self, params, kv_cache, batch: ForwardBatch,
+                       capture_ids):
         c = self.config
         B, S = batch.input_ids.shape
         Hq, Hk, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
@@ -50,9 +61,13 @@ class Qwen3ForCausalLM(LlamaForCausalLM):
         h = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
         cos = self.rope.cos[batch.positions]
         sin = self.rope.sin[batch.positions]
+        cap_arr = (jnp.asarray(capture_ids, jnp.int32)
+                   if capture_ids else None)
+        aux0 = (jnp.zeros((len(capture_ids), B, S, c.hidden_size), h.dtype)
+                if capture_ids else jnp.zeros((), h.dtype))
 
         def layer_fn(carry, xs):
-            h, kv_cache = carry
+            h, kv_cache, aux = carry
             lp, layer_id = xs
             normed = rms_norm(h, lp["input_layernorm"], eps)
             q = matmul(normed, lp["q_proj"]).reshape(B, S, Hq, D)
@@ -73,16 +88,22 @@ class Qwen3ForCausalLM(LlamaForCausalLM):
                 lp["down_proj"],
             )
             h = h + mlp
-            return (h, kv_cache), None
+            if cap_arr is not None:
+                sel = (cap_arr == layer_id + 1).astype(aux.dtype)
+                aux = aux + sel[:, None, None, None] * h[None]
+            return (h, kv_cache, aux), None
 
-        (h, kv_cache), _ = jax.lax.scan(
+        (h, kv_cache, aux), _ = jax.lax.scan(
             layer_fn,
-            (h, kv_cache),
+            (h, kv_cache, aux0),
             (params["layers"],
              jnp.arange(c.num_hidden_layers, dtype=jnp.int32)),
         )
         h = rms_norm(h, params["norm"], eps)
-        return kv_cache, h
+        if capture_ids:
+            aux = aux.transpose(1, 2, 0, 3).reshape(
+                B, S, len(capture_ids) * c.hidden_size)
+        return kv_cache, h, aux
 
     def load_weights(self, named_tensors, dtype=jnp.bfloat16):
         import numpy as np

@@ -622,3 +622,34 @@ class TestLongcatEagle3:
         assert spec.hidden_state.shape[-1] == nc * 64
         out = e.generate(input_ids=PROMPT, sampling_params=SP)
         assert out["output_ids"] == ref["output_ids"]
+
+
+class TestQwen3MoeEagle3:
+    """EAGLE-3 on a MoE target (reference qwen3_moe.py supports
+    capture_aux_hidden_states): llama-style eagle3 draft fed by the MoE
+    target's aux concat, lossless with dummy weights."""
+
+    Q3MOE_CFG = {
+        "architectures": ["Qwen3MoeForCausalLM"],
+        "model_type": "qwen3_moe",
+        "hidden_size": 64, "intermediate_size": 128,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "num_hidden_layers": 2, "vocab_size": 128,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0, "tie_word_embeddings": False,
+        "num_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 32, "norm_topk_prob": True,
+        "head_dim": 16,
+    }
+
+    def test_qwen3moe_eagle3_dummy_lossless(self):
+        cfg = dict(self.Q3MOE_CFG)
+        base = tiny_engine(cfg)
+        ref = base.generate(input_ids=PROMPT, sampling_params=SP)
+        e = tiny_engine(cfg, speculative_algorithm="EAGLE3",
+                        speculative_num_steps=2)
+        from sglang_fluentllm_tpu.spec.nextn import Eagle3DraftModel
+
+        assert isinstance(e.scheduler.spec.draft_model, Eagle3DraftModel)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == ref["output_ids"]
