@@ -320,14 +320,13 @@ class ModelRunner:
             # prefix reuse would skip the recurrent replay (reference
             # MambaRadixCache restrictions) — force it off
             sa.disable_radix_cache = True
-        if mc.use_over_embedding:
-            # the n-gram ring covers extend via the host history tail,
-            # so radix reuse is fine; spec drafts would need their own
-            # ring bookkeeping (reference negates table row 0 for draft
-            # prefill) — not wired yet
-            assert sa.speculative_algorithm is None, (
-                "over-embedding + speculative decoding not supported yet"
-            )
+        # over-embedding composes with spec decoding: verify extends patch
+        # their n-gram tails from the position-indexed device ring
+        # (spec_worker._verify), so rejected-token ring writes are
+        # harmless — each window overwrites its own positions before
+        # reading. Draft models use the plain shared embedding (the
+        # reference instead negates oe_token_table row 0 during draft
+        # prefill — a draft-quality detail; acceptance stays lossless).
 
         self.allocator = KVAllocator(
             num_pages, sa.page_size, self.max_reqs, max_context

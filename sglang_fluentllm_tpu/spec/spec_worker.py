@@ -184,9 +184,18 @@ class SpecWorker:
             self.draft_params = runner._shard(
                 draft_params, self.draft_model.param_specs()
             )
+            # drop OEP markers: the draft has no token-history ring (it
+            # embeds through the plain shared table), so its KV cache
+            # must not get the OEP ring wrapper
+            hf_no_oep = {
+                k: v for k, v in self.draft_config.hf_config.items()
+                if k not in ("oe_vocab_size_ratio",
+                             "ngram_vocab_size_ratio")
+            }
             one_layer = dataclasses.replace(
                 self.draft_config, num_hidden_layers=1,
                 layer_types=None,
+                hf_config=hf_no_oep,
                 num_kv_layers=getattr(
                     self.draft_model, "draft_kv_layers", None),
             )
@@ -275,6 +284,19 @@ class SpecWorker:
             pages = jnp.take_along_axis(page_tables, pos // ps, axis=1)
             return pages * ps + pos % ps
 
+        # OEP targets (LongCat over-embedding): every verify is an extend
+        # whose n-gram history tail is patched from the device token ring
+        # (hist_tail = -1 sentinel). Rejected window tokens leave stale
+        # ring entries ONLY at positions >= the accepted end, and the next
+        # window overwrites those positions from its own input before any
+        # read — position-indexed rings make spec rollback free (the
+        # reference instead negates oe_token_table rows for in-flight
+        # drafts, over_embedding.py/flash_nextn.py).
+        oep_ring_w = None
+        if getattr(target, "oep", None) is not None:
+            from sglang_fluentllm_tpu.ops.over_embedding import RING_W
+            oep_ring_w = RING_W
+
         def _verify(params_t, kv_t, batch, window, sampling, key0, K, B):
             """One target extend over [t_last, d_1..d_K]; exact-match
             acceptance; returns (kv_t, feed, out_tokens, counts, logprobs)
@@ -289,6 +311,8 @@ class SpecWorker:
                 page_tables=batch.page_tables,
                 seq_lens=base_seq + K,
                 q_lens=jnp.where(batch.q_lens > 0, K + 1, 0),
+                hist_tail=(jnp.full((B, oep_ring_w), -1, jnp.int32)
+                           if oep_ring_w else None),
                 state_idx=batch.state_idx,
                 mode=ForwardMode.TARGET_VERIFY,
                 page_size=batch.page_size,

@@ -212,3 +212,45 @@ class TestOepEngine:
                 table[lo:hi], fams[i], rtol=1e-6)
         assert np.asarray(params["oe_proj"]).shape == (
             o["F"], o["oe_hidden"], H)
+
+
+class TestOepSpecDecode:
+    """OEP x speculative decoding: verify extends patch their n-gram
+    tails from the position-indexed device ring, so spec windows stay
+    LOSSLESS on over-embedding models (rejected-token ring writes are
+    overwritten by the next window before any read)."""
+
+    def _baseline(self, sp):
+        e = tiny_engine(TINY_OEP_CFG)
+        return e.generate(input_ids=PROMPT, sampling_params=sp)["output_ids"]
+
+    def test_oep_nextn_lossless(self):
+        sp = {"max_new_tokens": 13, "temperature": 0.0}
+        ref = self._baseline(sp)
+        e = tiny_engine(TINY_OEP_CFG, speculative_algorithm="NEXTN",
+                        speculative_num_steps=3)
+        out = e.generate(input_ids=PROMPT, sampling_params=sp)
+        assert out["output_ids"] == ref
+
+    def test_oep_pld_lossless_repetitive(self):
+        """Repetitive prompt: PLD accepts multi-token windows, stressing
+        the ring across accepted-length jumps."""
+        rep = [5, 6, 7, 8] * 5
+        sp = {"max_new_tokens": 12, "temperature": 0.0}
+        ref = tiny_engine(TINY_OEP_CFG).generate(
+            input_ids=rep, sampling_params=sp)["output_ids"]
+        e = tiny_engine(TINY_OEP_CFG, speculative_algorithm="PLD",
+                        speculative_num_steps=3)
+        out = e.generate(input_ids=rep, sampling_params=sp)
+        assert out["output_ids"] == ref
+
+    def test_oep_spec_batch(self):
+        sp = {"max_new_tokens": 9, "temperature": 0.0}
+        prompts = [PROMPT, [9, 8, 7], list(range(1, 14))]
+        refs = tiny_engine(TINY_OEP_CFG).generate(
+            input_ids=prompts, sampling_params=sp)
+        e = tiny_engine(TINY_OEP_CFG, speculative_algorithm="NEXTN",
+                        speculative_num_steps=2)
+        outs = e.generate(input_ids=prompts, sampling_params=sp)
+        for o, r in zip(outs, refs):
+            assert o["output_ids"] == r["output_ids"]
