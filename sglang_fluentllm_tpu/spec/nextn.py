@@ -888,6 +888,9 @@ class Eagle3DraftModel(NextNDraftModel):
         return {
             "embed_tokens": (c.vocab_size, H),
             "fc": (nc * H, H),
+            # reference llama_eagle3.py:174 uses torch.nn.Linear (bias
+            # by default); zero when the checkpoint omits it
+            "fc_bias": (H,),
             "input_layernorm": (H,),
             "hidden_norm": (H,),
             "q_proj": (2 * H, Hq * D),
@@ -909,6 +912,8 @@ class Eagle3DraftModel(NextNDraftModel):
         for k, shape in self.param_shapes().items():
             if k == "d2t_targets":
                 p[k] = jnp.arange(shape[0], dtype=jnp.int32)
+            elif k == "fc_bias":
+                p[k] = jnp.zeros(shape, dtype)
             elif "norm" in k:
                 p[k] = jnp.ones(shape, dtype)
             else:
@@ -947,6 +952,8 @@ class Eagle3DraftModel(NextNDraftModel):
                 staging["embed_tokens"] = w
             elif n == "fc.weight":
                 staging["fc"] = np.asarray(w).T
+            elif n == "fc.bias":
+                staging["fc_bias"] = w
             elif n == "lm_head.weight":
                 staging["lm_head"] = np.asarray(w).T
             elif n == "norm.weight":
@@ -964,6 +971,8 @@ class Eagle3DraftModel(NextNDraftModel):
                 out[k] = jnp.arange(shape[0], dtype=jnp.int32)
             elif k == "d2t_targets":
                 out[k] = jnp.asarray(staging[k], jnp.int32)
+            elif k == "fc_bias" and k not in staging:
+                out[k] = jnp.zeros(shape, dtype)
             else:
                 out[k] = jnp.asarray(staging[k], dtype)
         return out
@@ -978,7 +987,8 @@ class Eagle3DraftModel(NextNDraftModel):
         eps = c.rms_norm_eps
         emb = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
         if hidden.shape[-1] != H:
-            h = hidden.astype(emb.dtype) @ params["fc"]
+            h = (hidden.astype(emb.dtype) @ params["fc"]
+                 + params.get("fc_bias", 0))
         else:
             h = hidden.astype(emb.dtype)
         x2 = jnp.concatenate(
@@ -1070,7 +1080,8 @@ class LongcatEagle3DraftModel(Eagle3DraftModel):
         eps = c.rms_norm_eps
         emb = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
         if hidden.shape[-1] != H:
-            h = hidden.astype(emb.dtype) @ params["fc"]
+            h = (hidden.astype(emb.dtype) @ params["fc"]
+                 + params.get("fc_bias", 0))
         else:
             h = hidden.astype(emb.dtype)
         x2 = jnp.concatenate(
@@ -1125,6 +1136,8 @@ class LongcatEagle3DraftModel(Eagle3DraftModel):
                 staging["embed_tokens"] = w
             elif n == "fc.weight":
                 staging["fc"] = np.asarray(w).T
+            elif n == "fc.bias":
+                staging["fc_bias"] = w
             elif n == "lm_head.weight":
                 staging["lm_head"] = np.asarray(w).T
             elif n == "norm.weight":
@@ -1156,6 +1169,8 @@ class LongcatEagle3DraftModel(Eagle3DraftModel):
                 out[k] = (jnp.asarray(staging[k], jnp.int32)
                           if k in staging
                           else jnp.arange(shape[0], dtype=jnp.int32))
+            elif k == "fc_bias" and k not in staging:
+                out[k] = jnp.zeros(shape, dtype)
             else:
                 out[k] = jnp.asarray(staging[k], dtype)
         return out

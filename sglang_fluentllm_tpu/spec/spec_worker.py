@@ -404,7 +404,7 @@ class SpecWorker:
                     # is only ever applied to target aux, reference
                     # llama_eagle3.py:191-192)
                     hid0 = (hid0.astype(params_d["fc"].dtype)
-                            @ params_d["fc"])
+                            @ params_d["fc"] + params_d["fc_bias"])
 
                 def dstep(carry, j):
                     kv_d, tok, hid = carry
