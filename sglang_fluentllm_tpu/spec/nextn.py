@@ -858,6 +858,17 @@ class Eagle3DraftModel(NextNDraftModel):
         ids = hf.get("eagle_aux_hidden_state_layer_ids")
         if ids:
             self.capture_ids = tuple(int(i) for i in ids)
+            n_layers = getattr(tgt_cfg, "num_hidden_layers", None)
+            if n_layers is not None:
+                bad = [i for i in self.capture_ids
+                       if not (1 <= i <= n_layers)]
+                if bad:
+                    raise ValueError(
+                        f"eagle_aux_hidden_state_layer_ids {bad} out of "
+                        f"range 1..{n_layers}: the target captures the "
+                        "hidden AFTER layer i (1-based); an out-of-range "
+                        "id would silently leave its aux slice zero"
+                    )
         elif hasattr(target_model, "eagle3_capture_ids"):
             self.capture_ids = target_model.eagle3_capture_ids()
         else:
@@ -979,14 +990,21 @@ class Eagle3DraftModel(NextNDraftModel):
 
     # -- forward -------------------------------------------------------
     def forward(self, params, target_params, kv_cache, batch: ForwardBatch,
-                hidden):
+                hidden, hidden_is_aux=None):
         c = self.config
         H = c.hidden_size
         B, S = batch.input_ids.shape
         Hq, Hk, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
         eps = c.rms_norm_eps
         emb = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
-        if hidden.shape[-1] != H:
+        # fc is applied iff the input hidden is the target's aux concat
+        # (reference llama_eagle3.py:191-192). The width check alone is
+        # ambiguous when nc==1 (nc*H == H), so callers that know pass an
+        # explicit flag; prefill feeds aux, chained decode feeds the H-wide
+        # residual.
+        if hidden_is_aux is None:
+            hidden_is_aux = hidden.shape[-1] != H
+        if hidden_is_aux:
             h = (hidden.astype(emb.dtype) @ params["fc"]
                  + params.get("fc_bias", 0))
         else:
@@ -1062,6 +1080,9 @@ class LongcatEagle3DraftModel(Eagle3DraftModel):
         return {
             "embed_tokens": (c.vocab_size, H),
             "fc": (nc * H, H),
+            # reference longcat_eagle3 fc is a torch Linear (bias by
+            # default); zero-filled when the checkpoint omits it
+            "fc_bias": (H,),
             "input_layernorm": (H,),
             "hidden_norm": (H,),
             "post_attention_layernorm": (H,),
@@ -1074,12 +1095,14 @@ class LongcatEagle3DraftModel(Eagle3DraftModel):
         }
 
     def forward(self, params, target_params, kv_cache, batch: ForwardBatch,
-                hidden):
+                hidden, hidden_is_aux=None):
         c = self.config
         H = c.hidden_size
         eps = c.rms_norm_eps
         emb = jnp.take(params["embed_tokens"], batch.input_ids, axis=0)
-        if hidden.shape[-1] != H:
+        if hidden_is_aux is None:
+            hidden_is_aux = hidden.shape[-1] != H
+        if hidden_is_aux:
             h = (hidden.astype(emb.dtype) @ params["fc"]
                  + params.get("fc_bias", 0))
         else:

@@ -422,7 +422,8 @@ class SpecWorker:
                         pages_are_runs=meta.runs,
                     )
                     kv_d, hd = draft.forward(
-                        params_d, params_t, kv_d, sub, hid[:, None]
+                        params_d, params_t, kv_d, sub, hid[:, None],
+                        **({"hidden_is_aux": False} if eagle3 else {}),
                     )
                     logits = draft.compute_logits(
                         params_d, params_t, hd[:, 0]
@@ -490,7 +491,8 @@ class SpecWorker:
                 # draft prefill over the same tokens, fed by target hidden
                 # (aux concat for EAGLE3)
                 kv_d, _hd = draft.forward(
-                    params_d, params_t, kv_d, batch, feed
+                    params_d, params_t, kv_d, batch, feed,
+                    **({"hidden_is_aux": True} if eagle3 else {}),
                 )
                 feed_last = jnp.take_along_axis(
                     feed, idx[:, None, None], axis=1
