@@ -169,6 +169,12 @@ class ServerArgs:
             )
         self.check()
 
+    @property
+    def dp_attn_size(self) -> int:
+        """Number of DP-attention groups (reference
+        ``initialize_dp_attention``: attn_dp = tp // attn_tp)."""
+        return self.tp_size // self.attn_tp_size
+
     # Mirrors reference check_server_args (server_args.py) cross-validation.
     def check(self):
         assert self.page_size >= 1
@@ -176,6 +182,20 @@ class ServerArgs:
         assert self.tp_size % self.attn_tp_size == 0, (
             "attn_tp_size must divide tp_size (DP-attention groups)"
         )
+        if self.dp_attn_size > 1:
+            # engine-level DP-attention: features whose host state is not
+            # yet group-aware are rejected loudly (never silently ignored)
+            incompat = {
+                "speculative decoding": self.speculative_algorithm,
+                "hierarchical cache": self.enable_hierarchical_cache,
+                "PD disaggregation": self.disaggregation_mode != "null",
+            }
+            for name, active in incompat.items():
+                if active:
+                    raise ValueError(
+                        f"attn_tp_size < tp_size (DP-attention) does not "
+                        f"yet compose with {name}"
+                    )
         if self.moe_parallel_strategy == "ep":
             assert self.ep_size > 0
         if self.speculative_algorithm is not None:

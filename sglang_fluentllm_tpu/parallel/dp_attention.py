@@ -55,15 +55,87 @@ def dp_kv_specs(kv_cache) -> object:
     return jax.tree.map(lambda _: P("dp"), kv_cache)
 
 
-class DpShardedAttention:
-    """Wraps a single-group attention backend; runs it group-locally under
-    shard_map over the 'dp' mesh axis."""
+def _shard_map_fn():
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
 
-    name = "dp_sharded"
+    kwargs = {}
+    sig = inspect.signature(shard_map).parameters
+    if "check_rep" in sig:
+        kwargs["check_rep"] = False
+    elif "check_vma" in sig:
+        kwargs["check_vma"] = False
+    return shard_map, kwargs
+
+
+def _batch_split(batch: ForwardBatch):
+    """(statics dict, row-sharded array dict) split of a ForwardBatch."""
+    statics = dict(mode=batch.mode, page_size=batch.page_size,
+                   pages_are_runs=batch.pages_are_runs)
+    arrays = dict(
+        input_ids=batch.input_ids,
+        positions=batch.positions,
+        out_cache_loc=batch.out_cache_loc,
+        page_tables=batch.page_tables,
+        seq_lens=batch.seq_lens,
+        q_lens=batch.q_lens,
+    )
+    if batch.custom_mask is not None:
+        arrays["custom_mask"] = batch.custom_mask
+    if batch.state_idx is not None:
+        arrays["state_idx"] = batch.state_idx
+    return statics, arrays
+
+
+class _DpShardedBase:
+    """shard_map plumbing shared by the MHA and MLA group-local wrappers."""
 
     def __init__(self, inner, mesh: Mesh):
         self.inner = inner
         self.mesh = mesh
+
+    def _run(self, kv_cache, layer_id, rowed, replicated, batch, call):
+        """Run ``call(kv_local, layer, rowed..., batch_local, replicated...)``
+        group-locally: kv + batch rows sharded over 'dp', the rest
+        replicated."""
+        shard_map, kwargs = _shard_map_fn()
+        statics, arrays = _batch_split(batch)
+
+        def local(kv, layer, row_args, arr, rep_args):
+            kv = jax.tree.map(lambda x: x[0], kv)   # drop group dim
+            b = ForwardBatch(
+                custom_mask=arr.get("custom_mask"),
+                state_idx=arr.get("state_idx"),
+                **{k: v for k, v in arr.items()
+                   if k not in ("custom_mask", "state_idx")},
+                **statics,
+            )
+            out, kv = call(kv, layer, row_args, b, rep_args)
+            kv = jax.tree.map(lambda x: x[None], kv)
+            return out, kv
+
+        kv_spec = jax.tree.map(lambda _: P("dp"), kv_cache)
+        arr_spec = {k: P("dp") for k in arrays}
+        out, kv_cache = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(kv_spec, P(), tuple(P("dp") for _ in rowed),
+                      arr_spec, jax.tree.map(lambda _: P(), replicated)),
+            out_specs=(P("dp"), kv_spec),
+            **kwargs,
+        )(kv_cache, jnp.asarray(layer_id, jnp.int32), tuple(rowed),
+          arrays, replicated)
+        return out, kv_cache
+
+
+class DpShardedAttention(_DpShardedBase):
+    """Wraps a single-group MHA/GQA attention backend; runs it group-locally
+    under shard_map over the 'dp' mesh axis."""
+
+    name = "dp_sharded"
 
     def __call__(
         self,
@@ -78,26 +150,7 @@ class DpShardedAttention:
         window=None,
         sinks=None,
     ) -> Tuple[jax.Array, object]:
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
         inner = self.inner
-
-        # split static (hashable) ForwardBatch config from its arrays
-        statics = dict(mode=batch.mode, page_size=batch.page_size,
-                       pages_are_runs=batch.pages_are_runs)
-        arrays = dict(
-            input_ids=batch.input_ids,
-            positions=batch.positions,
-            out_cache_loc=batch.out_cache_loc,
-            page_tables=batch.page_tables,
-            seq_lens=batch.seq_lens,
-            q_lens=batch.q_lens,
-        )
-        if batch.custom_mask is not None:
-            arrays["custom_mask"] = batch.custom_mask
         # window/sinks may be traced (per-layer window tables), so they
         # ride along as explicit replicated operands, not closure captures
         extras = {}
@@ -106,39 +159,38 @@ class DpShardedAttention:
         if sinks is not None:
             extras["sinks"] = sinks
 
-        def local(kv, layer, q_l, k_l, v_l, arr, ex):
-            kv = jax.tree.map(lambda x: x[0], kv)   # drop group dim
-            b = ForwardBatch(
-                custom_mask=arr.get("custom_mask"),
-                **{k: v for k, v in arr.items() if k != "custom_mask"},
-                **statics,
-            )
-            out, kv = inner(kv, layer, q_l, k_l, v_l, b, sm_scale,
-                            logit_cap, window=ex.get("window"),
-                            sinks=ex.get("sinks"))
-            kv = jax.tree.map(lambda x: x[None], kv)
-            return out, kv
+        def call(kv, layer, row_args, b, ex):
+            q_l, k_l, v_l = row_args
+            return inner(kv, layer, q_l, k_l, v_l, b, sm_scale,
+                         logit_cap, window=ex.get("window"),
+                         sinks=ex.get("sinks"))
 
-        kv_spec = jax.tree.map(lambda _: P("dp"), kv_cache)
-        arr_spec = {k: P("dp") for k in arrays}
-        import inspect
+        return self._run(kv_cache, layer_id, (q, k_new, v_new), extras,
+                         batch, call)
 
-        kwargs = {}
-        sig = inspect.signature(shard_map).parameters
-        if "check_rep" in sig:
-            kwargs["check_rep"] = False
-        elif "check_vma" in sig:
-            kwargs["check_vma"] = False
-        out, kv_cache = shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(kv_spec, P(), P("dp"), P("dp"), P("dp"), arr_spec,
-                      {k: P() for k in extras}),
-            out_specs=(P("dp"), kv_spec),
-            **kwargs,
-        )(kv_cache, jnp.asarray(layer_id, jnp.int32), q, k_new, v_new,
-          arrays, extras)
-        return out, kv_cache
+
+class DpShardedMLAAttention(_DpShardedBase):
+    """Group-local wrapper over an MLA backend (absorbed-latent signature).
+
+    w_kc/w_vc are weights — replicated into each group (the reference keeps
+    attention weights replicated across dp-attention groups too,
+    ``layers/dp_attention.py`` attn-tp group broadcast)."""
+
+    name = "dp_sharded_mla"
+
+    def __call__(self, kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
+                 batch, w_kc, w_vc, sm_scale) -> Tuple[jax.Array, object]:
+        inner = self.inner
+
+        def call(kv, layer, row_args, b, rep):
+            qn, qp, ckv, kpe = row_args
+            return inner(kv, layer, qn, qp, ckv, kpe, b,
+                         rep["w_kc"], rep["w_vc"], sm_scale)
+
+        return self._run(
+            kv_cache, layer_id, (q_nope, q_pe, ckv_new, kpe_new),
+            {"w_kc": w_kc, "w_vc": w_vc}, batch, call,
+        )
 
 
 def build_dp_batch(group_batches) -> ForwardBatch:

@@ -49,20 +49,87 @@ class DecodeItem:
 class BatchBuilder:
     def __init__(self, page_size: int, decode_bs_buckets: Sequence[int],
                  prefill_token_buckets: Sequence[int],
-                 min_pages_bucket: int = 8):
+                 min_pages_bucket: int = 8,
+                 dp_groups: int = 1, page_stride: int = 0):
         self.page_size = page_size
         self.decode_bs_buckets = list(decode_bs_buckets)
         self.prefill_token_buckets = list(prefill_token_buckets)
         self.min_pages_bucket = min_pages_bucket
+        # DP-attention: group-major row layout; page/slot ids arrive GLOBAL
+        # from the GroupedKVAllocator and are converted to group-local here
+        # (the device-side pool is per-group)
+        self.dp_groups = dp_groups
+        self.page_stride = page_stride
+
+    def _grouped(self, items, groups, build, pad_item):
+        """Group-major layout: rows_per_group identical across groups so
+        shard_map over 'dp' sees aligned row blocks. Returns
+        (ForwardBatch, row_index_per_item)."""
+        G = self.dp_groups
+        per: List[List] = [[] for _ in range(G)]
+        order: List[List[int]] = [[] for _ in range(G)]
+        for i, (it, g) in enumerate(zip(items, groups)):
+            per[g].append(self._localize(it, g))
+            order[g].append(i)
+        n = max(len(p) for p in per)
+        rpg = pick_bucket([1, 2, 4, 8, 16, 32, 64, 128, 256], n)
+        rows = [0] * len(items)
+        flat: List = []
+        for g in range(G):
+            for j, i in enumerate(order[g]):
+                rows[i] = g * rpg + j
+            flat.extend(per[g])
+            flat.extend(pad_item() for _ in range(rpg - len(per[g])))
+        batch = build(flat, rpg)
+        return batch, rows
+
+    def _localize(self, it, g: int):
+        """Global page/slot ids -> group-local (page 0 stays the pad page)."""
+        if g == 0 or self.page_stride == 0:
+            return it
+        pb = np.int32(g * self.page_stride)
+        return dataclasses.replace(
+            it,
+            slots=np.asarray(it.slots, np.int32) - pb * self.page_size,
+            pages=np.asarray(it.pages, np.int32) - pb,
+        )
 
     def _pages_bucket(self, max_pages: int) -> int:
         return max(self.min_pages_bucket, next_power_of_2(max_pages))
 
+    def build_extend_grouped(self, items: List[ExtendItem],
+                             groups: Sequence[int]):
+        """DP-attention extend: (batch, row_index_per_item)."""
+        return self._grouped(
+            items, groups,
+            lambda flat, rpg: self.build_extend(flat, _force_bp=len(flat)),
+            lambda: ExtendItem(
+                input_ids=np.zeros((0,), np.int32), prefix_len=0,
+                slots=np.zeros((0,), np.int32),
+                pages=np.zeros((0,), np.int32),
+            ),
+        )
+
+    def build_decode_grouped(self, items: List[DecodeItem],
+                             groups: Sequence[int]):
+        """DP-attention decode: (batch, row_index_per_item)."""
+        k = len(items[0].slots)
+        return self._grouped(
+            items, groups,
+            lambda flat, rpg: self.build_decode(flat, _force_bp=len(flat)),
+            lambda: DecodeItem(
+                input_id=0, seq_len=0,
+                slots=np.zeros((k,), np.int32),
+                pages=np.zeros((0,), np.int32),
+            ),
+        )
+
     def build_extend(self, items: List[ExtendItem],
                      mode: ForwardMode = ForwardMode.EXTEND,
-                     custom_mask: Optional[np.ndarray] = None) -> ForwardBatch:
+                     custom_mask: Optional[np.ndarray] = None,
+                     _force_bp: Optional[int] = None) -> ForwardBatch:
         B = len(items)
-        Bp = pick_bucket([1, 2, 4, 8, 16, 32], B)
+        Bp = _force_bp or pick_bucket([1, 2, 4, 8, 16, 32], B)
         S = pick_bucket(
             self.prefill_token_buckets, max(len(it.input_ids) for it in items)
         )
@@ -111,12 +178,13 @@ class BatchBuilder:
         )
 
     def build_decode(self, items: List[DecodeItem],
-                     mode: ForwardMode = ForwardMode.DECODE) -> ForwardBatch:
+                     mode: ForwardMode = ForwardMode.DECODE,
+                     _force_bp: Optional[int] = None) -> ForwardBatch:
         """[B, k]-shaped decode batch: column j holds step j's kv slot
         (k > 1 = fused multi-step decode, one device dispatch)."""
         B = len(items)
         k = len(items[0].slots)
-        Bp = pick_bucket(self.decode_bs_buckets, B)
+        Bp = _force_bp or pick_bucket(self.decode_bs_buckets, B)
         P = self._pages_bucket(max(len(it.pages) for it in items))
 
         input_ids = np.zeros((Bp, k), dtype=np.int32)
@@ -129,11 +197,13 @@ class BatchBuilder:
         runs = True
         for i, it in enumerate(items):
             input_ids[i, 0] = it.input_id
-            positions[i, 0] = it.seq_len - 1
+            # max(...): idle dp-attention pad rows carry seq_len 0 and must
+            # keep position 0 like bucket-pad rows
+            positions[i, 0] = max(it.seq_len - 1, 0)
             out_loc[i, :] = it.slots
             pages[i, : len(it.pages)] = it.pages
             seq_lens[i] = it.seq_len
-            q_lens[i] = 1
+            q_lens[i] = 1 if it.seq_len > 0 else 0
             state_idx[i] = it.state_idx
             if runs and len(it.pages) > 1:
                 runs = bool((np.diff(it.pages) == 1).all())

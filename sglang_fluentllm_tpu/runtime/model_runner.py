@@ -130,6 +130,18 @@ class ModelRunner:
                 f"need {n} devices, have {len(devices)}"
             )
             mesh = build_mesh(server_args.dp_size, server_args.tp_size)
+        # Engine-level DP-attention (reference layers/dp_attention.py:97,
+        # scheduler.py:1649 prepare_dp_attn_batch): attn_tp < tp splits the
+        # tp axis into G attention groups. The mesh's dp axis carries the
+        # groups; attention + KV pools shard over it, everything else keeps
+        # 'tp' (= attn_tp wide) sharding with batch rows data-parallel over
+        # the groups.
+        self.dp_attn_size = server_args.dp_attn_size
+        if self.dp_attn_size > 1:
+            devs = mesh.devices.reshape(-1)
+            mesh = Mesh(
+                devs.reshape(-1, server_args.attn_tp_size), ("dp", "tp")
+            )
         self.mesh = mesh
         # multi-host step broadcast (rank 0 only; see parallel/multihost.py).
         # Attached BEFORE any jit step so followers replay the full call
@@ -146,6 +158,29 @@ class ModelRunner:
             )
 
         self.attn_backend = select_attn_backend(server_args, self.model_config)
+        if self.dp_attn_size > 1:
+            from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+                RefMLABackend,
+            )
+            from sglang_fluentllm_tpu.parallel.dp_attention import (
+                DpShardedAttention,
+                DpShardedMLAAttention,
+            )
+
+            if self.model_config.is_hybrid_linear:
+                raise NotImplementedError(
+                    "DP-attention does not yet support hybrid-linear models"
+                )
+            if getattr(self.attn_backend, "name", "") == "duo":
+                raise NotImplementedError(
+                    "DP-attention does not yet support DuoAttention"
+                )
+            wrapper = (
+                DpShardedMLAAttention
+                if isinstance(self.attn_backend, RefMLABackend)
+                else DpShardedAttention
+            )
+            self.attn_backend = wrapper(self.attn_backend, self.mesh)
         model_cls = get_model_class(self.model_config.architectures)
         self.model = model_cls(self.model_config, self.attn_backend)
         if (
@@ -287,9 +322,12 @@ class ModelRunner:
                 max_tokens = 1 << 16
             else:
                 max_tokens = int(free * sa.mem_fraction_static) // cell
-        num_pages = max(1, max_tokens // sa.page_size)
-        self.num_pages = num_pages
-        self.max_total_tokens = num_pages * sa.page_size
+        # DP-attention: max_total_tokens is the TOTAL budget; each of the G
+        # groups owns an equal pool slice (sharded over its attn_tp devices)
+        G = self.dp_attn_size
+        num_pages = max(1, max_tokens // G // sa.page_size)
+        self.num_pages = num_pages  # per group
+        self.max_total_tokens = num_pages * sa.page_size * G
         max_context = min(
             mc.context_length or 1 << 20, self.max_total_tokens
         )
@@ -314,6 +352,18 @@ class ModelRunner:
             mc, num_slots, dtype=self.dtype,
             kv_cache_dtype=sa.kv_cache_dtype, max_reqs=self.max_reqs,
         )
+        if G > 1:
+            from sglang_fluentllm_tpu.mem.kv_cache import OEPKVCache
+
+            if isinstance(kv_cache, OEPKVCache):
+                raise NotImplementedError(
+                    "DP-attention does not yet support over-embedding"
+                )
+            # per-group pool slices stacked on a leading dp dim; the
+            # DpSharded* wrapper drops the dim inside shard_map
+            kv_cache = jax.tree.map(
+                lambda x: jnp.zeros((G,) + x.shape, x.dtype), kv_cache
+            )
         self.kv_cache = self._shard(kv_cache, self._kv_spec(kv_cache))
         if mc.is_hybrid_linear:
             # linear-state rows are request-keyed, not token-keyed: radix
@@ -328,12 +378,16 @@ class ModelRunner:
         # reference instead negates oe_token_table row 0 during draft
         # prefill — a draft-quality detail; acceptance stays lossless).
 
-        self.allocator = KVAllocator(
-            num_pages, sa.page_size, self.max_reqs, max_context
+        from sglang_fluentllm_tpu.mem.dp_grouped import GroupedKVAllocator
+
+        self.allocator = GroupedKVAllocator(
+            num_pages, sa.page_size, self.max_reqs, max_context,
+            n_groups=G,
         )
         self.req_pool = ReqPool(self.max_reqs)
         self.batch_builder = BatchBuilder(
-            sa.page_size, sa.decode_bs_buckets, sa.prefill_token_buckets
+            sa.page_size, sa.decode_bs_buckets, sa.prefill_token_buckets,
+            dp_groups=G, page_stride=self.allocator.stride,
         )
         logger.info(
             "KV pool: %d pages x %d = %d tokens (%.2f GiB), max_reqs=%d",
@@ -357,13 +411,25 @@ class ModelRunner:
 
     def _kv_spec(self, kv_cache):
         """Sharding for the KV pool: MHA over kv heads (tp); MLA latents
-        and hybrid linear states replicated."""
+        and hybrid linear states replicated. Under DP-attention the pool
+        gains a leading group dim sharded over 'dp'."""
         from sglang_fluentllm_tpu.mem.kv_cache import (
             HybridKVCache,
             MHAKVCache,
             OEPKVCache,
         )
 
+        if self.dp_attn_size > 1:
+            save, self.dp_attn_size = self.dp_attn_size, 1
+            try:
+                inner = self._kv_spec(
+                    jax.tree.map(lambda x: x[0], kv_cache)
+                )
+            finally:
+                self.dp_attn_size = save
+            return jax.tree.map(
+                lambda s: P(*(("dp",) + tuple(s))), inner
+            )
         if isinstance(kv_cache, OEPKVCache):
             return OEPKVCache(
                 inner=self._kv_spec(kv_cache.inner), ring=P()

@@ -75,12 +75,29 @@ class InFlightBatch:
     # (topk_vals, topk_ids, input_logprobs) device arrays; zero-size
     # placeholders when unrequested
     extras_dev: Any = None
+    # DP-attention: device row index per req (group-major layout with
+    # per-group padding); None = identity
+    rows: Optional[List[int]] = None
 
 
 # Max launched-but-unresolved batches. Depth 1 would idle the device during
 # host batch-prep + tunnel dispatch latency; deeper pipelining keeps the
 # device queue non-empty (tokens still stream out with ~depth steps of lag).
 MAX_INFLIGHT_BATCHES = 4
+
+
+class _BestPrefixView:
+    """Read-only multi-tree view for the LPM policy under DP-attention:
+    priority = best prefix match across all group trees."""
+
+    def __init__(self, trees):
+        self.trees = trees
+
+    def match_prefix(self, token_ids):
+        return max(
+            (t.match_prefix(token_ids) for t in self.trees),
+            key=lambda m: m.prefix_len,
+        )
 
 
 class Scheduler:
@@ -94,14 +111,24 @@ class Scheduler:
             create_radix_cache,
         )
 
-        self.tree_cache = create_radix_cache(
-            self.page_size,
-            disable=server_args.disable_radix_cache,
-            eviction_policy=server_args.radix_eviction_policy,
-            prefer_native=not server_args.disable_native_radix,
-        )
+        # DP-attention: one radix tree per attention group (each group owns
+        # a private pool slice; prefix pages are only valid in their owner
+        # group — reference dp-attention keeps per-rank tree caches)
+        self.dp_groups = getattr(runner, "dp_attn_size", 1)
+        self.tree_caches = [
+            create_radix_cache(
+                self.page_size,
+                disable=server_args.disable_radix_cache,
+                eviction_policy=server_args.radix_eviction_policy,
+                prefer_native=not server_args.disable_native_radix,
+            )
+            for _ in range(self.dp_groups)
+        ]
+        self.tree_cache = self.tree_caches[0]
         self.policy = SchedulePolicy(
-            server_args.schedule_policy, self.tree_cache
+            server_args.schedule_policy,
+            self.tree_cache if self.dp_groups == 1
+            else _BestPrefixView(self.tree_caches),
         )
         self.waiting_queue: List[Req] = []
         self.running_batch: List[Req] = []
@@ -222,15 +249,20 @@ class Scheduler:
         )
 
     # ------------------------------------------------------------------
+    def _tree_for(self, req_idx: int):
+        """The radix tree of the request's DP-attention group."""
+        return self.tree_caches[self.allocator.group_of(req_idx)]
+
     def _evict_and_alloc(self, req_idx: int, alloced: int, extend: int):
         slots = self.allocator.alloc_extend(req_idx, alloced, extend)
         if slots is None:
+            g = self.allocator.group_of(req_idx)
             need = self.allocator.pages_needed(alloced, extend)
             # evicted pages are unlocked (no scheduled request reads them;
             # a zombie overlap step may read stale data but its token is
             # discarded) -> reusable immediately, bypassing the deferral
-            self.tree_cache.evict(
-                need - self.allocator.available_pages(),
+            self.tree_caches[g].evict(
+                need - self.allocator.available_pages(g),
                 self.allocator.release_pages,
                 on_evict=self._on_evict_hook(),
             )
@@ -271,8 +303,10 @@ class Scheduler:
 
         adder = PrefillAdder(
             self.page_size,
+            # DP-attention: min over groups (conservative — admission must
+            # fit the tightest group since the group is chosen per request)
             self.allocator.available_tokens(),
-            self.tree_cache.evictable_size,
+            min(t.evictable_size for t in self.tree_caches),
             self.running_batch,
             self.new_token_ratio,
             self.server_args.max_prefill_tokens,
@@ -307,7 +341,24 @@ class Scheduler:
                     if req.queued_time is not None:
                         self.recent_queue_times.append(
                             req.dequeued_time - req.queued_time)
-                m = self.tree_cache.match_prefix(req.fill_ids)
+                # DP-attention group assignment: sticky for the request's
+                # lifetime (its KV lives in the group pool). Prefix-cache
+                # aware: join the group with the longest match, tie-broken
+                # by free pages (reference prepare_dp_attn_batch routing)
+                if self.dp_groups > 1:
+                    g = max(
+                        range(self.dp_groups),
+                        key=lambda gi: (
+                            self.tree_caches[gi].match_prefix(
+                                req.fill_ids
+                            ).prefix_len,
+                            self.allocator.available_pages(gi),
+                        ),
+                    )
+                    self.allocator.set_group(req.req_pool_idx, g)
+                m = self._tree_for(req.req_pool_idx).match_prefix(
+                    req.fill_ids
+                )
                 self.num_prompt_tokens_seen += len(req.fill_ids)
                 self.num_cached_prompt_tokens += m.prefix_len
                 if self.hicache is not None:
@@ -333,7 +384,7 @@ class Scheduler:
                 req.num_computed_tokens = m.prefix_len
                 req.alloced_len = m.prefix_len
                 req.last_node = m.last_node
-                self.tree_cache.inc_lock_ref(m.last_node)
+                self._tree_for(req.req_pool_idx).inc_lock_ref(m.last_node)
                 self.allocator.set_prefix_pages(req.req_pool_idx, m.page_ids)
                 self.cum_cached_tokens += m.prefix_len
 
@@ -503,17 +554,18 @@ class Scheduler:
         """Free all device KV held by the request; keep radix-shared pages."""
         if req.req_pool_idx is None:
             return
+        tree = self._tree_for(req.req_pool_idx)
         total = max(req.alloced_len, 1)
         tree_pages = (
-            self.tree_cache.match_prefix(req.fill_ids).page_ids
-            if not self.tree_cache.disable
+            tree.match_prefix(req.fill_ids).page_ids
+            if not tree.disable
             else []
         )
         self.allocator.free_req_pages(
             req.req_pool_idx, total, skip_pages=tree_pages
         )
         if req.last_node is not None:
-            self.tree_cache.dec_lock_ref(req.last_node)
+            tree.dec_lock_ref(req.last_node)
             req.last_node = None
         self.req_pool.free(req.req_pool_idx)
         req.req_pool_idx = None
@@ -530,7 +582,8 @@ class Scheduler:
         cache_unfinished_req, radix_cache.py:312-421)."""
         if req.req_pool_idx is None:
             return
-        if self.tree_cache.disable:
+        tree = self._tree_for(req.req_pool_idx)
+        if tree.disable:
             if not unfinished:
                 self.allocator.free_req_pages(
                     req.req_pool_idx, max(req.alloced_len, 1)
@@ -547,13 +600,13 @@ class Scheduler:
             int(p)
             for p in self.allocator.req_pages(req.req_pool_idx, aligned)
         ]
-        dup = self.tree_cache.insert(ids, my_pages)
+        dup = tree.insert(ids, my_pages)
         if self.kv_events is not None and aligned > dup:
             # newly stored block (beyond the already-present prefix)
             self.kv_events.block_stored(
                 ids[dup:], my_pages[dup // ps :]
             )
-        m = self.tree_cache.match_prefix(ids)
+        m = tree.match_prefix(ids)
         tree_pages = m.page_ids
         # free any of our pages the tree didn't adopt (duplicates), and
         # install the tree's pages so our page table matches shared state
@@ -563,9 +616,9 @@ class Scheduler:
         self.allocator.set_prefix_pages(req.req_pool_idx, tree_pages)
         # move the lock to the deeper node
         old_node = req.last_node
-        self.tree_cache.inc_lock_ref(m.last_node)
+        tree.inc_lock_ref(m.last_node)
         if old_node is not None:
-            self.tree_cache.dec_lock_ref(old_node)
+            tree.dec_lock_ref(old_node)
         req.last_node = m.last_node
 
         cb = self.chunk_listeners.get(req.rid)
@@ -582,7 +635,7 @@ class Scheduler:
                 total_len=max(req.alloced_len, n_tok),
                 keep_len=aligned,
             )
-            self.tree_cache.dec_lock_ref(req.last_node)
+            tree.dec_lock_ref(req.last_node)
             req.last_node = None
             self.req_pool.free(req.req_pool_idx)
             req.req_pool_idx = None
@@ -862,7 +915,39 @@ class Scheduler:
             for r in reqs
         )
 
-    def _sampling_meta(self, reqs: List[Req], pad_to: int) -> SamplingMetadata:
+    @staticmethod
+    def _scatter_rows(meta: SamplingMetadata, rows: List[int],
+                      n: int, pad_to: int) -> SamplingMetadata:
+        """Permute per-row metadata from positions [0..n) to the DP-attention
+        group-major device rows; vacated rows keep the pad value."""
+        import dataclasses as _dc
+
+        idx = np.asarray(rows, np.int64)
+
+        def scat(a):
+            if a is None or not isinstance(a, np.ndarray):
+                return a
+            if a.ndim == 0 or a.shape[0] != pad_to:
+                return a
+            fill = a[n] if pad_to > n else a[0]
+            out = np.broadcast_to(fill, a.shape).copy()
+            out[idx] = a[:n]
+            return out
+
+        changes = {}
+        for f in _dc.fields(meta):
+            if f.metadata.get("static") or f.name == "custom_procs":
+                continue
+            changes[f.name] = scat(getattr(meta, f.name))
+        if meta.custom_procs is not None:
+            changes["custom_procs"] = [
+                (rows[i], proc, params)
+                for i, proc, params in meta.custom_procs
+            ]
+        return _dc.replace(meta, **changes)
+
+    def _sampling_meta(self, reqs: List[Req], pad_to: int,
+                       rows: Optional[List[int]] = None) -> SamplingMetadata:
         sps = [r.sampling_params for r in reqs]
         meta = SamplingMetadata.from_lists(
             [sp.temperature for sp in sps],
@@ -935,6 +1020,8 @@ class Scheduler:
                 ))
             meta.custom_procs = procs
         if not self._needs_penalties(reqs):
+            if rows is not None:
+                meta = self._scatter_rows(meta, rows, len(reqs), pad_to)
             return meta
         from sglang_fluentllm_tpu.utils import next_power_of_2
 
@@ -969,11 +1056,22 @@ class Scheduler:
         meta.frequency_penalty = freq
         meta.presence_penalty = pres
         meta.repetition_penalty = rep
+        if rows is not None:
+            meta = self._scatter_rows(meta, rows, len(reqs), pad_to)
         return meta
 
+    def _dp_item_groups(self, items) -> List[int]:
+        return [self.allocator.group_of(it.state_idx) for it in items]
+
     def _launch_extend(self, reqs, items) -> InFlightBatch:
-        batch = self.runner.batch_builder.build_extend(items)
-        sampling = self._sampling_meta(reqs, batch.batch_size)
+        rows = None
+        if self.dp_groups > 1:
+            batch, rows = self.runner.batch_builder.build_extend_grouped(
+                items, self._dp_item_groups(items)
+            )
+        else:
+            batch = self.runner.batch_builder.build_extend(items)
+        sampling = self._sampling_meta(reqs, batch.batch_size, rows=rows)
         offset = self.runner.claim_future_slots(batch.batch_size)
         if self.spec is not None and self.spec.needs_prefill_hook:
             # NEXTN: fused target-prefill + draft prefill + hidden init
@@ -1000,7 +1098,7 @@ class Scheduler:
             req._mixed_decode = False  # type: ignore[attr-defined]
             if not req.is_chunked:
                 req.inflight += 1
-                req.last_future_slot = offset + i
+                req.last_future_slot = offset + (rows[i] if rows else i)
         return InFlightBatch(
             reqs=list(reqs),
             mode=ForwardMode.EXTEND,
@@ -1011,12 +1109,19 @@ class Scheduler:
             mixed_decode=mixed,
             future_offset=offset,
             extras_dev=extras,
+            rows=rows,
         )
 
     def _launch_decode(self, reqs, items) -> InFlightBatch:
         k = len(items[0].slots)
-        batch = self.runner.batch_builder.build_decode(items)
-        sampling = self._sampling_meta(reqs, batch.batch_size)
+        rows = None
+        if self.dp_groups > 1:
+            batch, rows = self.runner.batch_builder.build_decode_grouped(
+                items, self._dp_item_groups(items)
+            )
+        else:
+            batch = self.runner.batch_builder.build_decode(items)
+        sampling = self._sampling_meta(reqs, batch.batch_size, rows=rows)
         offset = self.runner.claim_future_slots(batch.batch_size)
         ids, logprobs, extras = self.runner.forward_batch_generation(
             batch, sampling, offset
@@ -1025,7 +1130,7 @@ class Scheduler:
             # after this launch, KV is computed for positions < total-1+k
             req.num_computed_tokens = req.seq_len + req.inflight - 1 + k
             req.inflight += k
-            req.last_future_slot = offset + i
+            req.last_future_slot = offset + (rows[i] if rows else i)
         return InFlightBatch(
             reqs=list(reqs),
             mode=ForwardMode.DECODE,
@@ -1034,6 +1139,7 @@ class Scheduler:
             this_extends=[k] * len(reqs),
             future_offset=offset,
             extras_dev=extras,
+            rows=rows,
         )
 
     # ------------------------------------------------------------------
@@ -1069,13 +1175,14 @@ class Scheduler:
         multi = is_decode and ids.ndim == 2  # [k, B] fused decode window
         outputs: List[StepOutput] = []
         for i, req in enumerate(batch.reqs):
+            row = batch.rows[i] if batch.rows is not None else i
             # the ring slot this launch wrote is now resolved on host; if it
             # is still the request's newest slot, fall back to output_ids so
             # a long-parked request (retraction, skipped steps) can never
             # read an overwritten slot after a full ring cycle
             if (
                 batch.future_offset is not None
-                and req.last_future_slot == batch.future_offset + i
+                and req.last_future_slot == batch.future_offset + row
             ):
                 req.last_future_slot = None
             sp_i = req.sampling_params
@@ -1096,7 +1203,7 @@ class Scheduler:
                         [None] * (req.prefix_len + 1)
                     )
                 req.input_token_logprobs.extend(
-                    float(x) for x in inp_lp[i, : max(0, n - 1)]
+                    float(x) for x in inp_lp[row, : max(0, n - 1)]
                 )
                 if batch.sampled is not None and not batch.sampled[i]:
                     # chunk-boundary token: its logprob spans two chunks
@@ -1122,10 +1229,10 @@ class Scheduler:
                 outputs.append(self._make_output(req))
                 continue
             tokens = (
-                [(int(ids[j, i]), float(logprobs[j, i]), j)
+                [(int(ids[j, row]), float(logprobs[j, row]), j)
                  for j in range(ids.shape[0])]
                 if multi
-                else [(int(ids[i]), float(logprobs[i]), None)]
+                else [(int(ids[row]), float(logprobs[row]), None)]
             )
             want_topk = (
                 tk_vals is not None
@@ -1137,8 +1244,8 @@ class Scheduler:
                 req.output_ids.append(token)
                 req.output_token_logprobs.append(lp)
                 if want_topk:
-                    tv = tk_vals[j, i] if j is not None else tk_vals[i]
-                    ti = tk_ids[j, i] if j is not None else tk_ids[i]
+                    tv = tk_vals[j, row] if j is not None else tk_vals[row]
+                    ti = tk_ids[j, row] if j is not None else tk_ids[row]
                     kk = req.sampling_params.top_logprobs_num
                     req.output_top_logprobs.append(
                         [(float(v), int(t))
@@ -1270,7 +1377,8 @@ class Scheduler:
             or self.pending
         ):
             return False
-        self.tree_cache.reset()
+        for t in self.tree_caches:
+            t.reset()
         self.allocator.clear()
         self._deferred_frees = []
         self.allocator.free_group_begin()

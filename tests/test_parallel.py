@@ -384,3 +384,113 @@ class TestEpDispatchEngine:
             input_ids=prompt, sampling_params=sp
         )["output_ids"]
         assert got2 == ref
+
+
+class TestDpAttentionEngine:
+    """Engine-level DP-attention (VERDICT r2 #3): --attn-tp-size < --tp-size
+    builds the (dp_attn, attn_tp) mesh, per-group KV pools + radix trees,
+    group-major batches, and DpShardedAttention — full serving path, not a
+    hand-built model (reference scheduler.py:1649 prepare_dp_attn_batch)."""
+
+    PROMPTS = [
+        [3, 11, 42, 7, 19, 88, 5],
+        [9, 1, 2],
+        [50, 60, 70, 80, 90],
+        [5, 5, 5, 5, 5, 5],
+        [100, 3, 42, 77, 8, 1, 9, 24],
+    ]
+    SP = {"max_new_tokens": 6, "temperature": 0.0}
+
+    def test_engine_dp_attn_matches_single(self):
+        e1 = tiny_engine(TINY_LLAMA_CFG)
+        refs = [
+            e1.generate(input_ids=p, sampling_params=self.SP)["output_ids"]
+            for p in self.PROMPTS
+        ]
+        e2 = tiny_engine(TINY_LLAMA_CFG, tp_size=4, attn_tp_size=2)
+        assert e2.runner.dp_attn_size == 2
+        from sglang_fluentllm_tpu.parallel.dp_attention import (
+            DpShardedAttention,
+        )
+
+        assert isinstance(e2.runner.attn_backend, DpShardedAttention)
+        assert e2.runner.mesh.devices.shape == (2, 2)
+        outs = e2.generate(input_ids=self.PROMPTS, sampling_params=self.SP)
+        assert [o["output_ids"] for o in outs] == refs
+        # both groups actually held requests
+        groups = set(e2.scheduler.allocator._req_group.values())
+        assert groups == {0, 1}, groups
+
+    def test_dp_attn_prefix_cache_and_drain(self):
+        """Radix reuse stays group-local; allocator accounting balances
+        after drain in every group."""
+        e = tiny_engine(TINY_LLAMA_CFG, tp_size=4, attn_tp_size=2,
+                        max_total_tokens=512)
+        outs = e.generate(input_ids=self.PROMPTS, sampling_params=self.SP)
+        assert all(len(o["output_ids"]) == 6 for o in outs)
+        # repeat the first prompt with a longer suffix -> prefix hit
+        long_p = self.PROMPTS[0] + [33, 44, 55]
+        out = e.generate(input_ids=long_p, sampling_params=self.SP)
+        assert out["meta_info"]["cached_tokens"] > 0
+        alloc = e.scheduler.allocator
+        for g in range(alloc.n_groups):
+            tree = e.scheduler.tree_caches[g]
+            assert tree.protected_size == 0
+            assert (
+                alloc.available_tokens(g) + tree.evictable_size
+                <= alloc.num_pages * alloc.page_size
+            )
+
+    def test_dp_attn_sampling_rows(self):
+        """Per-request sampling params land on the right device rows
+        (scatter through the group-major layout): mixed greedy +
+        penalties batch."""
+        e1 = tiny_engine(TINY_LLAMA_CFG)
+        e2 = tiny_engine(TINY_LLAMA_CFG, tp_size=4, attn_tp_size=2)
+        sp_pen = {"max_new_tokens": 6, "temperature": 0.0,
+                  "repetition_penalty": 1.3}
+        prompts = self.PROMPTS[:4]
+        sps = [self.SP, sp_pen, self.SP, sp_pen]
+        refs = [
+            e1.generate(input_ids=p, sampling_params=s)["output_ids"]
+            for p, s in zip(prompts, sps)
+        ]
+        outs = e2.generate(input_ids=prompts, sampling_params=sps)
+        assert [o["output_ids"] for o in outs] == refs
+
+    def test_dp_attn_rejects_unsupported(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="DP-attention"):
+            tiny_engine(TINY_LLAMA_CFG, tp_size=4, attn_tp_size=2,
+                        speculative_algorithm="EAGLE")
+
+
+class TestGroupedAllocator:
+    def test_global_local_roundtrip(self):
+        from sglang_fluentllm_tpu.mem.dp_grouped import GroupedKVAllocator
+
+        a = GroupedKVAllocator(8, 4, 16, 256, n_groups=2)
+        a.set_group(0, 0)
+        a.set_group(1, 1)
+        s0 = a.alloc_extend(0, 0, 10)
+        s1 = a.alloc_extend(1, 0, 10)
+        assert s0 is not None and s1 is not None
+        # group 1 slots live past the group stride
+        assert (np.asarray(s1) >= a.stride * a.page_size).all()
+        p0 = a.req_pages(0, 10)
+        p1 = a.req_pages(1, 10)
+        assert (p1 >= a.stride).all() and (p0 < a.stride).all()
+        # free routes back to the owner group
+        before0, before1 = a.available_pages(0), a.available_pages(1)
+        a.free_req_pages(1, 10)
+        assert a.available_pages(1) == before1 + 3
+        assert a.available_pages(0) == before0
+        # deferred free-group mixes groups and releases correctly
+        a.free_group_begin()
+        a.free_req_pages(0, 10)
+        deferred = a.free_group_take()
+        assert len(deferred) == 3
+        a.release_pages(deferred)
+        assert a.available_pages(0) == 8
+        assert a.available_pages(1) == 8
