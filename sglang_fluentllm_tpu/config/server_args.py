@@ -78,8 +78,13 @@ class ServerArgs:
     attn_tp_size: Optional[int] = None  # DP-attention: TP size for attention
     dense_tp_size: Optional[int] = None
     moe_parallel_strategy: str = "tp"  # tp | ep
-    enable_ep_dispatch: bool = False  # fixed-capacity all-to-all (DeepEP)
+    # token-sharded fixed-capacity all-to-all (DeepEP analog) — the DEFAULT
+    # EP path; set False to force the replicated-token psum path
+    enable_ep_dispatch: bool = True
     ep_dispatch_capacity_factor: float = 2.0
+    # below this many tokens the all-to-all is latency-bound: fall back to
+    # the replicated path (identity placement only)
+    ep_dispatch_min_tokens: int = 16
     ep_num_redundant_experts: int = 0
     enable_expert_distribution_recorder: bool = False
     dist_init_addr: Optional[str] = None

@@ -113,6 +113,11 @@ class SchedulerMetricsCollector:
             "num_grammar_total", "Grammar-constrained requests")
         self.num_grammar_aborted = counter(
             "num_grammar_aborted_total", "Grammar compile failures")
+        # --- EP dispatch (DeepEP analog) ---
+        self.ep_dropped_assignments = gauge(
+            "ep_dropped_assignments",
+            "Token-assignments dropped by the fixed-capacity EP dispatcher "
+            "(non-zero => raise --ep-dispatch-capacity-factor)")
         # --- hicache (reference collector.py storage metrics role) ---
         self.hicache_host_hit_tokens = counter(
             "hicache_host_hit_tokens_total", "Host-tier KV tokens reused")
@@ -145,6 +150,9 @@ class SchedulerMetricsCollector:
         tot = getattr(scheduler, "num_prompt_tokens_seen", None)
         if hits is not None and tot:
             self.cache_hit_rate.labels(**lb).set(hits / max(1, tot))
+        ep_stats = getattr(runner, "ep_dispatch_stats", None)
+        if ep_stats is not None:
+            self.ep_dropped_assignments.labels(**lb).set(ep_stats.dropped)
 
     def observe_pd(self, pd):
         """PD room-queue depths (reference prealloc/inflight gauges)."""

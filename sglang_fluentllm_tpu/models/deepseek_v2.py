@@ -169,11 +169,20 @@ class DeepseekV2ForCausalLM:
             Im = c.moe_intermediate_size
             E = c.num_experts
             Et = E + c.num_zero_experts
+            # EP dispatch owns placement: weight rows are PHYSICAL slots
+            # (E + redundant, fixed at init so rebalances never change
+            # shapes) and the logical->physical tables live in the params
+            # pytree as runtime arrays (VERDICT r2 #8)
+            t = getattr(self, "ep_tables", None)
+            Ep = t.num_physical if t is not None else E
             moe = self._attn_shapes() | {
                 "router": (H, Et),
-                "w_gate_up": (E, H, 2 * Im),
-                "w_down": (E, Im, H),
+                "w_gate_up": (Ep, H, 2 * Im),
+                "w_down": (Ep, Im, H),
             }
+            if t is not None:
+                moe["ep_l2p"] = (E, t.l2p.shape[1])
+                moe["ep_n_rep"] = (E,)
             if c.topk_method == "noaux_tc":
                 moe["correction_bias"] = (Et,)
             if c.num_shared_experts:
@@ -213,6 +222,9 @@ class DeepseekV2ForCausalLM:
                 "w_gate_up": P("tp", None, None),   # expert-sharded (EP)
                 "w_down": P("tp", None, None),
             }
+            if getattr(self, "ep_tables", None) is not None:
+                moe["ep_l2p"] = P(None)     # replicated routing tables
+                moe["ep_n_rep"] = P()
             if c.topk_method == "noaux_tc":
                 moe["correction_bias"] = P()
             if c.num_shared_experts:
@@ -223,6 +235,27 @@ class DeepseekV2ForCausalLM:
                 })
             specs["moe_layers"] = add_layer_axis(moe)
         return specs
+
+    def _expand_physical(self, params):
+        """Materialize physical expert slots + runtime routing tables from
+        LOGICAL expert weights (keeps dummy-weight rng-stream parity with
+        non-EP engines; replicas share their logical expert's weights)."""
+        t = getattr(self, "ep_tables", None)
+        if t is None or "moe_layers" not in params:
+            return params
+        ml = params["moe_layers"]
+        if ml["w_gate_up"].shape[1] != t.num_physical:
+            p2l = jnp.asarray(t.initial_p2l(), jnp.int32)
+            ml["w_gate_up"] = jnp.take(ml["w_gate_up"], p2l, axis=1)
+            ml["w_down"] = jnp.take(ml["w_down"], p2l, axis=1)
+        L = ml["w_gate_up"].shape[0]
+        ml["ep_l2p"] = jnp.tile(
+            jnp.asarray(t.l2p, jnp.int32)[None], (L, 1, 1)
+        )
+        ml["ep_n_rep"] = jnp.tile(
+            jnp.asarray(t.n_rep, jnp.int32)[None], (L, 1)
+        )
+        return params
 
     def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
         rng = np.random.RandomState(seed)
@@ -235,7 +268,13 @@ class DeepseekV2ForCausalLM:
                 dtype=dtype,
             )
 
-        params = build(self.param_shapes())
+        # build at LOGICAL shapes (same rng stream as non-EP engines),
+        # then expand to physical slots
+        ep_t, self.ep_tables = getattr(self, "ep_tables", None), None
+        try:
+            params = build(self.param_shapes())
+        finally:
+            self.ep_tables = ep_t
         params["norm"] = jnp.ones_like(params["norm"])
         for grp in ("dense_layers", "moe_layers"):
             if grp not in params:
@@ -245,7 +284,7 @@ class DeepseekV2ForCausalLM:
                     params[grp][k] = jnp.ones_like(params[grp][k])
                 if k in ("correction_bias", "idx_k_norm_b"):
                     params[grp][k] = jnp.zeros_like(params[grp][k])
-        return params
+        return self._expand_physical(params)
 
     # ------------------------------------------------------------------
     def _mla_block(self, lp, h, kv_cache, layer_id, batch, cos, sin):
@@ -586,34 +625,13 @@ class DeepseekV2ForCausalLM:
                 self.expert_recorder.record, None, layer_id, rec_ids,
                 ordered=False,
             )
-        if self.ep_mesh is not None and self.ep_tables is not None:
-            from sglang_fluentllm_tpu.parallel.ep_dispatch import (
-                moe_forward_ep_dispatch,
-            )
+        from sglang_fluentllm_tpu.ops.moe.layer import model_moe_forward
 
-            out = moe_forward_ep_dispatch(
-                flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                mesh=self.ep_mesh, tables=self.ep_tables,
-                correction_bias=lp.get("correction_bias"),
-                capacity_factor=self.ep_capacity_factor,
-                axis=self.ep_axis,
-            )
-        elif self.ep_mesh is not None:
-            from sglang_fluentllm_tpu.parallel.ep import moe_forward_ep
-
-            out = moe_forward_ep(
-                flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                mesh=self.ep_mesh,
-                correction_bias=lp.get("correction_bias"),
-                use_gmm=self.use_gmm,
-                axis=self.ep_axis,
-            )
-        else:
-            out = moe_forward(
-                flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                correction_bias=lp.get("correction_bias"),
-                use_gmm=self.use_gmm,
-            )
+        out = model_moe_forward(
+            self, flat, logits, lp["w_gate_up"], lp["w_down"], c,
+            correction_bias=lp.get("correction_bias"),
+            ep_l2p=lp.get("ep_l2p"), ep_n_rep=lp.get("ep_n_rep"),
+        )
         if c.num_shared_experts:
             shared = (jax.nn.silu(flat @ lp["shared_gate_proj"])
                       * (flat @ lp["shared_up_proj"])) @ lp["shared_down_proj"]
@@ -800,7 +818,9 @@ class DeepseekV2ForCausalLM:
             )
         if self.n_moe:
             params["moe_layers"] = stack(
-                shapes["moe_layers"].keys(),
+                [k for k in shapes["moe_layers"]
+                 if not k.startswith("ep_")],
                 range(self.n_dense, L),
             )
-        return params
+        # checkpoints store LOGICAL experts; replicate into physical slots
+        return self._expand_physical(params)

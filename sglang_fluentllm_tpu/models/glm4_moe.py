@@ -241,32 +241,12 @@ class Glm4MoeForCausalLM:
             _, rec_ids = select_experts(logits, c, lp["correction_bias"])
             io_callback(self.expert_recorder.record, None, layer_id,
                         rec_ids, ordered=False)
-        if self.ep_mesh is not None and self.ep_tables is not None:
-            from sglang_fluentllm_tpu.parallel.ep_dispatch import (
-                moe_forward_ep_dispatch,
-            )
+        from sglang_fluentllm_tpu.ops.moe.layer import model_moe_forward
 
-            out = moe_forward_ep_dispatch(
-                flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                mesh=self.ep_mesh, tables=self.ep_tables,
-                correction_bias=lp["correction_bias"],
-                axis=self.ep_axis,
-            )
-        elif self.ep_mesh is not None:
-            from sglang_fluentllm_tpu.parallel.ep import moe_forward_ep
-
-            out = moe_forward_ep(
-                flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                mesh=self.ep_mesh,
-                correction_bias=lp["correction_bias"],
-                use_gmm=self.use_gmm, axis=self.ep_axis,
-            )
-        else:
-            out = moe_forward(
-                flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                correction_bias=lp["correction_bias"],
-                use_gmm=self.use_gmm,
-            )
+        out = model_moe_forward(
+            self, flat, logits, lp["w_gate_up"], lp["w_down"], c,
+            correction_bias=lp["correction_bias"],
+        )
         if c.num_shared_experts:
             shared = (jax.nn.silu(flat @ lp["shared_gate_proj"])
                       * (flat @ lp["shared_up_proj"])) @ lp["shared_down_proj"]

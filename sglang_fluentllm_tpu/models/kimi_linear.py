@@ -295,21 +295,12 @@ class KimiLinearForCausalLM:
                     * (x2d @ lp["up_proj"])) @ lp["down_proj"]
         logits = x2d.astype(jnp.float32) @ lp["router"].astype(
             jnp.float32)
-        if self.ep_mesh is not None:
-            from sglang_fluentllm_tpu.parallel.ep import moe_forward_ep
+        from sglang_fluentllm_tpu.ops.moe.layer import model_moe_forward
 
-            out = moe_forward_ep(
-                x2d, logits, lp["w_gate_up"], lp["w_down"], c,
-                mesh=self.ep_mesh,
-                correction_bias=lp["correction_bias"],
-                use_gmm=self.use_gmm, axis=self.ep_axis,
-            )
-        else:
-            out = moe_forward(
-                x2d, logits, lp["w_gate_up"], lp["w_down"], c,
-                correction_bias=lp["correction_bias"],
-                use_gmm=self.use_gmm,
-            )
+        out = model_moe_forward(
+            self, x2d, logits, lp["w_gate_up"], lp["w_down"], c,
+            correction_bias=lp["correction_bias"],
+        )
         if c.num_shared_experts:
             out = out + (jax.nn.silu(x2d @ lp["shared_gate_proj"])
                          * (x2d @ lp["shared_up_proj"])

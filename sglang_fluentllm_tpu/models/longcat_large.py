@@ -182,21 +182,13 @@ class LlamaForCausalLMMoE:
                 # router in f32 (config.router_dtype)
                 logits = flat.astype(jnp.float32) @ lp["router"].astype(
                     jnp.float32)
-                if self.ep_mesh is not None:
-                    from sglang_fluentllm_tpu.parallel.ep import (
-                        moe_forward_ep,
-                    )
+                from sglang_fluentllm_tpu.ops.moe.layer import (
+                    model_moe_forward,
+                )
 
-                    out = moe_forward_ep(
-                        flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                        mesh=self.ep_mesh, use_gmm=self.use_gmm,
-                        axis=self.ep_axis,
-                    )
-                else:
-                    out = moe_forward(
-                        flat, logits, lp["w_gate_up"], lp["w_down"], c,
-                        use_gmm=self.use_gmm,
-                    )
+                out = model_moe_forward(
+                    self, flat, logits, lp["w_gate_up"], lp["w_down"], c,
+                )
                 h = h + out.reshape(B, S, -1)
             else:
                 h = h + (jax.nn.silu(normed2 @ lp["gate_proj"])

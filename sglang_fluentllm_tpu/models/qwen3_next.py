@@ -301,19 +301,11 @@ class Qwen3NextForCausalLM:
     def _moe(self, lp, x2d):
         c = self.config
         logits = x2d @ lp["router"]
-        if self.ep_mesh is not None:
-            from sglang_fluentllm_tpu.parallel.ep import moe_forward_ep
+        from sglang_fluentllm_tpu.ops.moe.layer import model_moe_forward
 
-            out = moe_forward_ep(
-                x2d, logits, lp["w_gate_up"], lp["w_down"], c,
-                mesh=self.ep_mesh, use_gmm=self.use_gmm,
-                axis=self.ep_axis,
-            )
-        else:
-            out = moe_forward(
-                x2d, logits, lp["w_gate_up"], lp["w_down"], c,
-                use_gmm=self.use_gmm,
-            )
+        out = model_moe_forward(
+            self, x2d, logits, lp["w_gate_up"], lp["w_down"], c,
+        )
         h = x2d @ lp["shared_gate_up"]
         g, u = jnp.split(h, 2, axis=-1)
         shared = (jax.nn.silu(g) * u) @ lp["shared_down"]

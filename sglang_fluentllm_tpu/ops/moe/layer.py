@@ -125,3 +125,52 @@ def moe_forward(
     out = jnp.zeros((T, H), jnp.float32)
     out = out.at[sorted_token].add(weighted)
     return (out + zero_contrib).astype(x.dtype)
+
+
+def model_moe_forward(model, x2d, router_logits, w_gate_up, w_down,
+                      config, correction_bias=None,
+                      ep_l2p=None, ep_n_rep=None):
+    """One MoE parallel-path selector shared by every MoE model:
+
+    - ``--moe-parallel-strategy ep`` (ep_mesh set) -> token-sharded
+      all-to-all dispatch by DEFAULT (``parallel/ep_dispatch.py``), with
+      the replicated-token psum path only for tiny latency-bound batches
+      under an identity placement (``moe_forward_ep_auto``; reference
+      deep_ep.py normal/low-latency selection);
+    - otherwise the dense (TP-sharded) grouped-GEMM path.
+
+    Reads the runner-installed attributes: ep_mesh, ep_axis, ep_tables,
+    ep_capacity_factor, ep_dispatch_min_tokens, ep_dispatch_stats.
+    """
+    if getattr(model, "ep_mesh", None) is not None:
+        import dataclasses as _dc
+
+        from sglang_fluentllm_tpu.parallel.ep_dispatch import (
+            moe_forward_ep_auto,
+        )
+
+        tables = getattr(model, "ep_tables", None)
+        if tables is not None and ep_l2p is not None:
+            # per-layer RUNTIME tables (sliced from the params pytree by
+            # the layer scan): a rebalance swaps the arrays in params —
+            # no retrace (VERDICT r2 #8)
+            tables = _dc.replace(
+                tables, l2p=ep_l2p, n_rep=ep_n_rep,
+                num_physical=int(w_gate_up.shape[0]),
+            )
+        return moe_forward_ep_auto(
+            x2d, router_logits, w_gate_up, w_down, config,
+            mesh=model.ep_mesh,
+            tables=tables,
+            correction_bias=correction_bias,
+            capacity_factor=getattr(model, "ep_capacity_factor", 2.0),
+            axis=getattr(model, "ep_axis", "tp"),
+            use_gmm=getattr(model, "use_gmm", True),
+            min_tokens=getattr(model, "ep_dispatch_min_tokens", 16),
+            stats=getattr(model, "ep_dispatch_stats", None),
+        )
+    return moe_forward(
+        x2d, router_logits, w_gate_up, w_down, config,
+        correction_bias=correction_bias,
+        use_gmm=getattr(model, "use_gmm", True),
+    )

@@ -34,24 +34,35 @@ from sglang_fluentllm_tpu.ops.moe.topk import select_experts
 def moe_forward_ep(
     x: jax.Array,              # [T, H] (replicated across tp)
     router_logits: jax.Array,  # [T, E_total] (replicated)
-    w_gate_up: jax.Array,      # [E, H, 2I] sharded on E over 'tp'
-    w_down: jax.Array,         # [E, I, H] sharded on E over 'tp'
+    w_gate_up: jax.Array,      # [P_phys, H, 2I] sharded on dim 0 over 'tp'
+    w_down: jax.Array,         # [P_phys, I, H] sharded on dim 0
     config: ModelConfig,
     mesh: Mesh,
     correction_bias: Optional[jax.Array] = None,
     use_gmm: bool = True,
     axis: str = "tp",
+    tables=None,               # EpLocationTables (runtime l2p/n_rep) or None
 ) -> jax.Array:
     E = config.num_experts
     n = mesh.shape[axis]
-    E_local = E // n
-    assert E % n == 0, f"num_experts {E} not divisible by ep size {n}"
+    P_phys = w_gate_up.shape[0]
+    P_local = P_phys // n
+    assert P_phys % n == 0, (
+        f"physical experts {P_phys} not divisible by ep size {n}"
+    )
+    if tables is None:
+        assert P_phys == E, "physical placement requires routing tables"
+        l2p = jnp.arange(E, dtype=jnp.int32)[:, None]
+        n_rep = jnp.ones((E,), jnp.int32)
+    else:
+        l2p, n_rep = tables.l2p, tables.n_rep
+    max_rep = l2p.shape[1]
 
-    def local_fn(x, logits, w1_loc, w2_loc, bias):
+    def local_fn(x, logits, w1_loc, w2_loc, bias, l2p, n_rep):
         rank = jax.lax.axis_index(axis)
         cb = bias[0] if bias.shape[-1] == logits.shape[-1] else None
         topk_w, topk_ids = select_experts(logits, config, cb)
-        lo = rank * E_local
+        lo = rank * P_local
         # zero experts (ids >= E) are identity contributions counted once
         # (on rank 0) to avoid double counting under psum
         is_zero = topk_ids >= E
@@ -60,18 +71,28 @@ def moe_forward_ep(
             rank == 0, 1.0, 0.0
         ) * zero_w[:, None] * x.astype(jnp.float32)
 
-        local = (topk_ids >= lo) & (topk_ids < lo + E_local) & ~is_zero
-        w = jnp.where(local, topk_w, 0.0)
-        ids = jnp.where(local, topk_ids - lo, 0)
+        # logical -> physical (round-robin over replicas per source token;
+        # same rule as the all-to-all dispatcher so both paths agree)
+        tok = jnp.broadcast_to(
+            jnp.arange(x.shape[0], dtype=jnp.int32)[:, None],
+            topk_ids.shape,
+        )
+        safe_ids = jnp.where(is_zero, 0, topk_ids)
+        rep = tok % jnp.maximum(n_rep[safe_ids], 1)
+        phys = l2p[safe_ids, jnp.clip(rep, 0, max_rep - 1)]
 
-        out = _moe_compute(x, w, ids, w1_loc[0], w2_loc[0], E_local,
+        local = (phys >= lo) & (phys < lo + P_local) & ~is_zero
+        w = jnp.where(local, topk_w, 0.0)
+        ids = jnp.where(local, phys - lo, 0)
+
+        out = _moe_compute(x, w, ids, w1_loc[0], w2_loc[0], P_local,
                            use_gmm)
         out = out + zero_contrib
         return jax.lax.psum(out.astype(jnp.float32), axis)
 
     # leading shard axis gives shard_map per-rank expert blocks
-    w1 = w_gate_up.reshape(n, E_local, *w_gate_up.shape[1:])
-    w2 = w_down.reshape(n, E_local, *w_down.shape[1:])
+    w1 = w_gate_up.reshape(n, P_local, *w_gate_up.shape[1:])
+    w2 = w_down.reshape(n, P_local, *w_down.shape[1:])
     bias = (
         correction_bias[None, :]
         if correction_bias is not None
@@ -80,10 +101,10 @@ def moe_forward_ep(
     out = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(None)),
+        in_specs=(P(), P(), P(axis), P(axis), P(None), P(None), P(None)),
         out_specs=P(),
         check_vma=False,
-    )(x, router_logits, w1, w2, bias)
+    )(x, router_logits, w1, w2, bias, l2p, n_rep)
     return out.astype(x.dtype)
 
 

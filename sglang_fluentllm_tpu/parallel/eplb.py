@@ -38,22 +38,45 @@ class ExpertLocationMetadata:
         return replicas[token_idx % len(replicas)]
 
 
+def _pack_lpt(weights: np.ndarray, n_bins: int, cap: int) -> List[List[int]]:
+    """Longest-processing-time-first packing of items onto bins with a hard
+    per-bin slot capacity. Returns item indices per bin."""
+    order = np.argsort(-weights)
+    bin_load = np.zeros(n_bins)
+    bins: List[List[int]] = [[] for _ in range(n_bins)]
+    for idx in order:
+        cands = [b for b in range(n_bins) if len(bins[b]) < cap]
+        b = min(cands, key=lambda b: bin_load[b])
+        bins[b].append(int(idx))
+        bin_load[b] += weights[idx]
+    return bins
+
+
 def rebalance_experts(
     load: np.ndarray,        # [L, E] observed tokens per logical expert
     num_physical: int,       # E + redundant
     num_ranks: int,
+    num_nodes: int = 1,
 ) -> ExpertLocationMetadata:
-    """Greedy balanced replication + LPT packing per layer.
+    """Hierarchical balanced replication + packing per layer (reference
+    ``eplb_algorithms/deepseek.py:84`` rebalance_experts_hierarchical).
 
     1) every logical expert gets one replica; the R extra replicas go to
-       the expert with the highest load-per-replica (greedy);
-    2) physical replicas (weight = load/replicas) are packed onto ranks by
-       longest-processing-time-first under a per-rank slot capacity.
+       the expert with the highest load-per-replica (greedy — equivalent
+       to the reference's replicate_experts loop);
+    2) two-level packing: replicas are first packed onto NODES (DCN
+       islands when ``num_nodes > 1``; the ICI-connected slice is flat, so
+       single-host stays one level), then onto the ranks within each node,
+       both by longest-processing-time-first under hard slot capacities.
     """
     L, E = load.shape
     P = num_physical
     assert P >= E and P % num_ranks == 0
+    if num_ranks % max(num_nodes, 1) != 0:
+        num_nodes = 1
     cap = P // num_ranks
+    ranks_per_node = num_ranks // num_nodes
+    node_cap = cap * ranks_per_node
     p2l = np.zeros((L, P), np.int64)
     p2rank = np.zeros((L, P), np.int64)
     l2p: List[List[List[int]]] = []
@@ -63,35 +86,57 @@ def rebalance_experts(
         replicas = np.ones(E, np.int64)
         for _ in range(P - E):
             replicas[np.argmax(w / replicas)] += 1
-        # expand to physical list
+        # expand to physical replica list
         phys_logical = []
         phys_weight = []
         for e in range(E):
             for _ in range(int(replicas[e])):
                 phys_logical.append(e)
                 phys_weight.append(w[e] / replicas[e])
-        order = np.argsort(-np.asarray(phys_weight))
-        rank_load = np.zeros(num_ranks)
-        rank_slots = [[] for _ in range(num_ranks)]
-        for idx in order:
-            # least-loaded rank with a free slot
-            cands = [r for r in range(num_ranks)
-                     if len(rank_slots[r]) < cap]
-            r = min(cands, key=lambda r: rank_load[r])
-            rank_slots[r].append(int(idx))
-            rank_load[r] += phys_weight[idx]
-        # physical ids are rank-major (rank r owns [r*cap, (r+1)*cap))
+        phys_weight = np.asarray(phys_weight)
+
+        # level 1: replicas -> nodes
+        node_bins = (
+            _pack_lpt(phys_weight, num_nodes, node_cap)
+            if num_nodes > 1
+            else [list(range(len(phys_weight)))]
+        )
+        # level 2: within each node, replicas -> its ranks
         layer_l2p: List[List[int]] = [[] for _ in range(E)]
-        p = 0
-        for r in range(num_ranks):
-            for idx in rank_slots[r]:
-                le = phys_logical[idx]
-                p2l[layer, p] = le
-                p2rank[layer, p] = r
-                layer_l2p[le].append(p)
-                p += 1
+        for node, items in enumerate(node_bins):
+            iw = phys_weight[items]
+            rank_bins = _pack_lpt(iw, ranks_per_node, cap)
+            for r_local, bin_items in enumerate(rank_bins):
+                r = node * ranks_per_node + r_local
+                for j, local_idx in enumerate(bin_items):
+                    idx = items[local_idx]
+                    p = r * cap + j
+                    le = phys_logical[idx]
+                    p2l[layer, p] = le
+                    p2rank[layer, p] = r
+                    layer_l2p[le].append(p)
         l2p.append(layer_l2p)
     return ExpertLocationMetadata(p2l, l2p, p2rank)
+
+
+def stacked_tables(meta: ExpertLocationMetadata, max_rep: int):
+    """Per-layer runtime routing arrays: (l2p [L,E,max_rep] int32,
+    n_rep [L,E] int32). Replica lists are padded modulo so shapes stay
+    rebalance-proof."""
+    L, P = meta.physical_to_logical.shape
+    E = len(meta.logical_to_physical[0])
+    l2p = np.zeros((L, E, max_rep), np.int32)
+    n_rep = np.ones((L, E), np.int32)
+    for layer in range(L):
+        for e, reps in enumerate(meta.logical_to_physical[layer]):
+            assert reps, f"expert {e} lost all replicas at layer {layer}"
+            assert len(reps) <= max_rep, (
+                f"{len(reps)} replicas exceed table width {max_rep}"
+            )
+            n_rep[layer, e] = len(reps)
+            for j in range(max_rep):
+                l2p[layer, e, j] = reps[j % len(reps)]
+    return l2p, n_rep
 
 
 def load_imbalance(load: np.ndarray, meta: ExpertLocationMetadata,
