@@ -52,9 +52,16 @@ class Grammar:
 class GrammarBackend:
     """Builds guides against the tokenizer vocab; caches by expression."""
 
-    def __init__(self, tokenizer, vocab_size: int, eos_token_ids):
+    def __init__(self, tokenizer, vocab_size: int, eos_token_ids,
+                 recursion_depth: Optional[int] = None):
+        from sglang_fluentllm_tpu.constrained.json_schema import (
+            DEFAULT_RECURSION_DEPTH,
+        )
+
         self.vocab_size = vocab_size
         self.eos_token_ids = sorted(eos_token_ids)
+        # bounded-stack depth for recursive schemas/EBNF (VERDICT r2 #6)
+        self.recursion_depth = recursion_depth or DEFAULT_RECURSION_DEPTH
         self._vocab_strings = self._build_vocab_strings(tokenizer)
         self._cache: Dict[Tuple[str, str], concurrent.futures.Future] = {}
         self._lock = threading.Lock()
@@ -82,7 +89,7 @@ class GrammarBackend:
 
         t0 = _time.monotonic()
         if kind == "json_schema":
-            pattern = schema_to_regex(expr)
+            pattern = schema_to_regex(expr, max_depth=self.recursion_depth)
         elif kind == "regex":
             pattern = expr
         elif kind == "ebnf":
@@ -90,7 +97,9 @@ class GrammarBackend:
                 build_regex_from_ebnf,
             )
 
-            pattern = build_regex_from_ebnf(expr)
+            pattern = build_regex_from_ebnf(
+                expr, max_depth=self.recursion_depth
+            )
         else:
             raise ValueError(f"unsupported grammar kind {kind}")
         try:

@@ -190,7 +190,8 @@ class TestEngineConstrained:
 
 class TestEbnf:
     """EBNF -> regex lowering (reference routes EBNF through xgrammar;
-    ours lowers the non-recursive GBNF subset to the FSM engine)."""
+    ours lowers the GBNF subset — recursion via bounded structural
+    expansion — to the FSM engine)."""
 
     def test_simple_grammar(self):
         from sglang_fluentllm_tpu.constrained.json_schema import (
@@ -220,14 +221,43 @@ name ::= [A-Z] [a-z]*
         assert re.fullmatch(pat, "ab123!")
         assert not re.fullmatch(pat, "ab1")
 
-    def test_recursion_rejected(self):
+    def test_recursion_bounded_expansion(self):
+        """Recursive rules lower via bounded structural expansion
+        (VERDICT r2 #6: the regular image of a bounded-stack PDA)."""
+        from sglang_fluentllm_tpu.constrained.json_schema import (
+            build_regex_from_ebnf,
+        )
+        import re
+
+        g = 'root ::= "(" root ")" | "x"'
+        pat = build_regex_from_ebnf(g, max_depth=4)
+        assert re.fullmatch(pat, "x")
+        assert re.fullmatch(pat, "(((x)))")
+        assert not re.fullmatch(pat, "((((x))))")  # beyond the stack bound
+        assert not re.fullmatch(pat, "((x")
+
+    def test_recursive_list_grammar(self):
+        from sglang_fluentllm_tpu.constrained.json_schema import (
+            build_regex_from_ebnf,
+        )
+        import re
+
+        g = '''
+root ::= list
+list ::= "[" (item ("," item)*)? "]"
+item ::= [0-9]+ | list
+'''
+        pat = build_regex_from_ebnf(g, max_depth=3)
+        assert re.fullmatch(pat, "[1,[2,3],[[4]]]")
+        assert not re.fullmatch(pat, "[1,")
+
+    def test_no_finite_derivation_rejected(self):
         from sglang_fluentllm_tpu.constrained.json_schema import (
             build_regex_from_ebnf,
         )
 
-        g = 'root ::= "(" root ")" | "x"'
-        with pytest.raises(ValueError, match="recursive"):
-            build_regex_from_ebnf(g)
+        with pytest.raises(ValueError, match="finite derivation"):
+            build_regex_from_ebnf('root ::= "(" root ")"')
 
     def test_missing_root_rejected(self):
         from sglang_fluentllm_tpu.constrained.json_schema import (
@@ -274,3 +304,59 @@ class TestJumpForward:
         assert out["text"] in ("hello world a", "hello world b")
         # 13 constrained chars (+ possibly the eos token)
         assert out["meta_info"]["completion_tokens"] in (13, 14)
+
+
+class TestRecursiveGrammarsE2E:
+    """VERDICT r2 #6 done criterion: a recursive JSON-schema (AST:
+    {"op": str, "args": [<self>]}) and a recursive EBNF list both
+    constrain correctly END-TO-END through the engine."""
+
+    def test_recursive_json_ast_schema(self, char_engine):
+        schema = json.dumps({
+            "type": "object",
+            "properties": {
+                "op": {"enum": ["add", "neg"]},
+                "args": {"type": "array", "items": {"$ref": "#"},
+                         "maxItems": 2},
+            },
+            "required": ["op", "args"],
+        })
+        out = char_engine.generate(
+            prompt="e",
+            sampling_params={"max_new_tokens": 120, "temperature": 1.0,
+                             "json_schema": schema},
+        )
+        data = json.loads(out["text"])
+
+        def check(node, depth=0):
+            assert node["op"] in ("add", "neg")
+            assert isinstance(node["args"], list) and len(node["args"]) <= 2
+            assert depth <= 5
+            for kid in node["args"]:
+                check(kid, depth + 1)
+
+        check(data)
+
+    def test_recursive_ebnf_list(self, char_engine):
+        out = char_engine.generate(
+            prompt="e",
+            sampling_params={
+                "max_new_tokens": 60, "temperature": 1.0,
+                "ebnf": '''
+root ::= list
+list ::= "[" (item ("," item)*)? "]"
+item ::= [0-9] | list
+''',
+            },
+        )
+        # balanced brackets, digits and commas only, fully parsed
+        txt = out["text"]
+        depth = 0
+        for ch in txt:
+            assert ch in "[],0123456789", txt
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                assert depth >= 0, txt
+        assert depth == 0 and txt.startswith("["), txt
