@@ -325,6 +325,45 @@ class RegexGuide:
         return sid
 
     # ------------------------------------------------------------------
+    # Device tables for in-window DFA stepping (VERDICT r2 #7): the fused
+    # k-step decode applies masks and advances grammar states ON DEVICE,
+    # so one constrained request no longer collapses the engine to k=1.
+    DEVICE_TABLE_BYTES_CAP = 64 << 20
+
+    def device_tables(self):
+        """(masks [S, W] uint32, keys [nnz] sorted int64 of state*V+tok,
+        vals [nnz] int32 next-state) as device arrays — or None when the
+        transition table exceeds DEVICE_TABLE_BYTES_CAP (fall back to the
+        synchronous per-step host mask path)."""
+        if hasattr(self, "_device_tables"):
+            return self._device_tables
+        S = len(self._masks)
+        V = len(self.vocab)
+        nnz = sum(len(d) for d in self._next)
+        size = S * self.num_words * 4 + nnz * 8
+        # keys are int32 (jax default int): the combined state*V space
+        # must stay addressable; the scheduler stacks guides, so leave
+        # headroom of 16 guides of this size
+        if size > self.DEVICE_TABLE_BYTES_CAP or S * V * 16 >= 2**31:
+            self._device_tables = None
+            return None
+        keys = np.empty((nnz,), np.int32)
+        vals = np.empty((nnz,), np.int32)
+        i = 0
+        for s, nxt in enumerate(self._next):
+            for tid in sorted(nxt):
+                keys[i] = s * V + tid
+                vals[i] = nxt[tid]
+                i += 1
+        import jax.numpy as jnp
+
+        self._device_tables = (
+            jnp.asarray(np.stack(self._masks)),   # [S, W] uint32
+            jnp.asarray(keys),
+            jnp.asarray(vals),
+        )
+        return self._device_tables
+
     def allowed_mask(self, state: int) -> np.ndarray:
         return self._masks[state]
 

