@@ -491,6 +491,11 @@ class AsyncEngine:
         req = Req(rid, list(input_ids), sp,
                   eos_token_ids=self.eos_token_ids)
         req.output_ids = list(first_tokens)
+        # PD prebuilt-batch entry (reference decode.py:220 PreallocQueue ->
+        # prebuilt forward skip): when the transferred KV covers the whole
+        # page-aligned prompt, the scheduler admits this request STRAIGHT
+        # into decode — no tail re-extend
+        req.pd_prebuilt = bool(first_tokens)
         req.check_finished()
         st = _ReqState(req=req, out_queue=asyncio.Queue(),
                        created=time.time())

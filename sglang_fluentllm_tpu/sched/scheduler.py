@@ -212,6 +212,10 @@ class Scheduler:
         self.num_prompt_tokens_seen = 0
         self.num_retracted = 0
         self.cum_cached_tokens = 0
+        # retract-resume: re-admissions whose cached prefix covered the
+        # KV published at retraction time (no re-prefill of it)
+        self.retract_resume_hits = 0
+        self.num_prebuilt_admitted = 0
 
     # ------------------------------------------------------------------
     def add_request(self, req: Req):
@@ -286,7 +290,52 @@ class Scheduler:
     # ------------------------------------------------------------------
     # Prefill path
     # ------------------------------------------------------------------
+    def _try_admit_prebuilt(self, req: Req) -> bool:
+        """PD prebuilt-batch entry (reference decode.py:994): a transferred
+        request whose page-aligned prompt KV is fully present enters decode
+        DIRECTLY — first token preset, no tail re-extend."""
+        if not getattr(req, "pd_prebuilt", False):
+            return False
+        if req.req_pool_idx is not None or not req.output_ids:
+            return False
+        prompt_len = len(req.origin_input_ids)
+        if prompt_len % self.page_size != 0 or prompt_len == 0:
+            return False
+        if (
+            self.req_pool.available() == 0
+            or len(self.running_batch) >= self.runner.max_reqs
+        ):
+            return False
+        if self.dp_groups > 1:
+            return False  # PD is gated off under DP-attention anyway
+        tree = self.tree_caches[0]
+        m = tree.match_prefix(req.fill_ids[:prompt_len])
+        if m.prefix_len < prompt_len:
+            return False  # KV incomplete: normal prefill path
+        req.req_pool_idx = self.req_pool.alloc()
+        if req.dequeued_time is None:
+            req.dequeued_time = time.monotonic()
+        tree.inc_lock_ref(m.last_node)
+        req.last_node = m.last_node
+        self.allocator.set_prefix_pages(req.req_pool_idx, m.page_ids)
+        req.prefix_len = prompt_len
+        req.num_computed_tokens = prompt_len
+        req.alloced_len = prompt_len
+        self.num_prompt_tokens_seen += prompt_len
+        self.num_cached_prompt_tokens += prompt_len
+        self.cum_cached_tokens += prompt_len
+        self.num_prebuilt_admitted += 1
+        req.status = ReqStatus.RUNNING
+        if req in self.waiting_queue:
+            self.waiting_queue.remove(req)
+        self.running_batch.append(req)
+        return True
+
     def get_new_batch_prefill(self) -> Optional[List[Req]]:
+        if not self.waiting_queue and self.chunked_req is None:
+            return None
+        for r in list(self.waiting_queue):
+            self._try_admit_prebuilt(r)
         if not self.waiting_queue and self.chunked_req is None:
             return None
         candidates: List[Req] = []
@@ -361,6 +410,11 @@ class Scheduler:
                 )
                 self.num_prompt_tokens_seen += len(req.fill_ids)
                 self.num_cached_prompt_tokens += m.prefix_len
+                kept = getattr(req, "_retract_kept", 0)
+                if kept:
+                    if m.prefix_len >= kept:
+                        self.retract_resume_hits += 1
+                    req._retract_kept = 0
                 if self.hicache is not None:
                     job = self.hicache.start_load(
                         req.fill_ids, m.prefix_len,
@@ -545,11 +599,21 @@ class Scheduler:
 
     def _retract_decode(self, min_idx: int = 0):
         """Evict the newest running request back to the waiting queue
-        (reference schedule_batch.py:533 retract_decode)."""
+        (reference schedule_batch.py:533 retract_decode).
+
+        Retract-RESUME (reference decode.py:220): the request's resolved
+        page-aligned KV is published into the radix tree before release,
+        so re-admission restores it from cache (evictable under further
+        pressure — and written back to the host tier when hicache is on)
+        instead of re-prefilling the whole sequence."""
         candidates = self.running_batch[min_idx:]
         assert candidates, "decode OOM with no retractable request"
         req = max(candidates, key=lambda r: r.arrival_time)
         self.running_batch.remove(req)
+        if req.req_pool_idx is not None:
+            n_tok = min(req.num_computed_tokens, req.seq_len)
+            req._retract_kept = (n_tok // self.page_size) * self.page_size
+            self._cache_computed_prefix(req, unfinished=True)
         self._release_req_kv(req)
         req.is_chunked = False
         req.admitted_extend = 0

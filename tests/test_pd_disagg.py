@@ -218,3 +218,100 @@ class TestChunkStreamedTransfer:
             assert dt < 60
         finally:
             kill_server(d_proc)
+
+
+class TestRetractResumeAndPrebuilt:
+    """In-process VERDICT r2 #9 checks: retracted decode requests resume
+    from cached KV (no re-prefill of the published prefix) and
+    transferred requests enter decode as a prebuilt batch."""
+
+    def test_retract_resume_no_second_prefill(self):
+        from tests.utils import TINY_LLAMA_CFG, tiny_engine
+
+        e = tiny_engine(TINY_LLAMA_CFG, max_total_tokens=512,
+                        max_running_requests=16)
+        sp = {"max_new_tokens": 48, "temperature": 0.0,
+              "ignore_eos": True}
+        prompts = [[(7 * i + j) % 120 + 1 for j in range(16)]
+                   for i in range(12)]
+        outs = e.generate(input_ids=prompts, sampling_params=sp)
+        assert all(len(o["output_ids"]) == 48 for o in outs)
+        sched = e.scheduler
+        assert sched.num_retracted > 0, "no retraction => test is vacuous"
+        # retracted requests re-admit with their published prefix intact
+        # when memory recovers (under sustained pressure the published KV
+        # itself is evictable — by design); at least one resume must have
+        # skipped its re-prefill here
+        assert sched.retract_resume_hits > 0
+
+    def test_retraction_resumes_from_cached_kv(self):
+        """Deterministic retract-resume: force a retraction mid-decode,
+        then assert the resumed request (a) matched the KV published at
+        retraction (no second prefill of it) and (b) produces the same
+        greedy output as an uninterrupted run."""
+        from tests.utils import TINY_LLAMA_CFG, tiny_engine
+
+        sp = {"max_new_tokens": 24, "temperature": 0.0,
+              "ignore_eos": True}
+        prompt = [3, 11, 42, 7, 19, 88, 5, 23]
+        ref = tiny_engine(TINY_LLAMA_CFG).generate(
+            input_ids=prompt, sampling_params=sp
+        )["output_ids"]
+
+        # small windows + no overlap so the retraction point is exact
+        e = tiny_engine(TINY_LLAMA_CFG, decode_steps_per_launch=4,
+                        disable_overlap_schedule=True)
+        sched = e.scheduler
+        from sglang_fluentllm_tpu.sched.req import Req
+        from sglang_fluentllm_tpu.sched.sampling_params import (
+            SamplingParams,
+        )
+
+        req = Req("rr", list(prompt),
+                  SamplingParams(max_new_tokens=24, temperature=0.0,
+                                 ignore_eos=True),
+                  eos_token_ids=set())
+        sched.add_request(req)
+        while len(req.output_ids) < 8:
+            sched.step()
+        while req.inflight > 0:  # drain in-flight windows
+            sched.step()
+        assert req in sched.running_batch
+        sched._retract_decode()
+        assert req not in sched.running_batch
+        while not req.finished():
+            sched.step()
+        assert sched.retract_resume_hits == 1
+        assert req.output_ids == ref
+
+    def test_prebuilt_decode_entry(self):
+        from tests.utils import TINY_LLAMA_CFG, tiny_engine
+        from sglang_fluentllm_tpu.sched.req import Req
+        from sglang_fluentllm_tpu.sched.sampling_params import (
+            SamplingParams,
+        )
+
+        e = tiny_engine(TINY_LLAMA_CFG)
+        prompt = [3, 11, 42, 7, 19, 88, 5, 23]  # page-aligned (ps=4)
+        ref = e.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 5, "temperature": 0.0},
+        )["output_ids"]
+        # transferred-request analog: prompt KV is cached; first token
+        # preset by the prefill server
+        req = Req("prebuilt-room", list(prompt),
+                  SamplingParams(max_new_tokens=5, temperature=0.0),
+                  eos_token_ids=set())
+        req.output_ids = [ref[0]]
+        req.pd_prebuilt = True
+        sched = e.scheduler
+        before = sched.num_prebuilt_admitted
+        sched.add_request(req)
+        for _ in range(200):
+            sched.step()
+            if req.finished():
+                break
+            time.sleep(0.01)  # let the async window land (overlap mode)
+        assert req.finished()
+        assert sched.num_prebuilt_admitted == before + 1
+        assert req.output_ids == ref  # identical continuation, no re-extend
