@@ -314,3 +314,32 @@ def kv_cell_bytes_per_token(
         ) * dtype_bytes
     h_kv = max(1, config.num_key_value_heads // attn_tp_size)
     return L * 2 * h_kv * padded_head_dim(config.head_dim) * dtype_bytes
+
+
+def kv_copy_rows(kv_cache, src: jax.Array, dst: jax.Array):
+    """Copy KV rows slot->slot across ALL layers (src/dst flat [N] int32).
+
+    Tree speculation support: verify writes tree-node KV at window-INDEX
+    slots; once the deepest matching path is known, its rows move to the
+    POSITION-determined slots future windows read (reference
+    eagle_utils.py assign_req_to_token_pool keeps a per-position
+    indirection instead — our paged layout is position-direct, so the
+    accepted path is materialized in place). src == dst entries are
+    harmless self-copies."""
+    if isinstance(kv_cache, MHAKVCache):
+        return MHAKVCache(
+            k=kv_cache.k.at[:, :, dst].set(kv_cache.k[:, :, src]),
+            v=kv_cache.v.at[:, :, dst].set(kv_cache.v[:, :, src]),
+        )
+    if isinstance(kv_cache, MLAKVCache):
+        return MLAKVCache(
+            lat=kv_cache.lat.at[:, dst].set(kv_cache.lat[:, src])
+        )
+    if isinstance(kv_cache, MLAKVCacheFP8):
+        return MLAKVCacheFP8(
+            ckv=kv_cache.ckv.at[:, dst].set(kv_cache.ckv[:, src]),
+            tail=kv_cache.tail.at[:, dst].set(kv_cache.tail[:, src]),
+        )
+    raise NotImplementedError(
+        f"kv_copy_rows: {type(kv_cache).__name__}"
+    )

@@ -874,9 +874,10 @@ class Scheduler:
                 i += 1
                 continue
             # host upper bound on seq while windows are in flight: each
-            # unresolved window accepted at most K+1 tokens
+            # unresolved window accepted at most K+1 tokens. Tree spec
+            # needs topk*K scratch node slots (alloc_span) past the base.
             total = req.seq_len + req.inflight
-            end = total + K  # slots cover positions [total-1, total-1+K]
+            end = total + getattr(self.spec, "alloc_span", K)
             if end > req.alloced_len:
                 slots = self._evict_and_alloc(
                     req.req_pool_idx, req.alloced_len, end - req.alloced_len

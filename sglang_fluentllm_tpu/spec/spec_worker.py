@@ -72,6 +72,10 @@ class SpecWorker:
         self.runner = runner
         self.algorithm = server_args.speculative_algorithm
         self.num_steps = server_args.speculative_num_steps
+        # tree speculation (VERDICT r2 #10): topk root branches, each
+        # extended as a greedy chain — a static root-branched draft tree
+        # verified with per-node masks in ONE fused window
+        self.topk = max(1, int(server_args.speculative_eagle_topk))
         self.draft_model = None
         self.draft_params = None
         self.draft_kv = None
@@ -234,10 +238,23 @@ class SpecWorker:
                 self.draft_config, num_slots, dtype=runner.dtype,
                 kv_cache_dtype=server_args.kv_cache_dtype,
             )
+        if self.topk > 1 and self.algorithm != "STANDALONE":
+            raise NotImplementedError(
+                "--speculative-eagle-topk > 1 (tree speculation) currently "
+                "requires the standalone-draft family; the hidden-chained "
+                "NEXTN/EAGLE3 programs are chain-only"
+            )
         self._init_jit()
         logger.info(
-            "spec decoding: %s, steps=%d", self.algorithm, self.num_steps
+            "spec decoding: %s, steps=%d topk=%d",
+            self.algorithm, self.num_steps, self.topk,
         )
+
+    @property
+    def alloc_span(self) -> int:
+        """KV slots a window may touch beyond the base position (chain: K;
+        tree: topk*K scratch nodes)."""
+        return self.topk * self.num_steps
 
     # ------------------------------------------------------------------
     def _init_jit(self):
@@ -516,6 +533,215 @@ class SpecWorker:
             return
 
         # ---- EAGLE (standalone draft model) ----
+        topk = self.topk
+
+        def spec_fn_tree(params_t, kv_t, params_d, kv_d, future_map,
+                         future_seq, ints, floats, meta):
+            """Root-branched draft TREE (VERDICT r2 #10, reference
+            eagle_utils.py tree paths): the draft's top-``topk`` first
+            tokens each extend as a greedy chain; ONE target extend
+            verifies all ``N = 1 + topk*K`` nodes under a per-node
+            ancestor mask; accept = the deepest target-matching path.
+
+            KV discipline: tree nodes write TARGET KV at window-INDEX
+            scratch slots; after acceptance the winning path's rows are
+            copied to the position-determined slots future windows read
+            (kv_copy_rows). The DRAFT pool is repaired with one
+            teacher-forced extend over the accepted path (sequential
+            chain drafting overwrites position slots per branch)."""
+            import numpy as _np
+
+            from sglang_fluentllm_tpu.mem.kv_cache import kv_copy_rows
+
+            batch, sampling = unpack_batch(ints[:-2], floats, meta, None)
+            write_offset = ints[-2]
+            key0 = jax.random.fold_in(base_key, ints[-1])
+            K = meta.S - 1
+            B = meta.B
+            N = 1 + topk * K
+            t_last, base_seq = _ring_resolve(future_map, future_seq, batch)
+            slots = _window_slots(
+                batch.page_tables, base_seq, topk * K, meta.page_size
+            )                                             # [B, N]
+            batch = dataclasses.replace(
+                batch, seq_lens=base_seq, out_cache_loc=slots
+            )
+
+            # ---- draft: root step -> top-k branch tokens ----
+            sub0 = ForwardBatch(
+                input_ids=t_last[:, None],
+                positions=(base_seq - 1)[:, None],
+                out_cache_loc=slots[:, :1],
+                page_tables=batch.page_tables,
+                seq_lens=base_seq,
+                q_lens=batch.q_lens,
+                mode=ForwardMode.DECODE,
+                page_size=meta.page_size,
+                pages_are_runs=meta.runs,
+            )
+            kv_d, h0 = draft.forward(params_d, kv_d, sub0)
+            logits0 = draft.compute_logits(params_d, h0[:, 0])
+            _, branch = jax.lax.top_k(logits0, topk)      # [B, topk]
+            branch = branch.astype(jnp.int32)
+
+            # ---- draft: extend each branch as a greedy chain ----
+            # (sequential python loop, topk small; each chain re-uses the
+            # POSITION slots 1..K-1 of the draft pool — repaired below)
+            def dstep(carry, j):
+                kv_d, tok = carry
+                sub = ForwardBatch(
+                    input_ids=tok[:, None],
+                    positions=(base_seq - 1 + j)[:, None],
+                    out_cache_loc=jax.lax.dynamic_slice_in_dim(
+                        slots, j, 1, axis=1
+                    ),
+                    page_tables=batch.page_tables,
+                    seq_lens=base_seq + j,
+                    q_lens=batch.q_lens,
+                    mode=ForwardMode.DECODE,
+                    page_size=meta.page_size,
+                    pages_are_runs=meta.runs,
+                )
+                kv_d, h = draft.forward(params_d, kv_d, sub)
+                logits = draft.compute_logits(params_d, h[:, 0])
+                d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (kv_d, d), d
+
+            chains = []
+            for c in range(topk):
+                if K > 1:
+                    (kv_d, _), rest = jax.lax.scan(
+                        dstep, (kv_d, branch[:, c]),
+                        jnp.arange(1, K, dtype=jnp.int32),
+                    )
+                    chain_c = jnp.concatenate(
+                        [branch[:, c:c + 1], rest.T], axis=1
+                    )                                     # [B, K]
+                else:
+                    chain_c = branch[:, c:c + 1]
+                chains.append(chain_c)
+            window = jnp.concatenate([t_last[:, None]] + chains, axis=1)
+
+            # ---- verify: one target extend over all tree nodes ----
+            depth = _np.concatenate(
+                [[0]] + [_np.arange(1, K + 1)] * topk
+            ).astype(_np.int32)                           # [N]
+            pos = base_seq[:, None] - 1 + jnp.asarray(depth)[None, :]
+            tree_mask = _np.zeros((N, N), bool)
+            tree_mask[:, 0] = True                        # all see the root
+            for c in range(topk):
+                for j in range(K):
+                    i = 1 + c * K + j
+                    tree_mask[i, 1 + c * K: i + 1] = True  # own ancestors
+            tree_mask[0, 1:] = False
+            cm = jnp.broadcast_to(jnp.asarray(tree_mask)[None], (B, N, N))
+            verify = ForwardBatch(
+                input_ids=window,
+                positions=pos.astype(jnp.int32),
+                out_cache_loc=slots,
+                page_tables=batch.page_tables,
+                seq_lens=base_seq - 1 + N,
+                q_lens=jnp.where(batch.q_lens > 0, N, 0),
+                custom_mask=cm,
+                hist_tail=(jnp.full((B, oep_ring_w), -1, jnp.int32)
+                           if oep_ring_w else None),
+                state_idx=batch.state_idx,
+                mode=ForwardMode.TARGET_VERIFY,
+                page_size=batch.page_size,
+                pages_are_runs=batch.pages_are_runs,
+            )
+            kv_t, h, _feed = _target_fwd(params_t, kv_t, verify)
+            logits = target.compute_logits(
+                params_t, h.reshape(B * N, -1)
+            ).reshape(B, N, -1)
+            t_samp = jnp.stack(
+                [
+                    sample(logits[:, i], sampling,
+                           jax.random.fold_in(key0, i))
+                    for i in range(N)
+                ],
+                axis=1,
+            )                                             # [B, N]
+
+            # ---- deepest matching path ----
+            root_s = t_samp[:, 0]
+            accs = []
+            for c in range(topk):
+                ch = window[:, 1 + c * K: 1 + c * K + K]  # [B, K]
+                preds = jnp.concatenate(
+                    [root_s[:, None],
+                     t_samp[:, 1 + c * K: 1 + c * K + K - 1]],
+                    axis=1,
+                )                                         # [B, K]
+                m = (ch == preds).astype(jnp.int32)
+                accs.append(jnp.sum(jnp.cumprod(m, axis=1), axis=1))
+            accs = jnp.stack(accs, axis=1)                # [B, topk]
+            accept = jnp.max(accs, axis=1)                # [B]
+            best = jnp.argmax(accs, axis=1).astype(jnp.int32)
+
+            stacked = jnp.stack(chains, axis=1)           # [B, topk, K]
+            best_chain = jnp.take_along_axis(
+                stacked, best[:, None, None], axis=1
+            )[:, 0]                                       # [B, K]
+            jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+            parent_idx = jnp.where(
+                jidx == 0, 0,
+                1 + best[:, None] * K + jidx - 1,
+            )                                             # [B, K+1]
+            bonus = jnp.take_along_axis(
+                t_samp,
+                jnp.take_along_axis(parent_idx, accept[:, None], axis=1),
+                axis=1,
+            )[:, 0]
+            out_tokens = jnp.where(
+                jidx < accept[:, None],
+                jnp.pad(best_chain, ((0, 0), (0, 1))),
+                jnp.where(jidx == accept[:, None], bonus[:, None], -1),
+            ).astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            node_logp = jnp.take_along_axis(
+                logp, parent_idx[:, :, None] % N, axis=1
+            )                                             # [B, K+1, V]
+            out_logprobs = jnp.take_along_axis(
+                node_logp, jnp.maximum(out_tokens, 0)[:, :, None], axis=2
+            )[..., 0]
+
+            # ---- materialize the winning path at position slots ----
+            kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+            src_idx = 1 + best[:, None] * K + kidx       # [B, K]
+            src = jnp.take_along_axis(slots, src_idx, axis=1)
+            dst = slots[:, 1:K + 1]
+            src = jnp.where(kidx < accept[:, None], src, dst)
+            kv_t = kv_copy_rows(kv_t, src.reshape(-1), dst.reshape(-1))
+
+            # ---- draft repair: teacher-forced extend over the path ----
+            repair = ForwardBatch(
+                input_ids=best_chain,
+                positions=(base_seq[:, None]
+                           + jnp.arange(K, dtype=jnp.int32)[None, :]),
+                out_cache_loc=slots[:, 1:K + 1],
+                page_tables=batch.page_tables,
+                seq_lens=base_seq + K,
+                q_lens=jnp.where(batch.q_lens > 0, K, 0),
+                mode=ForwardMode.TARGET_VERIFY,
+                page_size=meta.page_size,
+                pages_are_runs=meta.runs,
+            )
+            kv_d, _ = draft.forward(params_d, kv_d, repair)
+
+            counts = accept + 1
+            last_tok = jnp.take_along_axis(
+                out_tokens, (counts - 1)[:, None], axis=1
+            )[:, 0]
+            future_map = jax.lax.dynamic_update_slice(
+                future_map, last_tok, (write_offset,)
+            )
+            future_seq = jax.lax.dynamic_update_slice(
+                future_seq, base_seq + counts, (write_offset,)
+            )
+            return (kv_t, kv_d, future_map, future_seq, out_tokens,
+                    counts, out_logprobs)
+
         def spec_fn(params_t, kv_t, params_d, kv_d, future_map, future_seq,
                     ints, floats, meta):
             batch, sampling = unpack_batch(ints[:-2], floats, meta, None)
@@ -572,7 +798,8 @@ class SpecWorker:
             return kv_t, kv_d, future_map, future_seq, toks, counts, lps
 
         self._spec_step = jax.jit(
-            spec_fn, donate_argnums=(1, 3, 4, 5), static_argnums=(8,)
+            spec_fn_tree if topk > 1 else spec_fn,
+            donate_argnums=(1, 3, 4, 5), static_argnums=(8,),
         )
 
         def draft_extend_fn(params_d, kv_d, ints, floats, meta):

@@ -653,3 +653,72 @@ class TestQwen3MoeEagle3:
         assert isinstance(e.scheduler.spec.draft_model, Eagle3DraftModel)
         out = e.generate(input_ids=PROMPT, sampling_params=SP)
         assert out["output_ids"] == ref["output_ids"]
+
+
+class TestTreeSpeculation:
+    """Tree speculation (VERDICT r2 #10, reference eagle_utils.py tree
+    paths): topk root branches verified with per-node masks in one fused
+    window; accept = deepest target-matching path. Lossless at any topk;
+    accept length beats chain when the draft's top-1 misses but a sibling
+    branch hits."""
+
+    def test_tree_lossless_self_draft(self, baseline):
+        e = spec_engine(TINY_LLAMA_CFG, steps=3,
+                        speculative_eagle_topk=2)
+        assert e.scheduler.spec.topk == 2
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+        # oracle draft: every window accepts the full chain
+        s = e.scheduler
+        assert s.spec_accept_sum / s.spec_accept_ct > 3.0
+
+    def test_tree_lossless_weak_draft(self, baseline):
+        e = spec_engine(WEAK_DRAFT_CFG, steps=3,
+                        speculative_eagle_topk=3)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert out["output_ids"] == baseline
+
+    def test_tree_accept_gain_over_chain(self, baseline):
+        """Perturbed self-draft: the target's greedy token is sometimes
+        the draft's #2 candidate — chains reject there, the tree's
+        sibling branch still matches."""
+        import numpy as np
+
+        def perturbed(**kw):
+            e = spec_engine(TINY_LLAMA_CFG, steps=3, **kw)
+            spec = e.scheduler.spec
+            rng = np.random.RandomState(0)
+            lm = "lm_head" if "lm_head" in spec.draft_params else None
+            assert lm is not None
+            import jax.numpy as jnp
+
+            w = spec.draft_params[lm]
+            noise = jnp.asarray(
+                rng.standard_normal(w.shape).astype(np.float32) * 0.05,
+                w.dtype,
+            )
+            spec.draft_params = dict(spec.draft_params)
+            spec.draft_params[lm] = w + noise
+            return e
+
+        sp = {"max_new_tokens": 32, "temperature": 0.0,
+              "ignore_eos": True}
+        e_chain = perturbed(speculative_eagle_topk=1)
+        out_c = e_chain.generate(input_ids=PROMPT, sampling_params=sp)
+        acc_c = (e_chain.scheduler.spec_accept_sum
+                 / e_chain.scheduler.spec_accept_ct)
+        e_tree = perturbed(speculative_eagle_topk=3)
+        out_t = e_tree.generate(input_ids=PROMPT, sampling_params=sp)
+        acc_t = (e_tree.scheduler.spec_accept_sum
+                 / e_tree.scheduler.spec_accept_ct)
+        # both lossless vs the same perturbed-draft target
+        assert out_c["output_ids"] == out_t["output_ids"]
+        assert acc_t > acc_c, (acc_t, acc_c)
+
+    def test_tree_rejected_for_chained_families(self):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="tree|topk|chain"):
+            tiny_engine(TINY_LLAMA_CFG, speculative_algorithm="NEXTN",
+                        speculative_num_steps=2,
+                        speculative_eagle_topk=2)
