@@ -236,20 +236,24 @@ def _mla_kernel(
                 scale = (
                     tail[:, rope_dr].astype(jnp.float32)
                     + tail[:, rope_dr + 1].astype(jnp.float32)
-                )[:, None]                           # [chunk_t, 1]
-                k_deq = (
-                    ckv8.astype(jnp.float32) * scale
-                ).astype(jnp.bfloat16)               # [chunk_t, r_dim]
+                )[None, :]                           # [1, chunk_t]
+                # scale factors OUT of the wide [chunk_t, r_dim] K/V and
+                # into the small [H, chunk_t] score/prob tensors: one
+                # exact e4m3->bf16 cast replaces the f32 dequant chain
+                # (was ~2x decode-kernel slowdown vs bf16 KV, the
+                # opposite of the SnapMLA intent)
+                k8b = ckv8.astype(jnp.bfloat16)      # exact cast
                 s = jax.lax.dot_general(
-                    q[:, :r_dim], k_deq, (((1,), (1,)), ((), ())),
+                    q[:, :r_dim], k8b, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                ) * scale
                 s += jax.lax.dot_general(
                     q[:, r_dim:], tail.astype(q.dtype),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                v = k_deq
+                v = k8b
+                v_colscale = scale                   # applied to P below
             else:
                 k = b0[slot]                         # [chunk_t, Dl]
                 s = jax.lax.dot_general(
@@ -257,6 +261,7 @@ def _mla_kernel(
                     preferred_element_type=jnp.float32,
                 )
                 v = k[:, :r_dim]
+                v_colscale = None
 
             col = (
                 c * chunk_t
@@ -269,6 +274,10 @@ def _mla_kernel(
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if v_colscale is not None:
+                # fold the per-token KV scale into P (f32) instead of
+                # dequantizing V: ctx = (P * scale) . fp8(V)-as-bf16
+                p = p * v_colscale
             acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -85,7 +85,7 @@ def main():
     def make_window(variant):
         import dataclasses
 
-        def one_step(carry, j):
+        def one_step(params, carry, j):
             kv, ids = carry
             sub = dataclasses.replace(
                 batch0,
@@ -126,12 +126,17 @@ def main():
                 new = mi
             return (kv, new), new
 
-        def window(kv, ids0):
+        def window(params, kv, ids0):
+            # params as ARG, not closure: closed-over weights bake into
+            # the HLO as ~1 GB of literals and kill the remote compiler
+            import functools
+
             (kv, last), all_ids = jax.lax.scan(
-                one_step, (kv, ids0), jnp.arange(K, dtype=jnp.int32))
+                functools.partial(one_step, params),
+                (kv, ids0), jnp.arange(K, dtype=jnp.int32))
             return kv, all_ids
 
-        return jax.jit(window, donate_argnums=(0,))
+        return jax.jit(window, donate_argnums=(1,))
 
     ids0 = jnp.ones((B,), jnp.int32)
     variants = tuple(os.environ.get(
@@ -140,12 +145,12 @@ def main():
         fn = make_window(variant)
         kv2 = create_kv_cache(cfg, (1 + B * Ppr + 8) * PS,
                               dtype=jnp.bfloat16)
-        kv2, out = fn(kv2, ids0)
+        kv2, out = fn(params, kv2, ids0)
         jax.device_get(out)          # compile + settle
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            kv2, out = fn(kv2, ids0)
+            kv2, out = fn(params, kv2, ids0)
             jax.device_get(out)
             best = min(best, (time.perf_counter() - t0) / K)
         print(json.dumps({

@@ -53,9 +53,13 @@ def main():
             h, _ = jax.lax.scan(body, x, None, length=R)
             return jnp.sum(h.astype(jnp.float32))
 
+        # the raw fn, not the jitted wrapper: nested jit inside lax.scan
+        # trips an MLIR lowering-cache KeyError on this jax build
+        fp8_mm = getattr(fp8_block_matmul, "__wrapped__", fp8_block_matmul)
+
         def chain_fp8(x, w8=qw.w8, scale=qw.scale):
             def body(h, _):
-                y = fp8_block_matmul(h, w8, scale)
+                y = fp8_mm(h, w8, scale)
                 return (h + y[:, :K].astype(jnp.bfloat16) * 1e-6
                         if N >= K else
                         h.at[:, :N].add(y.astype(jnp.bfloat16) * 1e-6)), None
