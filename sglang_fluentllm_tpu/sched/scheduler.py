@@ -142,12 +142,10 @@ class Scheduler:
         # Speculative windows PIPELINE (spec x overlap): accept lengths and
         # last-accepted tokens stay device-resident in the runner's future
         # rings, so window n+1 launches while window n is unresolved
-        # (reference eagle_worker_overlap.py:86). PLD is the exception —
-        # its drafts come from the host-side token history, which needs
-        # resolved tokens, so it stays synchronous.
+        # (reference eagle_worker_overlap.py:86). PLD pipelines too: its
+        # drafts come from the RESOLVED host history (lagging in-flight
+        # tokens); verify catches the staleness — stale drafts reject.
         self.spec = runner.spec_worker
-        if self.spec is not None and self.spec.algorithm == "PLD":
-            self.max_inflight = 1
 
         # KV block events for external KV-aware routers
         # (reference disaggregation/kv_events.py)
@@ -869,10 +867,6 @@ class Scheduler:
             ):
                 i += 1
                 continue
-            if pld and req.inflight > 0:
-                # PLD drafts need the resolved host token history
-                i += 1
-                continue
             # host upper bound on seq while windows are in flight: each
             # unresolved window accepted at most K+1 tokens. Tree spec
             # needs topk*K scratch node slots (alloc_span) past the base.
@@ -886,21 +880,16 @@ class Scheduler:
                     self._retract_decode(min_idx=i)
                     continue
                 req.alloced_len = end
-            if pld:
-                window_slots = self.allocator.token_slots(
-                    req.req_pool_idx, total - 1, total + K
+            # all spec families (PLD included) compute the true window
+            # slots on-device from the ring seq + page table; host slots
+            # are placeholders
+            window_slots = np.zeros((K + 1,), np.int32)
+            if req.last_future_slot is not None:
+                input_id = -(
+                    req.last_future_slot % self.runner.FUTURE_CAP + 1
                 )
-                input_id = req.output_ids[-1]
             else:
-                # NEXTN/EAGLE compute the true window slots on-device from
-                # the ring seq + page table; host slots are placeholders
-                window_slots = np.zeros((K + 1,), np.int32)
-                if req.last_future_slot is not None:
-                    input_id = -(
-                        req.last_future_slot % self.runner.FUTURE_CAP + 1
-                    )
-                else:
-                    input_id = req.output_ids[-1]
+                input_id = req.output_ids[-1]
             items.append(
                 DecodeItem(
                     input_id=input_id,
@@ -939,12 +928,10 @@ class Scheduler:
             req_idx=[r.req_pool_idx for r in reqs],
             future_offset=offset,
         )
-        pld = self.spec.algorithm == "PLD"
         for i, req in enumerate(reqs):
             req.inflight += K + 1
             req.num_computed_tokens = req.seq_len + req.inflight - 1
-            if not pld:
-                req.last_future_slot = offset + i
+            req.last_future_slot = offset + i
         return InFlightBatch(
             reqs=list(reqs),
             mode=FM.TARGET_VERIFY,
@@ -952,7 +939,7 @@ class Scheduler:
             logprobs_dev=logprobs,
             this_extends=[K + 1] * len(reqs),
             counts_dev=counts,
-            future_offset=None if pld else offset,
+            future_offset=offset,
         )
 
     def _move_ready_grammar_requests(self):

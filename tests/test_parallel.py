@@ -592,3 +592,25 @@ class TestEpDispatchDefault:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
+
+
+class TestDpAttentionMLA:
+    def test_engine_dp_attn_mla_matches_single(self):
+        """DP-attention over an MLA model (DpShardedMLAAttention): tp=4
+        attn_tp=2 greedy == single-device."""
+        cfg = dict(TINY_DEEPSEEK_CFG)
+        sp = {"max_new_tokens": 5, "temperature": 0.0}
+        prompts = [[3, 11, 42, 7, 19], [9, 1, 2, 8], [50, 60, 70]]
+        e1 = tiny_engine(cfg)
+        refs = [
+            e1.generate(input_ids=p, sampling_params=sp)["output_ids"]
+            for p in prompts
+        ]
+        e2 = tiny_engine(cfg, tp_size=4, attn_tp_size=2)
+        from sglang_fluentllm_tpu.parallel.dp_attention import (
+            DpShardedMLAAttention,
+        )
+
+        assert isinstance(e2.runner.attn_backend, DpShardedMLAAttention)
+        outs = e2.generate(input_ids=prompts, sampling_params=sp)
+        assert [o["output_ids"] for o in outs] == refs
