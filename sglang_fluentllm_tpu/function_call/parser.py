@@ -262,6 +262,58 @@ class LongcatXMLDetector(BaseFormatDetector):
         return "".join(normal).strip(), self._to_items(objs, tools)
 
 
+class DeepSeekV32Detector(BaseFormatDetector):
+    """DeepSeek V3.2 DSML format (reference
+    ``function_call/deepseekv32_detector.py``): calls wrapped in
+    ``<｜DSML｜function_calls>``, each invoke as
+    ``<｜DSML｜invoke name="fn">`` with either XML parameter tags
+    (``<｜DSML｜parameter name="k" string="true">v</｜DSML｜parameter>``)
+    or a direct JSON object body."""
+
+    name = "deepseekv32"
+    bot_token = "<｜DSML｜function_calls>"
+    eot_token = "</｜DSML｜function_calls>"
+    INVOKE_RE = re.compile(
+        r'<｜DSML｜invoke\s+name="([^"]+)"\s*>(.*?)</｜DSML｜invoke>',
+        re.S,
+    )
+    PARAM_RE = re.compile(
+        r'<｜DSML｜parameter\s+name="([^"]+)"'
+        r'(?:\s+string="([^"]*)")?\s*>(.*?)</｜DSML｜parameter>',
+        re.S,
+    )
+
+    def detect_and_parse(self, text, tools):
+        normal = []
+        objs = []
+        rest = text
+        while True:
+            i = rest.find(self.bot_token)
+            if i == -1:
+                normal.append(rest)
+                break
+            normal.append(rest[:i])
+            j = rest.find(self.eot_token, i)
+            body = rest[i + len(self.bot_token): j if j != -1 else None]
+            for fn_name, inner in self.INVOKE_RE.findall(body):
+                params = self.PARAM_RE.findall(inner)
+                if params:
+                    args = {}
+                    for k, is_str, v in params:
+                        v = v.strip()
+                        if is_str == "true":
+                            args[k] = v
+                        else:
+                            val, ok = _try_parse_json(v)
+                            args[k] = val if ok else v
+                else:
+                    val, ok = _try_parse_json(inner.strip())
+                    args = val if ok and isinstance(val, dict) else {}
+                objs.append({"name": fn_name, "arguments": args})
+            rest = rest[j + len(self.eot_token):] if j != -1 else ""
+        return "".join(normal).strip(), self._to_items(objs, tools)
+
+
 class GenericJsonDetector(BaseFormatDetector):
     """Fallback: any top-level {"name": ..., "arguments"/"parameters": ...}."""
 
@@ -518,7 +570,7 @@ DETECTORS = {
     "longcat": LongcatDetector,
     "longcat_xml": LongcatXMLDetector,
     "deepseekv31": DeepSeekV31Detector,
-    "deepseekv32": DeepSeekV31Detector,
+    "deepseekv32": DeepSeekV32Detector,
     "glm4_moe": Glm4MoeDetector,
     "glm45": Glm4MoeDetector,
     "kimi_k2": KimiK2Detector,

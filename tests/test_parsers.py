@@ -292,3 +292,45 @@ class TestNewDetectors:
         assert calls[0].name == "get_weather"
         assert json.loads(calls[0].parameters) == {"city": "Lima"}
         assert "Here you go." in normal
+
+
+class TestDeepSeekV32Detector:
+    """DSML format (reference deepseekv32_detector.py): XML parameter
+    tags or a direct JSON body inside <|DSML|invoke>."""
+
+    def _parse(self, text):
+        from sglang_fluentllm_tpu.function_call.parser import (
+            DeepSeekV32Detector,
+        )
+
+        return DeepSeekV32Detector().detect_and_parse(text, None)
+
+    def test_xml_parameters(self):
+        text = (
+            'before <｜DSML｜function_calls>'
+            '<｜DSML｜invoke name="get_spot">'
+            '<｜DSML｜parameter name="city" string="true">San Francisco'
+            '</｜DSML｜parameter>'
+            '<｜DSML｜parameter name="top_k" string="false">3'
+            '</｜DSML｜parameter>'
+            '</｜DSML｜invoke>'
+            '</｜DSML｜function_calls> after'
+        )
+        normal, items = self._parse(text)
+        assert normal == "before  after".replace("  ", " ") or "before" in normal
+        assert len(items) == 1
+        assert items[0].name == "get_spot"
+        import json as _json
+
+        args = _json.loads(items[0].parameters)
+        assert args == {"city": "San Francisco", "top_k": 3}
+
+    def test_json_body_and_multiple_invokes(self):
+        text = (
+            '<｜DSML｜function_calls>'
+            '<｜DSML｜invoke name="a">{"x": 1}</｜DSML｜invoke>'
+            '<｜DSML｜invoke name="b">{"y": "z"}</｜DSML｜invoke>'
+            '</｜DSML｜function_calls>'
+        )
+        normal, items = self._parse(text)
+        assert [it.name for it in items] == ["a", "b"]
