@@ -93,6 +93,12 @@ class ServerArgs:
 
     # ---- attention backend / jit buckets ----
     attention_backend: Optional[str] = None  # ref | paged | mla | auto
+    # double-sparsity sparse decode (reference --enable-double-sparsity)
+    enable_double_sparsity: bool = False
+    ds_channel_config: Optional[str] = None  # offline calibration JSON
+    ds_heavy_channel_num: int = 32
+    ds_heavy_token_num: int = 256
+    ds_sparse_decode_threshold: int = 1024
     decode_bs_buckets: Optional[List[int]] = None
     prefill_token_buckets: Optional[List[int]] = None
     disable_jit_warmup: bool = False

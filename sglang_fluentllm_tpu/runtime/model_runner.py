@@ -77,12 +77,32 @@ def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
             name = "mla_paged" if on_tpu else "mla"
         else:
             name = "paged" if on_tpu else "ref"
+    def maybe_double_sparsity(inner):
+        if not server_args.enable_double_sparsity:
+            return inner
+        import json as _json
+
+        from sglang_fluentllm_tpu.ops.attention.double_sparsity import (
+            DoubleSparsityBackend,
+        )
+
+        chan_cfg = None
+        if server_args.ds_channel_config:
+            with open(server_args.ds_channel_config) as fp:
+                chan_cfg = _json.load(fp)
+        return DoubleSparsityBackend.from_config(
+            inner, config, chan_cfg,
+            server_args.ds_heavy_channel_num,
+            server_args.ds_heavy_token_num,
+            server_args.ds_sparse_decode_threshold,
+        )
+
     if name == "paged":
         from sglang_fluentllm_tpu.ops.attention.paged_backend import (
             PagedAttentionBackend,
         )
 
-        return PagedAttentionBackend()
+        return maybe_double_sparsity(PagedAttentionBackend())
     if name == "paged_stock":
         from sglang_fluentllm_tpu.ops.attention.paged_backend import (
             StockPagedAttentionBackend,
@@ -96,7 +116,7 @@ def select_attn_backend(server_args: ServerArgs, config: ModelConfig):
 
         return MLAPagedBackend()
     if name == "ref":
-        return RefAttentionBackend()
+        return maybe_double_sparsity(RefAttentionBackend())
     if name in ("ref_mla", "mla"):
         return RefMLABackend()
     raise ValueError(f"unknown attention backend {name}")
