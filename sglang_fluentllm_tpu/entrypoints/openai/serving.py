@@ -119,9 +119,31 @@ class OpenAIServing:
             return tok.encode(text)
 
     # ------------------------------------------------------------------
+    def _apply_tool_constraint(self, request, sp):
+        """tool_choice='required'/{function}: constrain sampling to a
+        syntactically valid call of an allowed tool (reference
+        ebnf_composer role, over the in-house grammar engine)."""
+        if not request.tools or sp.get("regex") or sp.get("json_schema"):
+            return sp
+        from sglang_fluentllm_tpu.function_call.tool_constraint import (
+            tool_call_constraint,
+        )
+
+        tc = request.tool_choice
+        tc = tc.model_dump() if hasattr(tc, "model_dump") else tc
+        pattern = tool_call_constraint(
+            request.tools, self.engine.server_args.tool_call_parser, tc
+        )
+        if pattern is not None:
+            sp = dict(sp)
+            sp["regex"] = pattern
+        return sp
+
     async def chat_completion(self, request: ChatCompletionRequest):
         input_ids = self._apply_chat_template(request)
-        sp = request.to_sampling_params()
+        sp = self._apply_tool_constraint(
+            request, request.to_sampling_params()
+        )
         n = max(1, request.n)
         import asyncio
 
@@ -282,7 +304,9 @@ class OpenAIServing:
         self, request: ChatCompletionRequest
     ) -> AsyncIterator[str]:
         input_ids = self._apply_chat_template(request)
-        sp = request.to_sampling_params()
+        sp = self._apply_tool_constraint(
+            request, request.to_sampling_params()
+        )
         rid = f"chatcmpl-{uuid.uuid4().hex}"
         first = True
         last_meta = None

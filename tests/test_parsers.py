@@ -334,3 +334,73 @@ class TestDeepSeekV32Detector:
         )
         normal, items = self._parse(text)
         assert [it.name for it in items] == ["a", "b"]
+
+
+class TestToolConstraint:
+    """tool_choice=required/{function} -> sampling regex (reference
+    ebnf_composer role)."""
+
+    TOOLS = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {"type": "object",
+                           "properties": {"city": {"type": "string"}},
+                           "required": ["city"]}}},
+        {"type": "function", "function": {
+            "name": "add",
+            "parameters": {"type": "object",
+                           "properties": {"a": {"type": "integer"},
+                                          "b": {"type": "integer"}},
+                           "required": ["a", "b"]}}},
+    ]
+
+    def test_required_matches_any_tool(self):
+        import re
+
+        from sglang_fluentllm_tpu.function_call.tool_constraint import (
+            tool_call_constraint,
+        )
+
+        pat = tool_call_constraint(self.TOOLS, "json", "required")
+        assert pat is not None
+        ok1 = '{"name": "get_weather", "arguments": {"city": "SF"}}'
+        ok2 = '{"name": "add", "arguments": {"a": 1, "b": 2}}'
+        bad = '{"name": "rm_rf", "arguments": {}}'
+        assert re.fullmatch(pat, ok1)
+        assert re.fullmatch(pat, ok2)
+        assert not re.fullmatch(pat, bad)
+
+    def test_specific_function(self):
+        import re
+
+        from sglang_fluentllm_tpu.function_call.tool_constraint import (
+            tool_call_constraint,
+        )
+
+        pat = tool_call_constraint(
+            self.TOOLS, "json",
+            {"type": "function", "function": {"name": "add"}},
+        )
+        assert re.fullmatch(pat, '{"name": "add", "arguments": {"a": 1, "b": 2}}')
+        assert not re.fullmatch(
+            pat, '{"name": "get_weather", "arguments": {"city": "SF"}}'
+        )
+
+    def test_qwen_wrapper_and_auto_none(self):
+        import re
+
+        from sglang_fluentllm_tpu.function_call.tool_constraint import (
+            tool_call_constraint,
+        )
+
+        pat = tool_call_constraint(self.TOOLS, "qwen25", "required")
+        assert re.fullmatch(
+            pat,
+            '<tool_call>\n{"name": "add", "arguments": {"a": 1, "b": 2}}'
+            "\n</tool_call>",
+        )
+        assert tool_call_constraint(self.TOOLS, "json", "auto") is None
+        assert tool_call_constraint(self.TOOLS, "json", "none") is None
+        # sentinel-heavy format: parse-only fallback
+        assert tool_call_constraint(self.TOOLS, "kimi_k2",
+                                    "required") is None
