@@ -614,3 +614,23 @@ class TestDpAttentionMLA:
         assert isinstance(e2.runner.attn_backend, DpShardedMLAAttention)
         outs = e2.generate(input_ids=prompts, sampling_params=sp)
         assert [o["output_ids"] for o in outs] == refs
+
+
+class TestDpRouterWithDpAttention:
+    def test_dp_replicas_each_with_attn_groups(self):
+        """Request-level DP router composed with token-level DP-attention:
+        dp=2 replicas, each tp=4 with attn_tp=2 (two groups per replica)."""
+        sp = {"max_new_tokens": 4, "temperature": 0.0}
+        prompts = [[3, 11, 42, 7], [9, 1, 2], [50, 60, 70, 80]]
+        e1 = tiny_engine(TINY_LLAMA_CFG)
+        refs = [
+            e1.generate(input_ids=p, sampling_params=sp)["output_ids"]
+            for p in prompts
+        ]
+        e2 = tiny_engine(TINY_LLAMA_CFG, dp_size=2, tp_size=4,
+                         attn_tp_size=2)
+        for r in e2.scheduler.runners:
+            assert r.dp_attn_size == 2
+            assert r.mesh.devices.shape == (2, 2)
+        outs = e2.generate(input_ids=prompts, sampling_params=sp)
+        assert [o["output_ids"] for o in outs] == refs
