@@ -105,6 +105,11 @@ class ServerArgs:
     # named custom warmups run at startup (entrypoints/warmup.py
     # registry; reference srt/warmup.py --warmups)
     warmups: Optional[List[str]] = None
+    # fused-window dense-KV decode: gather the paged history once per
+    # window and run pure-XLA attention for the k in-window steps (zero
+    # Mosaic launches — the axon runtime charges ~130us fixed per pallas
+    # call). Applied when the dense buffer fits this budget; 0 disables.
+    decode_dense_window_bytes: int = 768 * 1024 * 1024
     # decode steps fused into one device program (host cost amortization —
     # the analog of the reference fusing multi-step spec decode into a
     # single CUDA graph). 1 = classic one-step decode.

@@ -343,3 +343,39 @@ def kv_copy_rows(kv_cache, src: jax.Array, dst: jax.Array):
     raise NotImplementedError(
         f"kv_copy_rows: {type(kv_cache).__name__}"
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class WindowKV:
+    """Fused-decode-window KV view: the paged pool PLUS a dense gathered
+    history buffer.
+
+    The axon TPU runtime charges ~130 us of FIXED overhead per Mosaic
+    kernel invocation (tools/ablate_attention_cost.py): a 24-layer decode
+    step pays ~3 ms in launches alone — far above the KV stream's
+    bandwidth cost at short contexts. Inside a fused k-step window the
+    history is therefore gathered dense ONCE ([L, B, T_pad, Hk, D]) and
+    every in-window step runs pure-XLA attention against it (zero Mosaic
+    launches); new tokens append to BOTH the dense buffer (for later
+    in-window steps) and the paged pool (for after the window). Long
+    contexts keep the Pallas paged kernel, where bandwidth — which the
+    kernel wins at — dominates the fixed launch cost."""
+
+    pool: "MHAKVCache"
+    hk: jax.Array   # [L, B, T_pad, Hk, D]
+    hv: jax.Array   # [L, B, T_pad, Hk, D]
+
+
+def window_kv_gather(pool: "MHAKVCache", page_tables: jax.Array,
+                     page_size: int) -> "WindowKV":
+    """One gather of every layer's paged history into the dense window
+    buffer (slot ids broadcast across layers)."""
+    B, P = page_tables.shape
+    slots = (
+        page_tables[:, :, None] * page_size
+        + jnp.arange(page_size, dtype=page_tables.dtype)[None, None, :]
+    ).reshape(B, P * page_size)
+    hk = jnp.transpose(pool.k[:, :, slots], (0, 2, 3, 1, 4))
+    hv = jnp.transpose(pool.v[:, :, slots], (0, 2, 3, 1, 4))
+    return WindowKV(pool=pool, hk=hk, hv=hv)

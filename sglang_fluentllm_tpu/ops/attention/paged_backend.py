@@ -42,6 +42,13 @@ class PagedAttentionBackend(RefAttentionBackend):
         window=None,
         sinks=None,
     ) -> Tuple[jax.Array, MHAKVCache]:
+        from sglang_fluentllm_tpu.mem.kv_cache import WindowKV
+
+        if isinstance(kv_cache, WindowKV):
+            return self._dense_window(
+                kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
+                logit_cap, window, sinks,
+            )
         if not batch.mode.is_decode():
             return self._extend(
                 kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,

@@ -73,6 +73,7 @@ def _mr_kernel(
     wsem,              # fused-write DMA sem
     *,
     rows: int,
+    nbuf: int,
     page_size: int,
     pages_per_chunk: int,
     max_chunks: int,
@@ -100,21 +101,23 @@ def _mr_kernel(
     def big_dmas(slot, t):
         """Unconditional chunk DMA assuming pages are the consecutive run
         starting at the chunk's first page (the common allocator layout;
-        wrong pages are patched by fixup_dmas)."""
+        wrong pages are patched by fixup_dmas). One strided DMA moves ALL
+        kv heads — the transfer was DMA-LATENCY bound, not BW bound, at
+        short contexts (ablate_attention_cost.py), so fewer+larger copies
+        and a deeper in-flight window are the wins."""
         b = row_of(t)
         c = chunk_of(t)
         first = page_tables_ref[b, c * ppc]
-        out = []
-        for h in range(Hk):
-            out.append(pltpu.make_async_copy(
-                k_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
-                k_buf.at[slot, h], sem.at[slot, 0],
-            ))
-            out.append(pltpu.make_async_copy(
-                v_hbm.at[layer, h, pl.ds(first * ps, chunk_t), :],
-                v_buf.at[slot, h], sem.at[slot, 1],
-            ))
-        return out
+        return [
+            pltpu.make_async_copy(
+                k_hbm.at[layer, :, pl.ds(first * ps, chunk_t), :],
+                k_buf.at[slot], sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[layer, :, pl.ds(first * ps, chunk_t), :],
+                v_buf.at[slot], sem.at[slot, 1],
+            ),
+        ]
 
     def fixup_dmas(slot, t):
         """Per-page patch DMAs for pages that are NOT first+i; one
@@ -127,18 +130,18 @@ def _mr_kernel(
         for i in range(ppc):
             page = page_tables_ref[b, c * ppc + i]
             bad = (page != first + i) & (c * ppc + i < n_pages)
-            grp = []
-            for h in range(Hk):
-                grp.append(pltpu.make_async_copy(
-                    k_hbm.at[layer, h, pl.ds(page * ps, ps), :],
-                    k_buf.at[slot, h, pl.ds(i * ps, ps), :],
+            grp = [
+                pltpu.make_async_copy(
+                    k_hbm.at[layer, :, pl.ds(page * ps, ps), :],
+                    k_buf.at[slot, :, pl.ds(i * ps, ps), :],
                     sem.at[slot, 0],
-                ))
-                grp.append(pltpu.make_async_copy(
-                    v_hbm.at[layer, h, pl.ds(page * ps, ps), :],
-                    v_buf.at[slot, h, pl.ds(i * ps, ps), :],
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[layer, :, pl.ds(page * ps, ps), :],
+                    v_buf.at[slot, :, pl.ds(i * ps, ps), :],
                     sem.at[slot, 1],
-                ))
+                ),
+            ]
             out.append((bad, grp))
         return out
 
@@ -215,9 +218,10 @@ def _mr_kernel(
                         vpair.at[r, h], pv, wsem))
         return dmas
 
-    @pl.when(valid(0))
-    def _():
-        start(0, 0)
+    for t0 in range(min(nbuf - 1, rows * max_chunks)):
+        @pl.when(valid(t0))
+        def _(t0=t0):
+            start(t0 % nbuf, t0)
 
     if fused_write:
         # the write only needs to be visible to the NEXT kernel call
@@ -244,13 +248,13 @@ def _mr_kernel(
         b = row_of(t)
         c = chunk_of(t)
         nc = pl.cdiv(hist(b), chunk_t)
-        slot = jax.lax.rem(t, 2)
+        slot = jax.lax.rem(t, nbuf)
 
-        t_next = jnp.minimum(t + 1, n_work - 1)
+        t_ahead = jnp.minimum(t + nbuf - 1, n_work - 1)
 
-        @pl.when((t + 1 < n_work) & valid(t_next))
+        @pl.when((t + nbuf - 1 < n_work) & valid(t_ahead))
         def _():
-            start(jax.lax.rem(t + 1, 2), t_next)
+            start(jax.lax.rem(t_ahead, nbuf), t_ahead)
 
         @pl.when(valid(t))
         def _():
@@ -426,6 +430,14 @@ def paged_decode_multirow(
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, G_PAD - G), (0, 0)))
 
     chunk_t = pages_per_chunk * page_size
+    # DMA pipeline depth: deep in-flight window hides per-copy latency
+    # (the dominant cost at short contexts); clamp by VMEM budget
+    buf_bytes = Hk * chunk_t * D * k_cache.dtype.itemsize * 2
+    import os as _os
+
+    nbuf = int(_os.environ.get("SFT_DECODE_NBUF", "8"))
+    while nbuf > 2 and nbuf * buf_bytes > 8 * 1024 * 1024:
+        nbuf //= 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B_pad // rows,),
@@ -458,20 +470,21 @@ def paged_decode_multirow(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Hk, chunk_t, D), k_cache.dtype),
-            pltpu.VMEM((2, Hk, chunk_t, D), v_cache.dtype),
+            pltpu.VMEM((nbuf, Hk, chunk_t, D), k_cache.dtype),
+            pltpu.VMEM((nbuf, Hk, chunk_t, D), v_cache.dtype),
             pltpu.VMEM((Hk, G_PAD, D), jnp.float32),
             pltpu.VMEM((Hk, G_PAD, 128), jnp.float32),
             pltpu.VMEM((Hk, G_PAD, 128), jnp.float32),
             pltpu.VMEM((rows, Hk, GK, D), k_cache.dtype),
             pltpu.VMEM((rows, Hk, GK, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((nbuf, 2)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
         _mr_kernel,
         rows=rows,
+        nbuf=nbuf,
         page_size=page_size,
         pages_per_chunk=pages_per_chunk,
         max_chunks=max_chunks,
@@ -495,6 +508,13 @@ def paged_decode_multirow(
         input_output_aliases={5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            # row blocks are independent (fused-write RMW groups never
+            # cross rows): let megacore split the grid across cores
+            dimension_semantics=(
+                ("parallel",)
+                if _os.environ.get("SFT_DECODE_PARALLEL_GRID", "1") == "1"
+                else ("arbitrary",)
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * Hq * D * P_pad * page_size * 2,

@@ -154,6 +154,13 @@ class RefAttentionBackend:
         window: Optional[jax.Array] = None,
         sinks: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, MHAKVCache]:
+        from sglang_fluentllm_tpu.mem.kv_cache import WindowKV
+
+        if isinstance(kv_cache, WindowKV):
+            return self._dense_window(
+                kv_cache, layer_id, q, k_new, v_new, batch, sm_scale,
+                logit_cap, window, sinks,
+            )
         B, S, Hk, D = k_new.shape
         loc = batch.out_cache_loc.reshape(-1)
         kv_cache = mha_write(
@@ -169,6 +176,45 @@ class RefAttentionBackend:
             batch.custom_mask, logit_cap, window=window, sinks=sinks,
         )
         return out, kv_cache
+
+    def _dense_window(self, kv_cache, layer_id, q, k_new, v_new, batch,
+                      sm_scale, logit_cap, window=None, sinks=None):
+        """Fused-window decode over the DENSE gathered history (WindowKV):
+        pure XLA, zero Mosaic launches in the hot loop — the axon runtime
+        charges ~130 us fixed per pallas call, which dominates short-
+        context decode (see kv_cache.WindowKV). New KV appends to both
+        the dense buffer and the paged pool."""
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            WindowKV,
+            mha_write,
+        )
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            mha_attend,
+        )
+
+        B, S, Hk, D = k_new.shape
+        assert S == 1 and batch.mode.is_decode()
+        pool = mha_write(
+            kv_cache.pool, layer_id, batch.out_cache_loc.reshape(-1),
+            k_new.reshape(B, Hk, D), v_new.reshape(B, Hk, D),
+        )
+        pos = jnp.minimum(
+            batch.seq_lens - 1, kv_cache.hk.shape[2] - 1
+        )
+        Dp = kv_cache.hk.shape[-1]
+        if Dp != D:
+            pad = ((0, 0), (0, 0), (0, 0), (0, Dp - D))
+            k_new = jnp.pad(k_new, pad)
+            v_new = jnp.pad(v_new, pad)
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        hk = kv_cache.hk.at[layer_id, bidx, pos].set(k_new[:, 0])
+        hv = kv_cache.hv.at[layer_id, bidx, pos].set(v_new[:, 0])
+        out = mha_attend(
+            q, hk[layer_id][..., :D], hv[layer_id][..., :D],
+            batch.seq_lens, batch.q_lens, sm_scale,
+            None, logit_cap, window=window, sinks=sinks,
+        )
+        return out, WindowKV(pool=pool, hk=hk, hv=hv)
 
 
 class RefMLABackend:

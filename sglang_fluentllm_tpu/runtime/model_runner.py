@@ -497,6 +497,23 @@ class ModelRunner:
     def _init_jit(self):
         model = self.model
         cap = self.FUTURE_CAP
+        # dense-window decode eligibility (see multi_step_fn): plain
+        # MHA/GQA pools behind the Ref/Paged backend family only
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            MHAKVCache as _MHA,
+        )
+        from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+            RefAttentionBackend as _RefMHA,
+        )
+
+        self._dense_window_ok = (
+            isinstance(self.attn_backend, _RefMHA)
+            and isinstance(self.kv_cache, _MHA)
+            and self.dp_attn_size == 1
+        )
+        self._dense_window_cap = int(
+            self.server_args.decode_dense_window_bytes
+        )
         # Device-resident ring of sampled token ids — the analog of the
         # reference's future_token_ids_map (tp_worker_overlap_thread.py:44):
         # negative input ids are placeholders resolved on-device, so decode
@@ -634,6 +651,28 @@ class ModelRunner:
             key0 = jax.random.fold_in(base_key, ints[-1])
             k_steps = meta.S
             V = self.model_config.vocab_size
+            # dense-window KV: gather the paged history ONCE per window so
+            # the k in-window steps run pure-XLA attention with zero
+            # Mosaic launches (the axon runtime charges ~130 us fixed per
+            # pallas call — 24 layers x 130 us dominated short-context
+            # decode; see mem/kv_cache.WindowKV)
+            use_dense = False
+            if self._dense_window_ok:
+                Lk, Hk, _slots, Dp = self.kv_cache.k.shape
+                Tp = batch.page_tables.shape[1] * meta.page_size
+                hist_bytes = (
+                    Lk * meta.B * Tp * Hk * Dp
+                    * jnp.dtype(self.dtype).itemsize * 2
+                )
+                use_dense = hist_bytes <= self._dense_window_cap
+            if use_dense:
+                from sglang_fluentllm_tpu.mem.kv_cache import (
+                    window_kv_gather,
+                )
+
+                kv_cache = window_kv_gather(
+                    kv_cache, batch.page_tables, meta.page_size
+                )
             first_ids = jnp.where(
                 batch.input_ids[:, 0] < 0,
                 future_map[(-batch.input_ids[:, 0] - 1) % cap],
@@ -644,6 +683,55 @@ class ModelRunner:
             minrem0 = (sampling.min_new_remaining
                        if meta.pen_len else None)
             gstate0 = grammar[3] if grammar is not None else None
+            # greedy fast path: vocab-chunked running argmax fused with the
+            # lm_head GEMM — the [B, V] f32 logits round trip costs ~0.7 ms
+            # per step at 152k vocab (decode profile: iota_reduce 0.36 ms +
+            # the fat f32 store in the GEMM fusion)
+            fused_greedy = (
+                sampling.all_greedy
+                and not (meta.want_lp or meta.topk or meta.inp_lp)
+                and not meta.pen_len and not meta.has_think
+                and grammar is None and not meta.has_custom
+                and hasattr(model, "lm_head_weight")
+            )
+
+            def greedy_chunked(params, hl):
+                w = model.lm_head_weight(params)       # [H, V]
+                CH = 8192
+                nch = -(-V // CH)
+                Wp = nch * CH
+                if Wp != V:
+                    w = jnp.pad(w, ((0, 0), (0, Wp - V)),
+                                constant_values=0)
+
+                def vchunk(carry, ci):
+                    bv, bi = carry
+                    wc = jax.lax.dynamic_slice_in_dim(
+                        w, ci * CH, CH, axis=1
+                    )
+                    lg = jax.lax.dot_general(
+                        hl, wc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if Wp != V:
+                        col = ci * CH + jax.lax.broadcasted_iota(
+                            jnp.int32, lg.shape, 1
+                        )
+                        lg = jnp.where(col < V, lg, -jnp.inf)
+                    m = jnp.max(lg, axis=-1)
+                    a = (jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                         + ci * CH)
+                    upd = m > bv
+                    return (jnp.where(upd, m, bv),
+                            jnp.where(upd, a, bi)), None
+
+                (mv, mi), _ = jax.lax.scan(
+                    vchunk,
+                    (jnp.full((meta.B,), -jnp.inf, jnp.float32),
+                     jnp.zeros((meta.B,), jnp.int32)),
+                    jnp.arange(nch, dtype=jnp.int32),
+                )
+                return mi
 
             def one_step(carry, j):
                 kv_cache, ids, tstop, counts, minrem, gstate = carry
@@ -658,6 +746,14 @@ class ModelRunner:
                     q_lens=batch.q_lens,
                 )
                 kv_cache, h = model.forward(params, kv_cache, sub)
+                if fused_greedy:
+                    new_ids = greedy_chunked(params, h[:, 0])
+                    return ((kv_cache, new_ids, tstop, counts, minrem,
+                             gstate),
+                            (new_ids,
+                             jnp.zeros(new_ids.shape, jnp.float32),
+                             (jnp.zeros((0,), jnp.float32),
+                              jnp.zeros((0,), jnp.float32))))
                 logits = model.compute_logits(params, h[:, 0])
                 allowed = None
                 if grammar is not None:
@@ -724,6 +820,8 @@ class ModelRunner:
                     jnp.arange(k_steps, dtype=jnp.int32),
                 )
             )
+            if use_dense:
+                kv_cache = kv_cache.pool
             future_map = jax.lax.dynamic_update_slice(
                 future_map, last_ids, (write_offset,)
             )
