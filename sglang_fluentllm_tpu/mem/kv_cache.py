@@ -379,3 +379,40 @@ def window_kv_gather(pool: "MHAKVCache", page_tables: jax.Array,
     hk = jnp.transpose(pool.k[:, :, slots], (0, 2, 3, 1, 4))
     hv = jnp.transpose(pool.v[:, :, slots], (0, 2, 3, 1, 4))
     return WindowKV(pool=pool, hk=hk, hv=hv)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MLAWindowKV:
+    """MLA fused-window KV view (see WindowKV): dense DEQUANTIZED latent
+    history in the bf16 combined-row layout ([..., :r] = ckv,
+    [..., r_pad:r_pad+dr] = rope). For FP8 pools the per-token dequant
+    happens ONCE at the window gather instead of per step per layer."""
+
+    pool: object          # MLAKVCache | MLAKVCacheFP8
+    hlat: jax.Array       # [L, B, T_pad, r_pad + rope_pad] bf16
+
+
+def mla_window_gather(pool, page_tables: jax.Array, page_size: int,
+                      r: int, dr: int) -> "MLAWindowKV":
+    B, P = page_tables.shape
+    slots = (
+        page_tables[:, :, None] * page_size
+        + jnp.arange(page_size, dtype=page_tables.dtype)[None, None, :]
+    ).reshape(B, P * page_size)
+    if isinstance(pool, MLAKVCacheFP8):
+        r_pad = padded_head_dim(r)
+        rope_pad = padded_head_dim(dr)
+        ckv8 = pool.ckv[:, slots]                  # [L, B, T, r] fp8
+        tail = pool.tail[:, slots]                 # [L, B, T, tail_pad]
+        krope, scale = fp8_tail_unpack(tail, dr)
+        L, _, T = ckv8.shape[:3]
+        hlat = jnp.zeros((L, B, T, r_pad + rope_pad), jnp.bfloat16)
+        hlat = hlat.at[..., :r].set(
+            (ckv8.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        )
+        hlat = hlat.at[..., r_pad:r_pad + dr].set(
+            krope.astype(jnp.bfloat16)
+        )
+        return MLAWindowKV(pool=pool, hlat=hlat)
+    return MLAWindowKV(pool=pool, hlat=pool.lat[:, slots])

@@ -42,6 +42,13 @@ class MLAPagedBackend(RefMLABackend):
 
     def __call__(self, kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
                  batch, w_kc, w_vc, sm_scale) -> Tuple[jax.Array, object]:
+        from sglang_fluentllm_tpu.mem.kv_cache import MLAWindowKV
+
+        if isinstance(kv_cache, MLAWindowKV):
+            return self._dense_window_mla(
+                kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
+                batch, w_kc, w_vc, sm_scale,
+            )
         if not batch.mode.is_decode():
             S = q_nope.shape[1]
             if batch.custom_mask is not None or S <= 4:

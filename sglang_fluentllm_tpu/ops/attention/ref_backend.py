@@ -242,6 +242,13 @@ class RefMLABackend:
         w_vc: jax.Array,     # [H, r, dv] (kv_b up-proj, V half)
         sm_scale: float,
     ) -> Tuple[jax.Array, object]:
+        from sglang_fluentllm_tpu.mem.kv_cache import MLAWindowKV
+
+        if isinstance(kv_cache, MLAWindowKV):
+            return self._dense_window_mla(
+                kv_cache, layer_id, q_nope, q_pe, ckv_new, kpe_new,
+                batch, w_kc, w_vc, sm_scale,
+            )
         B, S, H, dn = q_nope.shape
         kv_cache, ckv, kpe = self._write_gather(
             kv_cache, layer_id, ckv_new, kpe_new, batch
@@ -258,6 +265,78 @@ class RefMLABackend:
                 q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale
             )
         return out, kv_cache
+
+    def _dense_window_mla(self, kv_cache, layer_id, q_nope, q_pe,
+                          ckv_new, kpe_new, batch, w_kc, w_vc, sm_scale):
+        """Fused-window MLA decode against the dense dequantized latent
+        history (MLAWindowKV): zero Mosaic launches in the hot loop and —
+        for FP8 pools — per-token dequant amortized over the window."""
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            MLAKVCacheFP8,
+            MLAWindowKV,
+            mla_pack_rows,
+            mla_write,
+            mla_write_fp8,
+            padded_head_dim,
+        )
+
+        B, S, H, dn = q_nope.shape
+        assert S == 1 and batch.mode.is_decode()
+        r = ckv_new.shape[-1]
+        dr = kpe_new.shape[-1]
+        r_pad = padded_head_dim(r)
+        loc = batch.out_cache_loc.reshape(-1)
+        pool = kv_cache.pool
+        if isinstance(pool, MLAKVCacheFP8):
+            pool = mla_write_fp8(
+                pool, layer_id, loc, ckv_new.reshape(B, r),
+                kpe_new.reshape(B, dr),
+            )
+        else:
+            pool = mla_write(
+                pool, layer_id, loc, ckv_new.reshape(B, r),
+                kpe_new.reshape(B, dr),
+            )
+        if isinstance(kv_cache.pool, MLAKVCacheFP8):
+            # store the dequant-of-quantized row so in-window reads see
+            # exactly what post-window paged reads will see
+            from sglang_fluentllm_tpu.mem.kv_cache import (
+                fp8_tail_unpack,
+                mla_pack_fp8_rows,
+            )
+
+            q8, tail = mla_pack_fp8_rows(
+                ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
+                kv_cache.pool.tail.shape[-1],
+            )
+            krope, scale = fp8_tail_unpack(tail, dr)
+            row = jnp.zeros(
+                (B, kv_cache.hlat.shape[-1]), kv_cache.hlat.dtype
+            )
+            row = row.at[:, :r].set(
+                (q8.astype(jnp.float32) * scale).astype(row.dtype)
+            )
+            row = row.at[:, r_pad:r_pad + dr].set(
+                krope.astype(row.dtype)
+            )
+        else:
+            row = mla_pack_rows(
+                ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
+                kv_cache.hlat.shape[-1], kv_cache.hlat.dtype,
+            )
+        pos = jnp.minimum(
+            batch.seq_lens - 1, kv_cache.hlat.shape[2] - 1
+        )
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        hlat = kv_cache.hlat.at[layer_id, bidx, pos].set(row)
+        lat = hlat[layer_id]
+        out = self._absorbed(
+            q_nope, q_pe,
+            lat[..., :r].astype(jnp.float32),
+            lat[..., r_pad:r_pad + dr].astype(jnp.float32),
+            batch, w_kc, w_vc, sm_scale,
+        )
+        return out, MLAWindowKV(pool=pool, hlat=hlat)
 
     def _write_gather(self, kv_cache, layer_id, ckv_new, kpe_new, batch):
         """Write the new latents into the pool and gather the full dense

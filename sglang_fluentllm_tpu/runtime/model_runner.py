@@ -501,15 +501,19 @@ class ModelRunner:
         # MHA/GQA pools behind the Ref/Paged backend family only
         from sglang_fluentllm_tpu.mem.kv_cache import (
             MHAKVCache as _MHA,
+            MLAKVCache as _MLA,
+            MLAKVCacheFP8 as _MLA8,
         )
         from sglang_fluentllm_tpu.ops.attention.ref_backend import (
             RefAttentionBackend as _RefMHA,
+            RefMLABackend as _RefMLA,
         )
 
-        self._dense_window_ok = (
-            isinstance(self.attn_backend, _RefMHA)
-            and isinstance(self.kv_cache, _MHA)
-            and self.dp_attn_size == 1
+        self._dense_window_ok = self.dp_attn_size == 1 and (
+            (isinstance(self.attn_backend, _RefMHA)
+             and isinstance(self.kv_cache, _MHA))
+            or (isinstance(self.attn_backend, _RefMLA)
+                and isinstance(self.kv_cache, (_MLA, _MLA8)))
         )
         self._dense_window_cap = int(
             self.server_args.decode_dense_window_bytes
@@ -658,21 +662,40 @@ class ModelRunner:
             # decode; see mem/kv_cache.WindowKV)
             use_dense = False
             if self._dense_window_ok:
-                Lk, Hk, _slots, Dp = self.kv_cache.k.shape
                 Tp = batch.page_tables.shape[1] * meta.page_size
-                hist_bytes = (
-                    Lk * meta.B * Tp * Hk * Dp
-                    * jnp.dtype(self.dtype).itemsize * 2
-                )
+                if hasattr(self.kv_cache, "k"):       # MHA pool
+                    Lk, Hk, _s, Dp = self.kv_cache.k.shape
+                    hist_bytes = Lk * meta.B * Tp * Hk * Dp * 2 * 2
+                else:                                  # MLA latent pool
+                    from sglang_fluentllm_tpu.mem.kv_cache import (
+                        padded_head_dim,
+                    )
+
+                    mc = self.model_config
+                    W = (padded_head_dim(mc.kv_lora_rank)
+                         + padded_head_dim(mc.qk_rope_head_dim))
+                    Lk = self.model_config.num_hidden_layers
+                    hist_bytes = Lk * meta.B * Tp * W * 2
                 use_dense = hist_bytes <= self._dense_window_cap
             if use_dense:
-                from sglang_fluentllm_tpu.mem.kv_cache import (
-                    window_kv_gather,
-                )
+                if hasattr(self.kv_cache, "k"):
+                    from sglang_fluentllm_tpu.mem.kv_cache import (
+                        window_kv_gather,
+                    )
 
-                kv_cache = window_kv_gather(
-                    kv_cache, batch.page_tables, meta.page_size
-                )
+                    kv_cache = window_kv_gather(
+                        kv_cache, batch.page_tables, meta.page_size
+                    )
+                else:
+                    from sglang_fluentllm_tpu.mem.kv_cache import (
+                        mla_window_gather,
+                    )
+
+                    mc = self.model_config
+                    kv_cache = mla_window_gather(
+                        kv_cache, batch.page_tables, meta.page_size,
+                        mc.kv_lora_rank, mc.qk_rope_head_dim,
+                    )
             first_ids = jnp.where(
                 batch.input_ids[:, 0] < 0,
                 future_map[(-batch.input_ids[:, 0] - 1) % cap],
