@@ -719,42 +719,25 @@ class ModelRunner:
             )
 
             def greedy_chunked(params, hl):
+                # STATIC slices unrolled (a lax.scan + dynamic_slice pair
+                # materializes a copy of every weight chunk — measured
+                # 1.5x slower than the plain full-logits path)
                 w = model.lm_head_weight(params)       # [H, V]
-                CH = 8192
-                nch = -(-V // CH)
-                Wp = nch * CH
-                if Wp != V:
-                    w = jnp.pad(w, ((0, 0), (0, Wp - V)),
-                                constant_values=0)
-
-                def vchunk(carry, ci):
-                    bv, bi = carry
-                    wc = jax.lax.dynamic_slice_in_dim(
-                        w, ci * CH, CH, axis=1
-                    )
+                CH = 19200
+                bv = jnp.full((meta.B,), -jnp.inf, jnp.float32)
+                bi = jnp.zeros((meta.B,), jnp.int32)
+                for c0 in range(0, V, CH):
+                    wc = w[:, c0:min(c0 + CH, V)]
                     lg = jax.lax.dot_general(
                         hl, wc, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    if Wp != V:
-                        col = ci * CH + jax.lax.broadcasted_iota(
-                            jnp.int32, lg.shape, 1
-                        )
-                        lg = jnp.where(col < V, lg, -jnp.inf)
                     m = jnp.max(lg, axis=-1)
-                    a = (jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                         + ci * CH)
+                    a = (jnp.argmax(lg, axis=-1).astype(jnp.int32) + c0)
                     upd = m > bv
-                    return (jnp.where(upd, m, bv),
-                            jnp.where(upd, a, bi)), None
-
-                (mv, mi), _ = jax.lax.scan(
-                    vchunk,
-                    (jnp.full((meta.B,), -jnp.inf, jnp.float32),
-                     jnp.zeros((meta.B,), jnp.int32)),
-                    jnp.arange(nch, dtype=jnp.int32),
-                )
-                return mi
+                    bv = jnp.where(upd, m, bv)
+                    bi = jnp.where(upd, a, bi)
+                return bi
 
             def one_step(carry, j):
                 kv_cache, ids, tstop, counts, minrem, gstate = carry
