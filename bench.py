@@ -42,10 +42,11 @@ QWEN25_05B = {
 
 BATCH_SIZE = 64
 PREFILL_LEN = 128
-# whole fused-decode windows (k=16) in both phases: the delta then
-# isolates 64 steady-state decode tokens without partial-window skew
-SHORT_NEW = 16
-LONG_NEW = 80
+# whole fused-decode windows (k=32 default) in both phases: the delta
+# then isolates 128 steady-state decode tokens without partial-window
+# skew
+SHORT_NEW = 32
+LONG_NEW = 160
 PAGE_SIZE = 32
 
 # TPU v5e spec sheet: ~819 GB/s HBM. The axon-tunneled chip sustains
@@ -108,7 +109,7 @@ def build_engine():
         max_total_tokens=BATCH_SIZE * (PREFILL_LEN + LONG_NEW + 64),
         max_running_requests=2 * BATCH_SIZE,
         decode_steps_per_launch=int(
-            os.environ.get("SFT_BENCH_DECODE_STEPS", "16")),
+            os.environ.get("SFT_BENCH_DECODE_STEPS", "32")),
         random_seed=0,
         quantization=os.environ.get("SFT_BENCH_QUANT") or None,
         kv_cache_dtype=os.environ.get("SFT_BENCH_KV_DTYPE", "auto"),

@@ -112,8 +112,11 @@ class ServerArgs:
     decode_dense_window_bytes: int = 768 * 1024 * 1024
     # decode steps fused into one device program (host cost amortization —
     # the analog of the reference fusing multi-step spec decode into a
-    # single CUDA graph). 1 = classic one-step decode.
-    decode_steps_per_launch: int = 16
+    # single CUDA graph). 1 = classic one-step decode. 32 amortizes the
+    # dense-window gather + per-window fixed costs (measured +21% decode
+    # throughput over 16 on the bench geometry); clamped per batch to the
+    # remaining token budget, and dropped to 1 for host-callback batches.
+    decode_steps_per_launch: int = 32
     # launched-but-unresolved batch window (tunnel dispatch latency hiding)
     overlap_pipeline_depth: int = 4
 

@@ -190,6 +190,22 @@ def run_follower(server_args, model_config=None,
             runner.release_kv_cache()
         elif kind == "resume_kv":
             runner.resume_kv_cache()
+        elif kind == "spec":
+            _, batch, sampling, drafts, req_idx, offset = msg
+            runner.spec_worker.forward_spec(
+                batch, sampling, drafts=drafts, req_idx=req_idx,
+                future_offset=offset,
+            )
+        elif kind == "spec_prefill":
+            _, batch, sampling, offset, req_idx = msg
+            runner.spec_worker.forward_prefill(
+                batch, sampling, offset, req_idx
+            )
+        elif kind == "spec_draft_extend":
+            _, batch, sampling = msg
+            runner.spec_worker.forward_draft_extend(batch, sampling)
+        elif kind == "rebalance":
+            runner.rebalance_experts()
         else:
             logger.warning("unknown follower message %r", kind)
     receiver.close()

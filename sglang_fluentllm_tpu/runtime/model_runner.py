@@ -1280,6 +1280,8 @@ class ModelRunner:
         assert self.expert_recorder is not None, (
             "--enable-expert-distribution-recorder required"
         )
+        if self.broadcaster is not None:
+            self.broadcaster.publish(("rebalance",))
         t0 = getattr(self.model, "ep_tables", None)
         assert t0 is not None, "--enable-ep-dispatch required"
         import dataclasses as _dc

@@ -848,6 +848,10 @@ class SpecWorker:
                         future_offset: int, req_idx: List[int]):
         """NEXTN fused prefill (target + draft + hidden init)."""
         r = self.runner
+        if r.broadcaster is not None:
+            r.broadcaster.publish(
+                ("spec_prefill", batch, sampling, future_offset, req_idx)
+            )
         r.step_counter += 1
         ints, floats, meta = pack_batch(batch, sampling)
         ri = np.zeros((meta.B,), np.int32)
@@ -867,6 +871,10 @@ class SpecWorker:
         """EAGLE: populate draft KV for a prefill/chunk batch."""
         if self.algorithm == "PLD":
             return
+        if self.runner.broadcaster is not None:
+            self.runner.broadcaster.publish(
+                ("spec_draft_extend", batch, sampling)
+            )
         ints, floats, meta = pack_batch(batch, sampling)
         ints = np.concatenate([ints, [0, 0]]).astype(np.int32)
         self.draft_kv = self._draft_extend(
@@ -884,6 +892,10 @@ class SpecWorker:
         ``future_offset`` so the next window can launch before this one
         resolves (spec x overlap)."""
         r = self.runner
+        if r.broadcaster is not None:
+            r.broadcaster.publish(
+                ("spec", batch, sampling, drafts, req_idx, future_offset)
+            )
         r.step_counter += 1
         ints, floats, meta = pack_batch(batch, sampling)
         offset = future_offset % r.FUTURE_CAP
