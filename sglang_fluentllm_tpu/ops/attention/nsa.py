@@ -226,13 +226,40 @@ class NSAAttentionBackend:
                  sm_scale, nsa: Optional[NSAParams] = None,
                  kernel=32, stride=16, select_size=64, top_n=16,
                  n_init=1, n_local=2, window=512, **kw):
-        from sglang_fluentllm_tpu.mem.kv_cache import mha_write
+        from sglang_fluentllm_tpu.mem.kv_cache import WindowKV, mha_write
         from sglang_fluentllm_tpu.ops.attention.ref_backend import (
             page_gather_mha,
         )
 
         B, S, Hk, D = k_new.shape
         loc = batch.out_cache_loc.reshape(-1)
+        if isinstance(kv_cache, WindowKV):
+            # fused-decode-window view (kv_cache.WindowKV): append the new
+            # token to BOTH the paged pool and the dense gathered history,
+            # then attend over the dense buffer — zero gathers in-window
+            assert S == 1 and batch.mode.is_decode()
+            pool = mha_write(
+                kv_cache.pool, layer_id, loc,
+                k_new.reshape(B, Hk, D), v_new.reshape(B, Hk, D),
+            )
+            pos = jnp.minimum(batch.seq_lens - 1, kv_cache.hk.shape[2] - 1)
+            Dp = kv_cache.hk.shape[-1]
+            kn, vn = k_new, v_new
+            if Dp != D:
+                pad = ((0, 0), (0, 0), (0, 0), (0, Dp - D))
+                kn = jnp.pad(kn, pad)
+                vn = jnp.pad(vn, pad)
+            bidx = jnp.arange(B, dtype=jnp.int32)
+            hk = kv_cache.hk.at[layer_id, bidx, pos].set(kn[:, 0])
+            hv = kv_cache.hv.at[layer_id, bidx, pos].set(vn[:, 0])
+            out = nsa_attend(
+                q, hk[layer_id][..., :D], hv[layer_id][..., :D],
+                batch.positions, batch.seq_lens, nsa,
+                kernel=kernel, stride=stride, select_size=select_size,
+                top_n=top_n, n_init=n_init, n_local=n_local,
+                window=window, sm_scale=sm_scale,
+            )
+            return out, WindowKV(pool=pool, hk=hk, hv=hv)
         kv_cache = mha_write(
             kv_cache, layer_id, loc,
             k_new.reshape(B * S, Hk, D), v_new.reshape(B * S, Hk, D),

@@ -738,12 +738,19 @@ class Scheduler:
 
     def _step_inner(self) -> List[StepOutput]:
         self._poll_hicache_loads()
+        stalled = False
         if len(self.pending) < self.max_inflight:
             launched = self._launch_next()
             if launched is not None:
                 self._launch_seq += 1
                 launched.seq = self._launch_seq
                 self.pending.append(launched)
+            else:
+                # nothing launchable RIGHT NOW (e.g. every waiting request
+                # is parked on a hicache host->device load) — force-resolve
+                # the oldest in-flight batch so running decodes keep
+                # emitting tokens instead of idling behind the parked load
+                stalled = bool(self.pending)
 
         self.max_pending_seen = max(
             getattr(self, "max_pending_seen", 0), len(self.pending)
@@ -753,7 +760,8 @@ class Scheduler:
         # resolve the oldest when the pipeline is full (or draining).
         while self.pending:
             head = self.pending[0]
-            full = len(self.pending) >= self.max_inflight
+            full = len(self.pending) >= self.max_inflight or stalled
+            stalled = False
             draining = not self._has_launchable_work()
             try:
                 ready = bool(head.ids_dev.is_ready())
