@@ -340,6 +340,18 @@ def kv_copy_rows(kv_cache, src: jax.Array, dst: jax.Array):
             ckv=kv_cache.ckv.at[:, dst].set(kv_cache.ckv[:, src]),
             tail=kv_cache.tail.at[:, dst].set(kv_cache.tail[:, src]),
         )
+    if isinstance(kv_cache, MLAKVCacheDSA):
+        return MLAKVCacheDSA(
+            lat=kv_cache.lat.at[:, dst].set(kv_cache.lat[:, src]),
+            idx=kv_cache.idx.at[:, dst].set(kv_cache.idx[:, src]),
+        )
+    if isinstance(kv_cache, OEPKVCache):
+        # the token-history ring is position-indexed per request (not
+        # per-slot), so only the paged inner pool needs the row move
+        return OEPKVCache(
+            inner=kv_copy_rows(kv_cache.inner, src, dst),
+            ring=kv_cache.ring,
+        )
     raise NotImplementedError(
         f"kv_copy_rows: {type(kv_cache).__name__}"
     )
@@ -407,12 +419,13 @@ def mla_window_gather(pool, page_tables: jax.Array, page_size: int,
         tail = pool.tail[:, slots]                 # [L, B, T, tail_pad]
         krope, scale = fp8_tail_unpack(tail, dr)
         L, _, T = ckv8.shape[:3]
-        hlat = jnp.zeros((L, B, T, r_pad + rope_pad), jnp.bfloat16)
-        hlat = hlat.at[..., :r].set(
-            (ckv8.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-        )
-        hlat = hlat.at[..., r_pad:r_pad + dr].set(
-            krope.astype(jnp.bfloat16)
-        )
-        return MLAWindowKV(pool=pool, hlat=hlat)
+        # single-concatenate build (a zeros buffer + two scatter-sets
+        # would stream the 0.5 GB-class window buffer three times)
+        parts = [(ckv8.astype(jnp.float32) * scale).astype(jnp.bfloat16)]
+        if r_pad > r:
+            parts.append(jnp.zeros((L, B, T, r_pad - r), jnp.bfloat16))
+        parts.append(krope.astype(jnp.bfloat16))
+        if rope_pad > dr:
+            parts.append(jnp.zeros((L, B, T, rope_pad - dr), jnp.bfloat16))
+        return MLAWindowKV(pool=pool, hlat=jnp.concatenate(parts, axis=-1))
     return MLAWindowKV(pool=pool, hlat=pool.lat[:, slots])

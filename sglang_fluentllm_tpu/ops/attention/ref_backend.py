@@ -111,9 +111,15 @@ def mha_attend(
     B, S, Hq, D = q.shape
     Hk = k.shape[2]
     G = Hq // Hk
-    qf = q.astype(jnp.float32).reshape(B, S, Hk, G, D)
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("bskgd,btkd->bkgst", qf, kf) * sm_scale
+    # stream K/V in their STORAGE dtype (bf16 on TPU): upcasting first
+    # would materialize a 2x-sized f32 copy of the whole history in HBM
+    # per layer per step; the MXU accumulates in f32 regardless via
+    # preferred_element_type (f32 pools on CPU are unchanged)
+    qf = q.astype(k.dtype).reshape(B, S, Hk, G, D)
+    scores = jnp.einsum(
+        "bskgd,btkd->bkgst", qf, k,
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
     if logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
     mask = _causal_mask(
@@ -132,7 +138,10 @@ def mha_attend(
         probs = e / denom
     else:
         probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgst,btkd->bskgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum(
+        "bkgst,btkd->bskgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(B, S, Hq, v.shape[-1]).astype(q.dtype)
 
 
@@ -330,10 +339,13 @@ class RefMLABackend:
         bidx = jnp.arange(B, dtype=jnp.int32)
         hlat = kv_cache.hlat.at[layer_id, bidx, pos].set(row)
         lat = hlat[layer_id]
+        # slices stay in storage dtype — _absorbed streams them directly
+        # (an astype here would materialize an f32 copy of the window
+        # history per layer per step)
         out = self._absorbed(
             q_nope, q_pe,
-            lat[..., :r].astype(jnp.float32),
-            lat[..., r_pad:r_pad + dr].astype(jnp.float32),
+            lat[..., :r],
+            lat[..., r_pad:r_pad + dr],
             batch, w_kc, w_vc, sm_scale,
         )
         return out, MLAWindowKV(pool=pool, hlat=hlat)
@@ -358,7 +370,10 @@ class RefMLABackend:
             tail = page_gather(kv_cache.tail[layer_id], batch.page_tables,
                                batch.page_size)     # [B, T, tail_pad]
             kpe, scale = fp8_tail_unpack(tail, dr)  # [B,T,dr], [B,T,1]
-            ckv = ckv.astype(jnp.float32) * scale
+            # dequant to bf16 (matches mla_window_gather): streaming the
+            # history at 2 bytes/el instead of 4 halves the HBM term
+            ckv = (ckv.astype(jnp.float32) * scale).astype(tail.dtype)
+            kpe = kpe.astype(tail.dtype)
         else:
             kv_cache = mla_write(
                 kv_cache, layer_id, loc,
@@ -372,27 +387,46 @@ class RefMLABackend:
                               batch.page_size)      # [B, T, r_pad+rope_pad]
             ckv = lat[..., :r]
             kpe = lat[..., r_pad : r_pad + dr]
-        return kv_cache, ckv.astype(jnp.float32), kpe.astype(jnp.float32)
+        return kv_cache, ckv, kpe
 
     def _absorbed(self, q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale):
+        # ckv/kpe arrive in STORAGE dtype and stay there: upcasting the
+        # dense latent history would materialize a 2x f32 copy in HBM per
+        # layer per step (the dominant decode stream); the MXU still
+        # accumulates in f32 via preferred_element_type
         qf = q_nope.astype(jnp.float32)
         q_abs = jnp.einsum("bshd,hrd->bshr", qf, w_kc.astype(jnp.float32))
-        scores = jnp.einsum("bshr,btr->bhst", q_abs, ckv)
-        scores += jnp.einsum("bshd,btd->bhst", q_pe.astype(jnp.float32), kpe)
+        scores = jnp.einsum(
+            "bshr,btr->bhst", q_abs.astype(ckv.dtype), ckv,
+            preferred_element_type=jnp.float32,
+        )
+        scores += jnp.einsum(
+            "bshd,btd->bhst", q_pe.astype(kpe.dtype), kpe,
+            preferred_element_type=jnp.float32,
+        )
         scores *= sm_scale
         S, T = q_nope.shape[1], ckv.shape[1]
         mask = _causal_mask(batch.seq_lens, batch.q_lens, S, T,
                             batch.custom_mask)
         scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhst,btr->bshr", probs, ckv)
+        ctx = jnp.einsum(
+            "bhst,btr->bshr", probs.astype(ckv.dtype), ckv,
+            preferred_element_type=jnp.float32,
+        )
         out = jnp.einsum("bshr,hrd->bshd", ctx, w_vc.astype(jnp.float32))
         return out.astype(q_nope.dtype)
 
     def _normal(self, q_nope, q_pe, ckv, kpe, batch, w_kc, w_vc, sm_scale):
         # decompress latents to per-head K/V then run dense attention
-        k_nope = jnp.einsum("btr,hrd->bthd", ckv, w_kc.astype(jnp.float32))
-        v = jnp.einsum("btr,hrd->bthd", ckv, w_vc.astype(jnp.float32))
+        k_nope = jnp.einsum(
+            "btr,hrd->bthd", ckv, w_kc.astype(ckv.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        v = jnp.einsum(
+            "btr,hrd->bthd", ckv, w_vc.astype(ckv.dtype),
+            preferred_element_type=jnp.float32,
+        )
         H = q_nope.shape[2]
         k = jnp.concatenate(
             [k_nope, jnp.broadcast_to(

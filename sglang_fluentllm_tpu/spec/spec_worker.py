@@ -238,11 +238,15 @@ class SpecWorker:
                 self.draft_config, num_slots, dtype=runner.dtype,
                 kv_cache_dtype=server_args.kv_cache_dtype,
             )
-        if self.topk > 1 and self.algorithm != "STANDALONE":
+        if self.topk > 1 and runner.model_config.is_hybrid_linear:
+            # linear-attention state advances sequentially — a draft TREE
+            # cannot be verified in one pass (no custom-mask analog for
+            # the delta-rule recurrence), and the exact-inverse rollback
+            # only unwinds a suffix of a CHAIN
             raise NotImplementedError(
-                "--speculative-eagle-topk > 1 (tree speculation) currently "
-                "requires the standalone-draft family; the hidden-chained "
-                "NEXTN/EAGLE3 programs are chain-only"
+                "--speculative-eagle-topk > 1 is unsupported for "
+                "hybrid-linear targets (GDN/KDA recurrent state is "
+                "sequential); use topk=1 chain speculation"
             )
         self._init_jit()
         logger.info(
@@ -505,8 +509,264 @@ class SpecWorker:
                 return (kv_t, kv_d, hid_state, future_map, future_seq,
                         toks, counts, lps)
 
+            topk = self.topk
+
+            def nextn_fn_tree(params_t, kv_t, params_d, kv_d, hid_state,
+                              future_map, future_seq, ints, floats, meta):
+                """Root-branched draft TREE for the hidden-chained families
+                (VERDICT r3 #4; reference eagle_utils.py tree masks +
+                base_spec_worker.py:379-424 for EAGLE/NEXTN): the draft's
+                top-``topk`` first tokens each extend as a greedy chain fed
+                by the draft's own hidden, ONE target extend verifies all
+                ``N = 1 + topk*K`` nodes under per-node ancestor masks, and
+                accept = the deepest target-matching path.
+
+                KV discipline matches spec_fn_tree: tree nodes write TARGET
+                KV at window-INDEX scratch slots; the winning path's rows
+                are copied to position slots (kv_copy_rows); the DRAFT pool
+                is repaired with one teacher-forced extend over the
+                accepted path fed by the TARGET's hiddens at the parent
+                nodes (reference draft-extend-after-verify semantics)."""
+                import numpy as _np
+
+                from sglang_fluentllm_tpu.mem.kv_cache import kv_copy_rows
+
+                K = meta.S - 1
+                B = meta.B
+                N = 1 + topk * K
+                req_idx = ints[-(B + 2):-2]
+                write_offset = ints[-2]
+                batch, sampling = unpack_batch(
+                    ints[: -(B + 2)], floats, meta, None
+                )
+                key0 = jax.random.fold_in(base_key, ints[-1])
+                t_last, base_seq = _ring_resolve(
+                    future_map, future_seq, batch
+                )
+                slots = _window_slots(
+                    batch.page_tables, base_seq, topk * K, meta.page_size
+                )                                         # [B, N]
+                batch = dataclasses.replace(
+                    batch, seq_lens=base_seq, out_cache_loc=slots
+                )
+                hid0 = hid_state[req_idx]    # [B, H] (nc*H for EAGLE3)
+                if eagle3:
+                    hid0 = (hid0.astype(params_d["fc"].dtype)
+                            @ params_d["fc"] + params_d["fc_bias"])
+
+                # ---- draft root step -> top-k branch tokens ----
+                sub0 = ForwardBatch(
+                    input_ids=t_last[:, None],
+                    positions=(base_seq - 1)[:, None],
+                    out_cache_loc=slots[:, :1],
+                    page_tables=batch.page_tables,
+                    seq_lens=base_seq,
+                    q_lens=batch.q_lens,
+                    mode=ForwardMode.DECODE,
+                    page_size=meta.page_size,
+                    pages_are_runs=meta.runs,
+                )
+                kv_d, h0 = draft.forward(
+                    params_d, params_t, kv_d, sub0, hid0[:, None],
+                    **({"hidden_is_aux": False} if eagle3 else {}),
+                )
+                logits0 = draft.compute_logits(
+                    params_d, params_t, h0[:, 0]
+                )
+                _, branch = jax.lax.top_k(logits0, topk)  # [B, topk]
+                branch = branch.astype(jnp.int32)
+
+                # ---- extend each branch as a greedy hidden-fed chain ----
+                # (chains share draft-pool position slots 1..K-1; repaired
+                # below)
+                def dstep(carry, j):
+                    kv_d, tok, hid = carry
+                    sub = ForwardBatch(
+                        input_ids=tok[:, None],
+                        positions=(base_seq - 1 + j)[:, None],
+                        out_cache_loc=jax.lax.dynamic_slice_in_dim(
+                            slots, j, 1, axis=1
+                        ),
+                        page_tables=batch.page_tables,
+                        seq_lens=base_seq + j,
+                        q_lens=batch.q_lens,
+                        mode=ForwardMode.DECODE,
+                        page_size=meta.page_size,
+                        pages_are_runs=meta.runs,
+                    )
+                    kv_d, hd = draft.forward(
+                        params_d, params_t, kv_d, sub, hid[:, None],
+                        **({"hidden_is_aux": False} if eagle3 else {}),
+                    )
+                    logits = draft.compute_logits(
+                        params_d, params_t, hd[:, 0]
+                    )
+                    d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (kv_d, d, hd[:, 0]), d
+
+                chains = []
+                for c in range(topk):
+                    if K > 1:
+                        (kv_d, _, _), rest = jax.lax.scan(
+                            dstep, (kv_d, branch[:, c], h0[:, 0]),
+                            jnp.arange(1, K, dtype=jnp.int32),
+                        )
+                        chain_c = jnp.concatenate(
+                            [branch[:, c:c + 1], rest.T], axis=1
+                        )                                 # [B, K]
+                    else:
+                        chain_c = branch[:, c:c + 1]
+                    chains.append(chain_c)
+                window = jnp.concatenate(
+                    [t_last[:, None]] + chains, axis=1
+                )                                         # [B, N]
+
+                # ---- verify: one target extend over all tree nodes ----
+                depth = _np.concatenate(
+                    [[0]] + [_np.arange(1, K + 1)] * topk
+                ).astype(_np.int32)                       # [N]
+                pos = base_seq[:, None] - 1 + jnp.asarray(depth)[None, :]
+                tree_mask = _np.zeros((N, N), bool)
+                tree_mask[:, 0] = True                    # all see the root
+                for c in range(topk):
+                    for j in range(K):
+                        i = 1 + c * K + j
+                        tree_mask[i, 1 + c * K: i + 1] = True
+                tree_mask[0, 1:] = False
+                cm = jnp.broadcast_to(
+                    jnp.asarray(tree_mask)[None], (B, N, N)
+                )
+                verify = ForwardBatch(
+                    input_ids=window,
+                    positions=pos.astype(jnp.int32),
+                    out_cache_loc=slots,
+                    page_tables=batch.page_tables,
+                    seq_lens=base_seq - 1 + N,
+                    q_lens=jnp.where(batch.q_lens > 0, N, 0),
+                    custom_mask=cm,
+                    hist_tail=(jnp.full((B, oep_ring_w), -1, jnp.int32)
+                               if oep_ring_w else None),
+                    state_idx=batch.state_idx,
+                    mode=ForwardMode.TARGET_VERIFY,
+                    page_size=batch.page_size,
+                    pages_are_runs=batch.pages_are_runs,
+                )
+                kv_t, h, feed = _target_fwd(params_t, kv_t, verify)
+                logits = target.compute_logits(
+                    params_t, h.reshape(B * N, -1)
+                ).reshape(B, N, -1)
+                t_samp = jnp.stack(
+                    [
+                        sample(logits[:, i], sampling,
+                               jax.random.fold_in(key0, i))
+                        for i in range(N)
+                    ],
+                    axis=1,
+                )                                         # [B, N]
+
+                # ---- deepest matching path ----
+                root_s = t_samp[:, 0]
+                accs = []
+                for c in range(topk):
+                    ch = window[:, 1 + c * K: 1 + c * K + K]
+                    preds = jnp.concatenate(
+                        [root_s[:, None],
+                         t_samp[:, 1 + c * K: 1 + c * K + K - 1]],
+                        axis=1,
+                    )                                     # [B, K]
+                    m = (ch == preds).astype(jnp.int32)
+                    accs.append(
+                        jnp.sum(jnp.cumprod(m, axis=1), axis=1))
+                accs = jnp.stack(accs, axis=1)            # [B, topk]
+                accept = jnp.max(accs, axis=1)            # [B]
+                best = jnp.argmax(accs, axis=1).astype(jnp.int32)
+
+                stacked = jnp.stack(chains, axis=1)       # [B, topk, K]
+                best_chain = jnp.take_along_axis(
+                    stacked, best[:, None, None], axis=1
+                )[:, 0]                                   # [B, K]
+                jidx = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+                parent_idx = jnp.where(
+                    jidx == 0, 0,
+                    1 + best[:, None] * K + jidx - 1,
+                )                                         # [B, K+1]
+                last_node = jnp.take_along_axis(
+                    parent_idx, accept[:, None], axis=1
+                )                                         # [B, 1]
+                bonus = jnp.take_along_axis(
+                    t_samp, last_node, axis=1
+                )[:, 0]
+                out_tokens = jnp.where(
+                    jidx < accept[:, None],
+                    jnp.pad(best_chain, ((0, 0), (0, 1))),
+                    jnp.where(
+                        jidx == accept[:, None], bonus[:, None], -1),
+                ).astype(jnp.int32)
+                logp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1)
+                node_logp = jnp.take_along_axis(
+                    logp, parent_idx[:, :, None] % N, axis=1
+                )                                         # [B, K+1, V]
+                out_logprobs = jnp.take_along_axis(
+                    node_logp,
+                    jnp.maximum(out_tokens, 0)[:, :, None], axis=2,
+                )[..., 0]
+
+                # ---- materialize the winning path at position slots ----
+                kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+                src_idx = 1 + best[:, None] * K + kidx    # [B, K]
+                src = jnp.take_along_axis(slots, src_idx, axis=1)
+                dst = slots[:, 1:K + 1]
+                src = jnp.where(kidx < accept[:, None], src, dst)
+                kv_t = kv_copy_rows(
+                    kv_t, src.reshape(-1), dst.reshape(-1))
+
+                # ---- draft repair: teacher-forced extend over the path,
+                # fed by the target's hiddens at each token's parent node
+                # (reference draft-extend-after-verify) ----
+                feed_repair = jnp.take_along_axis(
+                    feed, parent_idx[:, :K, None], axis=1
+                )                                         # [B, K, Hs]
+                repair = ForwardBatch(
+                    input_ids=best_chain,
+                    positions=(base_seq[:, None]
+                               + jnp.arange(K, dtype=jnp.int32)[None, :]),
+                    out_cache_loc=slots[:, 1:K + 1],
+                    page_tables=batch.page_tables,
+                    seq_lens=base_seq + K,
+                    q_lens=jnp.where(batch.q_lens > 0, K, 0),
+                    mode=ForwardMode.TARGET_VERIFY,
+                    page_size=meta.page_size,
+                    pages_are_runs=meta.runs,
+                )
+                kv_d, _ = draft.forward(
+                    params_d, params_t, kv_d, repair, feed_repair,
+                    **({"hidden_is_aux": True} if eagle3 else {}),
+                )
+
+                # carry the target hidden (aux concat for EAGLE3) of the
+                # last accepted node into the next window's root step
+                new_hid = jnp.take_along_axis(
+                    feed, last_node[:, :, None], axis=1
+                )[:, 0].astype(hid_state.dtype)
+                hid_state = hid_state.at[req_idx].set(new_hid)
+
+                counts = accept + 1
+                last_tok = jnp.take_along_axis(
+                    out_tokens, (counts - 1)[:, None], axis=1
+                )[:, 0]
+                future_map = jax.lax.dynamic_update_slice(
+                    future_map, last_tok, (write_offset,)
+                )
+                future_seq = jax.lax.dynamic_update_slice(
+                    future_seq, base_seq + counts, (write_offset,)
+                )
+                return (kv_t, kv_d, hid_state, future_map, future_seq,
+                        out_tokens, counts, out_logprobs)
+
             self._spec_step = jax.jit(
-                nextn_fn, donate_argnums=(1, 3, 4, 5, 6),
+                nextn_fn_tree if topk > 1 else nextn_fn,
+                donate_argnums=(1, 3, 4, 5, 6),
                 static_argnums=(9,),
             )
 
