@@ -117,13 +117,16 @@ class ChunkedKVSender:
     """
 
     def __init__(self, decode_url: str, room: str,
-                 api_key: Optional[str] = None, timeout: float = 30.0):
+                 api_key: Optional[str] = None, timeout: float = 30.0,
+                 retries: int = 3, heartbeat_interval: float = 2.0):
         import queue
         import threading
 
         self.url = decode_url.rstrip("/") + "/pd/receive_kv"
+        self.hb_url = decode_url.rstrip("/") + "/pd/heartbeat"
         self.room = room
         self.timeout = timeout
+        self.retries = max(1, retries)
         self.state = KVPoll.WaitingForInput
         self.headers = {"Content-Type": "application/octet-stream"}
         if api_key:
@@ -131,8 +134,17 @@ class ChunkedKVSender:
         self._q: "queue.Queue" = queue.Queue()
         self._done = threading.Event()
         self._chunks_sent = 0
+        self._chunk_retries = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        # active heartbeat (reference mooncake conn.py:554-609 failure
+        # detector): keeps the decode room's last_activity fresh while the
+        # prefill is still COMPUTING (no chunks flowing yet), so the
+        # decode-side stall detector only fires on a truly dead peer
+        self._hb = threading.Thread(
+            target=self._heartbeat, args=(heartbeat_interval,), daemon=True
+        )
+        self._hb.start()
 
     # -- producer side (scheduler thread) ------------------------------
     def enqueue_device(self, dev_arrays, n_pages: int, meta: Dict[str, Any]):
@@ -155,8 +167,32 @@ class ChunkedKVSender:
     def chunks_sent(self) -> int:
         return self._chunks_sent
 
+    @property
+    def chunk_retries(self) -> int:
+        return self._chunk_retries
+
+    # -- heartbeat -----------------------------------------------------
+    def _heartbeat(self, interval: float):
+        import httpx
+
+        while not self._done.is_set():
+            try:
+                httpx.post(
+                    self.hb_url, json={"room": self.room},
+                    headers={
+                        k: v for k, v in self.headers.items()
+                        if k == "Authorization"
+                    },
+                    timeout=min(5.0, self.timeout),
+                )
+            except Exception:  # noqa: BLE001
+                pass  # transfer failures are detected on the data path
+            self._done.wait(interval)
+
     # -- worker --------------------------------------------------------
     def _run(self):
+        import time as _time
+
         import httpx
 
         while True:
@@ -177,10 +213,29 @@ class ChunkedKVSender:
                 else:
                     blob = ()
                 payload = serialize_kv(blob, dict(meta, room=self.room))
-                r = httpx.post(self.url, content=payload,
-                               headers=self.headers, timeout=self.timeout)
-                if r.status_code != 200:
-                    raise RuntimeError(f"receive_kv -> {r.status_code}")
+                # bounded retry with exponential backoff before the room
+                # is marked Failed (reference nixl/mooncake retry-then-
+                # fail semantics): transient TCP hiccups don't abort a
+                # multi-GB transfer
+                last_err = None
+                for attempt in range(self.retries):
+                    try:
+                        r = httpx.post(
+                            self.url, content=payload,
+                            headers=self.headers, timeout=self.timeout,
+                        )
+                        if r.status_code == 200:
+                            last_err = None
+                            break
+                        last_err = RuntimeError(
+                            f"receive_kv -> {r.status_code}")
+                    except Exception as e:  # noqa: BLE001
+                        last_err = e
+                    if attempt + 1 < self.retries:
+                        self._chunk_retries += 1
+                        _time.sleep(min(2.0, 0.1 * 2 ** attempt))
+                if last_err is not None:
+                    raise last_err
                 self._chunks_sent += 1
             except Exception as e:  # noqa: BLE001
                 logger.error("PD chunk transfer failed (room %s): %s",

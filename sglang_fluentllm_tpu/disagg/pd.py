@@ -37,12 +37,50 @@ logger = logging.getLogger(__name__)
 class PDManager:
     """Attached to AsyncEngine when --disaggregation-mode != null."""
 
+    # incomplete rooms whose peer has been silent this long are culled
+    ROOM_TTL = 120.0
+    # completed rooms whose result was never collected are culled after
+    RESULT_TTL = 1800.0
+
     def __init__(self, engine):
         self.engine = engine
         self.mode = engine.server_args.disaggregation_mode
         self.page_size = engine.server_args.page_size
         # decode side: room -> pending state
         self.rooms: Dict[str, Dict[str, Any]] = {}
+        self._last_gc = time.time()
+
+    # ------------------------------------------------------------------
+    # Liveness (reference mooncake conn.py:554-609 heartbeat/room GC)
+    # ------------------------------------------------------------------
+    def heartbeat(self, room: str) -> Dict[str, Any]:
+        """Prefill peers ping while computing/transferring; refreshes the
+        stall clock so only truly dead peers trip the detector."""
+        state = self.rooms.get(room)
+        if state is None:
+            return {"success": False, "message": f"unknown room {room}"}
+        state["last_activity"] = time.time()
+        return {"success": True}
+
+    def gc_rooms(self, now: Optional[float] = None):
+        """Cull rooms whose peer died mid-handshake/transfer (no
+        heartbeat for ROOM_TTL) and finished rooms never collected —
+        a leaked room would pin its prompt + event forever."""
+        now = now or time.time()
+        if now - self._last_gc < 5.0:
+            return
+        self._last_gc = now
+        for room, st in list(self.rooms.items()):
+            idle = now - st["last_activity"]
+            done = st["event"].is_set()
+            if (done and idle > self.RESULT_TTL) or (
+                    not done and st.get("first_token") is None
+                    and idle > self.ROOM_TTL):
+                logger.warning("pd room %s GC'd (idle %.0fs, done=%s)",
+                               room, idle, done)
+                self.rooms.pop(room, None)
+                if not done:
+                    self._metric_fail()
 
     # ------------------------------------------------------------------
     # Prefill side
@@ -151,6 +189,7 @@ class PDManager:
             return m.prefix_len
 
         ok, prefix_len = await self.engine._run_rpc(_match)
+        self.gc_rooms()
         self.rooms[room] = {
             "input_ids": list(input_ids),
             "sampling_params": dict(sampling_params),
@@ -171,6 +210,7 @@ class PDManager:
                 **_mc.ACTIVE._labels).inc()
 
     async def receive_kv(self, data: bytes) -> Dict[str, Any]:
+        self.gc_rooms()
         blob, meta = deserialize_kv(data)
         room = meta["room"]
         state = self.rooms.get(room)

@@ -145,6 +145,7 @@ class HttpServer:
         r.add_post("/pd/start", self.pd_start)
         r.add_post("/pd/prefill", self.pd_prefill)
         r.add_post("/pd/receive_kv", self.pd_receive_kv)
+        r.add_post("/pd/heartbeat", self.pd_heartbeat)
         r.add_post("/pd/result", self.pd_result)
 
     # ------------------------------------------------------------------
@@ -715,6 +716,13 @@ class HttpServer:
         out = await self._pd().receive_kv(data)
         return web.json_response(
             out, status=200 if out.get("success") else 400
+        )
+
+    async def pd_heartbeat(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        out = self._pd().heartbeat(body["room"])
+        return web.json_response(
+            out, status=200 if out.get("success") else 404
         )
 
     async def pd_result(self, request: web.Request) -> web.Response:
