@@ -40,6 +40,7 @@ class _ReqState:
     out_queue: asyncio.Queue
     created: float
     text: str = ""
+    ttft: Optional[float] = None
 
 
 class AsyncEngine:
@@ -199,6 +200,7 @@ class AsyncEngine:
                 )
                 for qt in self.scheduler.recent_queue_times:
                     self.sched_metrics.queue_time.labels(**lb).observe(qt)
+                    self.sched_metrics.observe_stage("queue", qt)
                 self.scheduler.recent_queue_times.clear()
                 for out in outputs:
                     lb = self.sched_metrics._labels
@@ -388,10 +390,12 @@ class AsyncEngine:
                 out: StepOutput = await st.out_queue.get()
                 if first and out.new_token_ids:
                     first = False
+                    st.ttft = time.time() - st.created
                     if self.req_metrics is not None:
-                        self.req_metrics.observe_ttft(
-                            time.time() - st.created
-                        )
+                        self.req_metrics.observe_ttft(st.ttft)
+                    if self.sched_metrics is not None:
+                        self.sched_metrics.observe_stage(
+                            "prefill", st.ttft)
                     if self.tracer is not None:
                         self.tracer.slice(
                             rid, "prefill_to_first_token",
@@ -420,11 +424,17 @@ class AsyncEngine:
                             + list(out.output_ids),
                         )
                     if self.req_metrics is not None:
+                        e2e = time.time() - st.created
+                        ttft = getattr(st, "ttft", None)
                         self.req_metrics.observe_finish(
-                            time.time() - st.created,
-                            out.prompt_tokens,
-                            len(out.output_ids),
+                            e2e, out.prompt_tokens,
+                            len(out.output_ids), ttft=ttft,
                         )
+                        if self.sched_metrics is not None:
+                            self.sched_metrics.observe_stage("total", e2e)
+                            if ttft is not None:
+                                self.sched_metrics.observe_stage(
+                                    "decode", max(0.0, e2e - ttft))
                     if self.tracer is not None:
                         self.tracer.slice(
                             rid, "decode",

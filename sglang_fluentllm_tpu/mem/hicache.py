@@ -25,6 +25,7 @@ import dataclasses
 import hashlib
 import logging
 import threading
+import time
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -39,6 +40,14 @@ def _hicache_metric(name: str, n: int):
 
     if _mc.ACTIVE is not None and n > 0:
         getattr(_mc.ACTIVE, name).labels(**_mc.ACTIVE._labels).inc(n)
+
+
+def _hicache_hist(name: str, v: float):
+    from sglang_fluentllm_tpu.metrics import collector as _mc
+
+    if _mc.ACTIVE is not None:
+        getattr(_mc.ACTIVE, name).labels(
+            **_mc.ACTIVE._labels).observe(v)
 
 def page_hash_chain(prev_hash: str, page_tokens: Sequence[int]) -> str:
     h = hashlib.sha256()
@@ -114,6 +123,7 @@ class HiCacheController:
         n = len(pages)
         if n == 0:
             return
+        _hicache_hist('hicache_backup_pages', n)
         start_page = (len(token_prefix) - n * ps) // ps
         blobs = self.runner.extract_pages(list(pages))
         h = self._chain_to(token_prefix, start_page)
@@ -152,6 +162,8 @@ class HiCacheController:
                 blob = self.storage.get(h)
                 if blob is not None:
                     self.num_storage_hits += 1
+                    _hicache_metric(
+                        'hicache_storage_hit_tokens', self.page_size)
                     self.host.put(h, blob)
             elif blob is not None:
                 self.num_host_hits += 1
@@ -286,6 +298,7 @@ class HiCacheController:
             pages=list(pages),
             n_tokens=len(blobs) * self.page_size,
             staged=self._io.submit(_stage),
+            t_start=time.monotonic(),
         )
 
     def finish_load(self, job: "HiCacheLoadJob", allocator,
@@ -303,6 +316,9 @@ class HiCacheController:
             mm = tree_cache.match_prefix(job.fill_ids[:end])
             extra = [p for p in job.pages if p not in set(mm.page_ids)]
             allocator.release_pages(extra)
+        _hicache_hist('hicache_prefetch_pages', len(job.pages))
+        _hicache_hist('hicache_load_seconds',
+                      time.monotonic() - job.t_start)
         logger.debug("hicache async load: +%d tokens", job.n_tokens)
         return end
 
@@ -322,6 +338,7 @@ class HiCacheLoadJob:
     pages: List[int]
     n_tokens: int
     staged: "concurrent.futures.Future"
+    t_start: float = 0.0
 
     def ready(self) -> bool:
         return self.staged.done()

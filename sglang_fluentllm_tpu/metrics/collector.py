@@ -93,6 +93,9 @@ class SchedulerMetricsCollector:
         self.num_decode_transfer_queue_reqs = gauge(
             "num_decode_transfer_queue_reqs",
             "PD decode: requests awaiting KV transfer")
+        self.num_decode_prealloc_queue_reqs = gauge(
+            "num_decode_prealloc_queue_reqs",
+            "PD decode: rooms registered but no chunk received yet")
         self.num_bootstrap_failed_reqs = counter(
             "num_bootstrap_failed_reqs_total", "PD bootstrap failures")
         self.num_transfer_failed_reqs = counter(
@@ -118,14 +121,70 @@ class SchedulerMetricsCollector:
             "ep_dropped_assignments",
             "Token-assignments dropped by the fixed-capacity EP dispatcher "
             "(non-zero => raise --ep-dispatch-capacity-factor)")
-        # --- hicache (reference collector.py storage metrics role) ---
+        # --- hicache (reference collector.py:888-939 StorageMetrics) ---
         self.hicache_host_hit_tokens = counter(
             "hicache_host_hit_tokens_total", "Host-tier KV tokens reused")
         self.hicache_writeback_tokens = counter(
             "hicache_writeback_tokens_total",
             "KV tokens written back to host tier")
+        self.hicache_storage_hit_tokens = counter(
+            "hicache_storage_hit_tokens_total",
+            "KV tokens restored from the storage backend")
+        self.hicache_prefetch_pages = Histogram(
+            f"{_NS}:hicache_prefetch_pages",
+            "Pages staged per host->device load", list(labels),
+            registry=REGISTRY, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256),
+        )
+        self.hicache_backup_pages = Histogram(
+            f"{_NS}:hicache_backup_pages",
+            "Pages per write-back batch", list(labels),
+            registry=REGISTRY, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256),
+        )
+        self.hicache_load_seconds = Histogram(
+            f"{_NS}:hicache_load_seconds",
+            "Host->device staging latency per load", list(labels),
+            registry=REGISTRY, buckets=LATENCY_BUCKETS,
+        )
+        # --- speculative decoding -----------------------------------
+        self.spec_accept_length_hist = Histogram(
+            f"{_NS}:spec_accept_length_hist",
+            "Per-window speculative accept length", list(labels),
+            registry=REGISTRY,
+            buckets=(1, 2, 3, 4, 5, 6, 8, 10, 12, 16),
+        )
+        # --- grammar queue / EPLB ------------------------------------
+        self.grammar_queue_depth = gauge(
+            "grammar_queue_depth",
+            "Requests waiting on grammar compilation")
+        self.eplb_rebalances = counter(
+            "eplb_rebalances_total", "EPLB expert-relocation events")
+        self.eplb_last_rebalance_ts = gauge(
+            "eplb_last_rebalance_ts",
+            "Unix time of the last EPLB rebalance")
+        # --- per-stage request latency (collector.py:499-505) --------
+        self.request_latency_seconds = Histogram(
+            f"{_NS}:request_latency_seconds",
+            "Latency of each request stage", list(labels) + ["stage"],
+            registry=REGISTRY, buckets=LATENCY_BUCKETS,
+        )
+        # --- per-launch forward wall time by batch mode ---------------
+        self.batch_forward_seconds = Histogram(
+            f"{_NS}:batch_forward_seconds",
+            "Launch-to-resolve wall time per forward batch",
+            list(labels) + ["mode"], registry=REGISTRY,
+            buckets=(0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1,
+                     0.25, 0.5, 1.0, 2.5, 5.0),
+        )
         global ACTIVE
         ACTIVE = self
+
+    def observe_stage(self, stage: str, seconds: float):
+        self.request_latency_seconds.labels(
+            **self._labels, stage=stage).observe(seconds)
+
+    def observe_forward(self, mode: str, seconds: float):
+        self.batch_forward_seconds.labels(
+            **self._labels, mode=mode).observe(seconds)
 
     def observe(self, scheduler, runner):
         lb = self._labels
@@ -153,17 +212,34 @@ class SchedulerMetricsCollector:
         ep_stats = getattr(runner, "ep_dispatch_stats", None)
         if ep_stats is not None:
             self.ep_dropped_assignments.labels(**lb).set(ep_stats.dropped)
+        gq = getattr(scheduler, "grammar_waiting", None)
+        if gq is None:
+            gq = sum(
+                1 for r in scheduler.waiting_queue
+                if getattr(r, "grammar_future", None) is not None
+            )
+        self.grammar_queue_depth.labels(**lb).set(gq)
 
     def observe_pd(self, pd):
-        """PD room-queue depths (reference prealloc/inflight gauges)."""
+        """PD room-queue depths (reference prealloc/inflight/transfer
+        gauges): rooms with no chunk received yet are 'prealloc', rooms
+        mid-stream are 'transfer'/'inflight'."""
         lb = self._labels
-        waiting = sum(
-            1 for r in pd.rooms.values() if r.get("result") is None
-        )
+        prealloc = transferring = 0
+        for r in pd.rooms.values():
+            if r.get("result") is not None:
+                continue
+            if r.get("chunks", 0) == 0:
+                prealloc += 1
+            else:
+                transferring += 1
         if pd.mode == "prefill":
-            self.num_prefill_inflight_queue_reqs.labels(**lb).set(waiting)
+            self.num_prefill_inflight_queue_reqs.labels(**lb).set(
+                prealloc + transferring)
         else:
-            self.num_decode_transfer_queue_reqs.labels(**lb).set(waiting)
+            self.num_decode_prealloc_queue_reqs.labels(**lb).set(prealloc)
+            self.num_decode_transfer_queue_reqs.labels(**lb).set(
+                transferring)
 
 
 class RequestMetricsCollector:
@@ -187,6 +263,12 @@ class RequestMetricsCollector:
             "Inter-token latency", list(labels), registry=REGISTRY,
             buckets=(0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.25, 0.5, 1.0),
         )
+        self.tpot = Histogram(
+            f"{_NS}:time_per_output_token_seconds",
+            "Decode time per output token (excl. TTFT)", list(labels),
+            registry=REGISTRY,
+            buckets=(0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.25, 0.5, 1.0),
+        )
         self.prompt_tokens = Histogram(
             f"{_NS}:prompt_tokens",
             "Prompt length", list(labels), registry=REGISTRY,
@@ -202,13 +284,17 @@ class RequestMetricsCollector:
         self.ttft.labels(**self._labels).observe(seconds)
 
     def observe_finish(self, e2e: float, prompt_tokens: int,
-                       completion_tokens: int):
+                       completion_tokens: int,
+                       ttft: Optional[float] = None):
         lb = self._labels
         self.e2e.labels(**lb).observe(e2e)
         self.prompt_tokens.labels(**lb).observe(prompt_tokens)
         self.completion_tokens.labels(**lb).observe(completion_tokens)
         if completion_tokens > 1:
             self.itl.labels(**lb).observe(e2e / completion_tokens)
+            if ttft is not None:
+                self.tpot.labels(**lb).observe(
+                    max(0.0, e2e - ttft) / (completion_tokens - 1))
 
 
 def render_metrics() -> str:

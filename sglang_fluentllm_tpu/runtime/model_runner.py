@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -1280,6 +1281,12 @@ class ModelRunner:
         assert self.expert_recorder is not None, (
             "--enable-expert-distribution-recorder required"
         )
+        from sglang_fluentllm_tpu.metrics import collector as _mc
+
+        if _mc.ACTIVE is not None:
+            _mc.ACTIVE.eplb_rebalances.labels(**_mc.ACTIVE._labels).inc()
+            _mc.ACTIVE.eplb_last_rebalance_ts.labels(
+                **_mc.ACTIVE._labels).set(time.time())
         if self.broadcaster is not None:
             self.broadcaster.publish(("rebalance",))
         t0 = getattr(self.model, "ep_tables", None)

@@ -72,6 +72,7 @@ class InFlightBatch:
     counts_dev: Any = None           # spec decode: accept counts [B]
     mixed_decode: Optional[List[bool]] = None  # rows that are decode steps
     future_offset: Optional[int] = None  # ring base this launch wrote
+    t_launch: float = 0.0            # wall time at launch (metrics)
     # (topk_vals, topk_ids, input_logprobs) device arrays; zero-size
     # placeholders when unrequested
     extras_dev: Any = None
@@ -744,6 +745,7 @@ class Scheduler:
             if launched is not None:
                 self._launch_seq += 1
                 launched.seq = self._launch_seq
+                launched.t_launch = time.monotonic()
                 self.pending.append(launched)
             else:
                 # nothing launchable RIGHT NOW (e.g. every waiting request
@@ -1278,6 +1280,14 @@ class Scheduler:
         ids, logprobs = jax.device_get(
             (batch.ids_dev, batch.logprobs_dev)
         )
+        if batch.t_launch:
+            from sglang_fluentllm_tpu.metrics import collector as _mc
+
+            if _mc.ACTIVE is not None:
+                _mc.ACTIVE.observe_forward(
+                    batch.mode.name.lower(),
+                    time.monotonic() - batch.t_launch,
+                )
         tk_vals = tk_ids = inp_lp = None
         if batch.extras_dev is not None:
             tv, ti, il = batch.extras_dev
@@ -1441,6 +1451,11 @@ class Scheduler:
             req.spec_accept_lengths.append(n)
             self.spec_accept_sum += n
             self.spec_accept_ct += 1
+            from sglang_fluentllm_tpu.metrics import collector as _mc
+
+            if _mc.ACTIVE is not None:
+                _mc.ACTIVE.spec_accept_length_hist.labels(
+                    **_mc.ACTIVE._labels).observe(n)
             for j in range(n):
                 if len(req.output_ids) >= req.sampling_params.max_new_tokens:
                     break

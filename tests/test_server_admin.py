@@ -62,6 +62,60 @@ class TestMetrics:
         assert "sglang_fluentllm_tpu:num_generated_tokens" in text
         assert "time_to_first_token_seconds" in text
 
+    def test_metrics_series_parity(self, server):
+        """VERDICT r3 #7: the operational surface exports health series —
+        scrape under a live workload and assert presence of the full
+        reference-parity set (names are ours; roles map to reference
+        collector.py:163-939)."""
+        httpx.post(server + "/generate", json={
+            "input_ids": PROMPT_IDS + [55, 66],
+            "sampling_params": {"max_new_tokens": 6, "temperature": 0.0},
+        }, timeout=300)
+        text = httpx.get(server + "/metrics").text
+        expected = [
+            # scheduler core
+            "num_running_reqs", "num_queue_reqs", "token_usage",
+            "cache_hit_rate", "num_used_tokens", "utilization",
+            "total_retracted_reqs", "num_paused_reqs",
+            "engine_startup_time", "engine_load_weights_time",
+            "queue_time_s",
+            # request latency family
+            "time_to_first_token_seconds", "e2e_request_latency_seconds",
+            "inter_token_latency_seconds",
+            "time_per_output_token_seconds",
+            "request_latency_seconds", "batch_forward_seconds",
+            "prompt_tokens", "completion_tokens",
+            # speculative
+            "spec_accept_length", "spec_accept_length_hist",
+            # PD transfer plane
+            "num_prefill_inflight_queue_reqs",
+            "num_decode_prealloc_queue_reqs",
+            "num_decode_transfer_queue_reqs",
+            "num_bootstrap_failed_reqs_total",
+            "num_transfer_failed_reqs_total",
+            "kv_transfer_speed_gb_s", "kv_transfer_latency_ms",
+            # grammar
+            "grammar_compilation_time_seconds",
+            "num_grammar_cache_hit_total", "num_grammar_total",
+            "num_grammar_aborted_total", "grammar_queue_depth",
+            # hicache
+            "hicache_host_hit_tokens_total",
+            "hicache_writeback_tokens_total",
+            "hicache_storage_hit_tokens_total",
+            "hicache_prefetch_pages", "hicache_backup_pages",
+            "hicache_load_seconds",
+            # EP / EPLB
+            "ep_dropped_assignments", "eplb_rebalances_total",
+            "eplb_last_rebalance_ts",
+        ]
+        missing = [s for s in expected if s not in text]
+        assert not missing, f"missing series: {missing}"
+        # per-stage labels present under live traffic
+        assert 'stage="prefill"' in text
+        assert 'stage="total"' in text
+        # forward histogram got real observations
+        assert 'batch_forward_seconds_count' in text
+
 
 class TestWeightRPCs:
     def test_get_weights_by_name(self, server):
