@@ -166,6 +166,9 @@ class ServerArgs:
     constrained_json_whitespace_pattern: Optional[str] = None
     grammar_backend: str = "native"
     tool_call_parser: str = "json"  # json | qwen25 | llama32 | mistral | deepseekv3
+    # Responses-API server-side tools: "demo" (in-process registry) or
+    # MCP SSE endpoints "host:port[,host:port]" (reference tool_server.py)
+    tool_server: Optional[str] = None
     reasoning_parser: Optional[str] = None  # deepseek_r1 | qwen3
     device: str = "auto"  # auto | tpu | cpu
 

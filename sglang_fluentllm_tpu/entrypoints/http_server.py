@@ -656,10 +656,11 @@ class HttpServer:
 
     async def cancel_response(self, request: web.Request) -> web.Response:
         rid = request.match_info["response_id"]
-        self.engine.abort_request(rid)
-        resp = self.openai.get_response(rid)
+        resp = await self.openai.cancel_response(rid)
         if resp is not None:
             return web.json_response(resp.model_dump(exclude_none=True))
+        # not in the store: abort a possibly in-flight bare request
+        self.engine.abort_request(rid)
         return web.json_response({"id": rid, "object": "response",
                                   "status": "cancelled"})
 

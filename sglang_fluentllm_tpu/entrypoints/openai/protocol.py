@@ -274,6 +274,10 @@ class ResponsesRequest(BaseModel):
     top_p: float = 1.0
     stream: bool = False
     store: bool = True
+    background: bool = False
+    tools: Optional[List[Dict[str, Any]]] = None
+    tool_choice: Union[str, Dict[str, Any]] = "auto"
+    max_tool_calls: Optional[int] = None
     metadata: Optional[Dict[str, Any]] = None
 
     def to_sampling_params(self) -> Dict[str, Any]:
@@ -300,10 +304,39 @@ class ResponseOutputMessage(BaseModel):
     content: List[ResponseOutputText] = []
 
 
+class ResponseFunctionToolCall(BaseModel):
+    """Responses-API function_call output item."""
+
+    id: str = Field(default_factory=lambda: f"fc_{uuid.uuid4().hex}")
+    type: str = "function_call"
+    call_id: str = Field(
+        default_factory=lambda: f"call_{uuid.uuid4().hex[:24]}"
+    )
+    name: str = ""
+    arguments: str = ""
+    status: str = "completed"
+
+
+class ResponseFunctionToolCallOutput(BaseModel):
+    """function_call_output item: the tool's result (server-executed
+    tools record it here; clients send it back as an input item)."""
+
+    id: str = Field(default_factory=lambda: f"fco_{uuid.uuid4().hex}")
+    type: str = "function_call_output"
+    call_id: str = ""
+    output: str = ""
+
+
 class ResponsesUsage(BaseModel):
     input_tokens: int = 0
     output_tokens: int = 0
     total_tokens: int = 0
+
+
+ResponseOutputItem = Union[
+    ResponseOutputMessage, ResponseFunctionToolCall,
+    ResponseFunctionToolCallOutput,
+]
 
 
 class ResponsesResponse(BaseModel):
@@ -311,11 +344,13 @@ class ResponsesResponse(BaseModel):
     object: str = "response"
     created_at: int = Field(default_factory=lambda: int(time.time()))
     model: str = ""
-    status: str = "completed"   # queued | in_progress | completed | failed
-    output: List[ResponseOutputMessage] = []
+    # queued | in_progress | completed | failed | cancelled
+    status: str = "completed"
+    output: List[ResponseOutputItem] = []
     previous_response_id: Optional[str] = None
     instructions: Optional[str] = None
     usage: Optional[ResponsesUsage] = None
+    error: Optional[Dict[str, Any]] = None
     metadata: Optional[Dict[str, Any]] = None
 
 

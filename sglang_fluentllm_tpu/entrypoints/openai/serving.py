@@ -54,8 +54,16 @@ class OpenAIServing:
     def __init__(self, engine: AsyncEngine):
         self.engine = engine
         self.model_name = engine.server_args.served_model_name
-        # responses-API store: response_id -> {response, messages}
+        # responses-API store: response_id -> {response, messages, task}
         self._response_store: Dict[str, Dict[str, Any]] = {}
+        # server-side tool execution (reference tool_server.py)
+        from sglang_fluentllm_tpu.entrypoints.openai.tool_server import (
+            build_tool_server,
+        )
+
+        self.tool_server = build_tool_server(
+            getattr(engine.server_args, "tool_server", None)
+        )
 
     # ------------------------------------------------------------------
     def _apply_chat_template(self, request: ChatCompletionRequest) -> List[int]:
@@ -541,6 +549,29 @@ class OpenAIServing:
             msgs.append({"role": "user", "content": request.input})
         else:
             for item in request.input:
+                if item.get("type") == "function_call_output":
+                    # client-executed tool result continuing a previous
+                    # response's function_call item
+                    msgs.append({
+                        "role": "tool",
+                        "tool_call_id": item.get("call_id", ""),
+                        "content": item.get("output", ""),
+                    })
+                    continue
+                if item.get("type") == "function_call":
+                    msgs.append({
+                        "role": "assistant",
+                        "content": "",
+                        "tool_calls": [{
+                            "id": item.get("call_id", ""),
+                            "type": "function",
+                            "function": {
+                                "name": item.get("name", ""),
+                                "arguments": item.get("arguments", ""),
+                            },
+                        }],
+                    })
+                    continue
                 role = item.get("role", "user")
                 content = item.get("content", "")
                 if isinstance(content, list):
@@ -551,108 +582,271 @@ class OpenAIServing:
                 msgs.append({"role": role, "content": content})
         return msgs
 
-    def _responses_ids(self, msgs) -> List[int]:
+    def _responses_ids(self, msgs, tools=None) -> List[int]:
         tok = self.engine.tokenizer
         assert tok is not None, "responses API requires a tokenizer"
         try:
+            kw = {"tools": tools} if tools else {}
             return tok.apply_chat_template(
-                msgs, add_generation_prompt=True, tokenize=True
+                msgs, add_generation_prompt=True, tokenize=True, **kw
             )
         except Exception:
             text = "".join(
-                f"{m['role']}: {m['content']}\n" for m in msgs
+                f"{m['role']}: {m.get('content', '')}\n" for m in msgs
             ) + "assistant:"
             return tok.encode(text)
 
-    async def responses(self, request: ResponsesRequest) -> ResponsesResponse:
-        msgs = self._responses_messages(request)
-        out = await self.engine.generate(
-            input_ids=self._responses_ids(msgs),
-            sampling_params=request.to_sampling_params(),
+    MAX_TOOL_ITERS = 8
+
+    def _responses_tools(self, request: ResponsesRequest):
+        """Merged tool specs: request function tools + server-side tools
+        (reference tool_server integration)."""
+        tools = [
+            t for t in (request.tools or []) if isinstance(t, dict)
+        ]
+        if self.tool_server is not None:
+            have = {t.get("function", {}).get("name") for t in tools}
+            tools += [
+                t for t in self.tool_server.list_tools()
+                if t["function"]["name"] not in have
+            ]
+        return tools
+
+    async def _responses_core(self, request: ResponsesRequest,
+                              resp: ResponsesResponse,
+                              msgs: List[Dict[str, Any]],
+                              store_entry: Optional[Dict[str, Any]]):
+        """Unified Responses engine loop as an event generator
+        (reference serving_responses.py responses_full_generator +
+        _generate_with_builtin_tools): generate; surface function_call
+        items; execute server-side tools and continue; finish with the
+        assistant message. Yields (event_kind, payload)."""
+        from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+            ResponseFunctionToolCall,
+            ResponseFunctionToolCallOutput,
         )
-        meta = out["meta_info"]
+
+        tools = self._responses_tools(request)
+        sp = request.to_sampling_params()
+        total_in = total_out = 0
+        want_tools = bool(tools) and request.tool_choice != "none"
+        max_iters = (request.max_tool_calls
+                     or self.MAX_TOOL_ITERS) if want_tools else 1
+        for it in range(max_iters):
+            parser = None
+            if want_tools:
+                from sglang_fluentllm_tpu.function_call.parser import (
+                    FunctionCallParser,
+                )
+
+                parser = FunctionCallParser(
+                    tools, self.engine.server_args.tool_call_parser
+                )
+            rid = resp.id if it == 0 else f"{resp.id}:t{it}"
+            if store_entry is not None:
+                store_entry["current_rid"] = rid
+            text_parts: List[str] = []
+            last_meta = None
+            emitted_calls = 0
+            async for chunk in self.engine.generate_stream(
+                input_ids=self._responses_ids(msgs, tools or None),
+                sampling_params=sp,
+                rid=rid,
+            ):
+                last_meta = chunk["meta_info"]
+                d = chunk["delta_text"]
+                if not d:
+                    continue
+                text_parts.append(d)
+                if parser is None:
+                    yield ("response.output_text.delta",
+                           {"item_id": resp.id, "delta": d})
+                    continue
+                res = parser.parse_stream_chunk(d)
+                if res.normal_text:
+                    yield ("response.output_text.delta",
+                           {"item_id": resp.id,
+                            "delta": res.normal_text})
+                for call in res.calls:
+                    if call.name:
+                        emitted_calls += 1
+                        yield ("response.output_item.added",
+                               {"item": {"type": "function_call",
+                                         "name": call.name}})
+                    if call.parameters:
+                        yield ("response.function_call_arguments.delta",
+                               {"delta": call.parameters})
+            full = "".join(text_parts)
+            if last_meta:
+                total_in += last_meta["prompt_tokens"]
+                total_out += last_meta["completion_tokens"]
+                resp.usage = ResponsesUsage(
+                    input_tokens=total_in, output_tokens=total_out,
+                    total_tokens=total_in + total_out,
+                )
+            calls = []
+            normal_text = full
+            if parser is not None and parser.has_tool_call(full):
+                normal_text, calls = parser.parse_non_stream(full)
+            if not calls:
+                msg = ResponseOutputMessage(
+                    content=[ResponseOutputText(text=normal_text)],
+                )
+                resp.output.append(msg)
+                msgs.append({"role": "assistant", "content": full})
+                resp.status = "completed"
+                yield ("response.output_item.done",
+                       {"item": msg.model_dump(exclude_none=True)})
+                return
+            # tool-call turn: record items; execute server-side tools
+            msgs.append({"role": "assistant", "content": full})
+            client_executed = False
+            for call in calls:
+                item = ResponseFunctionToolCall(
+                    name=call.name or "",
+                    arguments=call.parameters or "",
+                )
+                resp.output.append(item)
+                yield ("response.output_item.done",
+                       {"item": item.model_dump(exclude_none=True)})
+                if (self.tool_server is not None
+                        and self.tool_server.has_tool(item.name)):
+                    try:
+                        args = json.loads(item.arguments or "{}")
+                    except Exception:  # noqa: BLE001
+                        args = {}
+                    result = await self.tool_server.execute(
+                        item.name, args
+                    )
+                    out_item = ResponseFunctionToolCallOutput(
+                        call_id=item.call_id, output=result,
+                    )
+                    resp.output.append(out_item)
+                    msgs.append({
+                        "role": "tool", "name": item.name,
+                        "tool_call_id": item.call_id,
+                        "content": result,
+                    })
+                    yield ("response.output_item.done",
+                           {"item": out_item.model_dump(
+                               exclude_none=True)})
+                else:
+                    client_executed = True
+            if client_executed:
+                # OpenAI semantics: the CLIENT runs function tools and
+                # continues via previous_response_id +
+                # function_call_output input items
+                resp.status = "completed"
+                return
+        resp.status = "completed"
+
+    def _responses_store(self, request, resp, msgs, entry=None):
+        if request.store:
+            e = entry if entry is not None else {}
+            e.update({"response": resp, "messages": msgs})
+            self._response_store[resp.id] = e
+            return e
+        return entry
+
+    async def responses(self, request: ResponsesRequest) -> ResponsesResponse:
+        if request.background and not request.store:
+            raise ValueError("background mode requires store=true")
+        msgs = self._responses_messages(request)
         resp = ResponsesResponse(
             model=request.model or self.model_name,
-            status="completed",
+            status="queued" if request.background else "in_progress",
             previous_response_id=request.previous_response_id,
             instructions=request.instructions,
-            output=[ResponseOutputMessage(
-                content=[ResponseOutputText(text=out["text"])],
-            )],
-            usage=ResponsesUsage(
-                input_tokens=meta["prompt_tokens"],
-                output_tokens=meta["completion_tokens"],
-                total_tokens=meta["prompt_tokens"]
-                + meta["completion_tokens"],
-            ),
             metadata=request.metadata,
         )
-        if request.store:
-            self._response_store[resp.id] = {
-                "response": resp,
-                "messages": msgs + [
-                    {"role": "assistant", "content": out["text"]}
-                ],
-            }
+        entry = self._responses_store(request, resp, msgs, {}) or {
+            "response": resp, "messages": msgs}
+        if request.background:
+            # reference serving_responses.py:268 background mode: return
+            # immediately; poll via GET /v1/responses/{id}; cancel via
+            # POST .../cancel
+            import asyncio
+
+            async def _run():
+                resp.status = "in_progress"
+                try:
+                    async for _ in self._responses_core(
+                            request, resp, msgs, entry):
+                        pass
+                except asyncio.CancelledError:
+                    resp.status = "cancelled"
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    resp.status = "failed"
+                    resp.error = {"message": str(e)}
+
+            task = asyncio.get_running_loop().create_task(_run())
+            entry["task"] = task
+            return resp
+        async for _ in self._responses_core(request, resp, msgs, entry):
+            pass
         return resp
 
     async def responses_stream(
         self, request: ResponsesRequest
     ) -> AsyncIterator[str]:
-        """SSE event stream: response.created -> output_text.delta* ->
-        response.completed (OpenAI responses event framing)."""
+        """SSE event stream: response.created -> (output_text.delta |
+        output_item.added | function_call_arguments.delta |
+        output_item.done)* -> response.completed (OpenAI responses
+        event framing, reference responses_stream_generator)."""
         msgs = self._responses_messages(request)
         resp = ResponsesResponse(
             model=request.model or self.model_name, status="in_progress",
             previous_response_id=request.previous_response_id,
             instructions=request.instructions,
+            metadata=request.metadata,
         )
+        entry = self._responses_store(request, resp, msgs, {}) or {
+            "response": resp, "messages": msgs}
 
         def ev(kind: str, payload: Dict[str, Any]) -> str:
+            payload = dict(payload, type=kind)
             return (f"event: {kind}\n"
                     f"data: {json.dumps(payload)}\n\n")
 
         yield ev("response.created",
-                 {"type": "response.created",
-                  "response": resp.model_dump(exclude_none=True)})
-        text_parts: List[str] = []
-        last_meta = None
-        async for chunk in self.engine.generate_stream(
-            input_ids=self._responses_ids(msgs),
-            sampling_params=request.to_sampling_params(),
-            rid=resp.id,
-        ):
-            last_meta = chunk["meta_info"]
-            if chunk["delta_text"]:
-                text_parts.append(chunk["delta_text"])
-                yield ev("response.output_text.delta",
-                         {"type": "response.output_text.delta",
-                          "item_id": resp.id,
-                          "delta": chunk["delta_text"]})
-        full = "".join(text_parts)
-        resp.status = "completed"
-        resp.output = [ResponseOutputMessage(
-            content=[ResponseOutputText(text=full)],
-        )]
-        if last_meta:
-            resp.usage = ResponsesUsage(
-                input_tokens=last_meta["prompt_tokens"],
-                output_tokens=last_meta["completion_tokens"],
-                total_tokens=last_meta["prompt_tokens"]
-                + last_meta["completion_tokens"],
-            )
-        if request.store:
-            self._response_store[resp.id] = {
-                "response": resp,
-                "messages": msgs + [{"role": "assistant", "content": full}],
-            }
+                 {"response": resp.model_dump(exclude_none=True)})
+        try:
+            async for kind, payload in self._responses_core(
+                    request, resp, msgs, entry):
+                yield ev(kind, payload)
+        except Exception as e:  # noqa: BLE001
+            resp.status = "failed"
+            resp.error = {"message": str(e)}
+            yield ev("response.failed",
+                     {"response": resp.model_dump(exclude_none=True)})
+            return
         yield ev("response.completed",
-                 {"type": "response.completed",
-                  "response": resp.model_dump(exclude_none=True)})
+                 {"response": resp.model_dump(exclude_none=True)})
 
     def get_response(self, response_id: str) -> Optional[ResponsesResponse]:
         entry = self._response_store.get(response_id)
         return entry["response"] if entry else None
+
+    async def cancel_response(
+        self, response_id: str
+    ) -> Optional[ResponsesResponse]:
+        """Cancel a background response (reference cancel_responses):
+        aborts the in-flight generation and marks the store entry."""
+        entry = self._response_store.get(response_id)
+        if entry is None:
+            return None
+        resp = entry["response"]
+        task = entry.get("task")
+        if task is not None and not task.done():
+            task.cancel()
+            rid = entry.get("current_rid", response_id)
+            try:
+                self.engine.abort_request(rid)
+            except Exception:  # noqa: BLE001
+                pass
+            resp.status = "cancelled"
+        return resp
 
     def _logprobs_dict(self, meta) -> Optional[Dict[str, Any]]:
         lps = meta.get("output_token_logprobs")

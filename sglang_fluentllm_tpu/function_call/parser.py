@@ -81,9 +81,20 @@ class BaseFormatDetector:
         return bool(self.bot_token) and self.bot_token in text
 
     @staticmethod
+    def _tool_name(t):
+        """Tool spec name from either the pydantic chat-API model or a
+        plain dict (responses API)."""
+        if isinstance(t, dict):
+            return (t.get("function") or {}).get("name")
+        fn = getattr(t, "function", None)
+        return getattr(fn, "name", None) if fn else None
+
+    @staticmethod
     def _to_items(objs, tools) -> List[ToolCallItem]:
         valid_names = {
-            t.function.name for t in (tools or []) if t and t.function
+            n for n in (
+                BaseFormatDetector._tool_name(t) for t in (tools or [])
+            ) if n
         } if tools else None
         items = []
         for obj in objs:
