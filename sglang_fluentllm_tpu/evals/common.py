@@ -78,6 +78,36 @@ class ChatSampler:
         return r.json().get("text", "")
 
 
+class EngineSampler:
+    """Samples directly from an in-process Engine (the FP8-vs-BF16
+    compare gate runs both engines in one process, no server needed)."""
+
+    def __init__(self, engine, temperature: float = 0.0,
+                 max_tokens: int = 512):
+        self.engine = engine
+        self.temperature = temperature
+        self.max_tokens = max_tokens
+
+    def __call__(self, prompt: str) -> str:
+        tok = self.engine.tokenizer
+        try:
+            ids = tok.apply_chat_template(
+                [{"role": "user", "content": prompt}],
+                add_generation_prompt=True, tokenize=True,
+            )
+        except Exception:  # noqa: BLE001
+            ids = tok.encode(prompt)
+        out = self.engine.generate(
+            input_ids=ids,
+            sampling_params={"temperature": self.temperature,
+                             "max_new_tokens": self.max_tokens},
+        )
+        text = out.get("text")
+        if not text:
+            text = tok.decode(out["output_ids"])
+        return text or ""
+
+
 class Eval:
     """Base: subclasses provide examples() and score_one()."""
 

@@ -43,9 +43,23 @@ def main(argv=None):
     p.add_argument("--api-key", default=None)
     p.add_argument("--no-chat", action="store_true",
                    help="use /generate with raw prompts")
+    p.add_argument("--compare", default=None, metavar="fp8,bf16",
+                   help="FP8-accuracy gate (BASELINE.md): run the eval "
+                        "against in-process engines with each listed KV "
+                        "dtype and assert the scores agree within "
+                        "--gate. Requires --model-path.")
+    p.add_argument("--model-path", default=None,
+                   help="checkpoint for --compare mode")
+    p.add_argument("--gate", type=float, default=0.003,
+                   help="max |score delta| for --compare (0.003 = the "
+                        "0.3-accuracy-point BASELINE gate)")
+    p.add_argument("--load-format", default="auto",
+                   help="--compare engines' weight load format")
     args = p.parse_args(argv)
 
     ev = build_eval(args.eval_name, args.data_path, args.few_shot)
+    if args.compare:
+        return run_compare(args, ev)
     sampler = ChatSampler(
         args.base_url, temperature=args.temperature,
         max_tokens=args.max_tokens, api_key=args.api_key,
@@ -59,6 +73,59 @@ def main(argv=None):
         **res.metrics,
     }))
     return res
+
+
+KV_DTYPE = {"bf16": "auto", "fp8": "fp8_e4m3", "fp8_e4m3": "fp8_e4m3",
+            "auto": "auto"}
+
+
+def run_compare(args, ev):
+    """FP8-vs-BF16 accuracy gate (BASELINE.md; reference claim: MMLU 89
+    == 89 with the FP8 HiCache path, benchmark/hicache/README.md:57).
+    Loads the SAME weights twice with different KV-cache dtypes, runs the
+    eval on each, and fails (exit 1) when the scores diverge past the
+    gate. Runs the day real weights are available:
+
+        python -m sglang_fluentllm_tpu.evals.run_eval \\
+            --compare fp8,bf16 --model-path <ckpt> \\
+            --eval-name gsm8k --data-path gsm8k.jsonl --num-examples 200
+    """
+    import sys
+
+    from sglang_fluentllm_tpu.engine import Engine
+    from sglang_fluentllm_tpu.evals.common import EngineSampler
+
+    assert args.model_path, "--compare requires --model-path"
+    arms = [a.strip() for a in args.compare.split(",") if a.strip()]
+    scores = {}
+    for arm in arms:
+        engine = Engine(
+            model_path=args.model_path,
+            load_format=args.load_format,
+            kv_cache_dtype=KV_DTYPE.get(arm, arm),
+            random_seed=0,
+        )
+        sampler = EngineSampler(
+            engine, temperature=args.temperature,
+            max_tokens=args.max_tokens,
+        )
+        res = ev.run(sampler, num_examples=args.num_examples,
+                     num_threads=1)
+        scores[arm] = res.score
+        engine.shutdown()
+        del engine
+    delta = max(scores.values()) - min(scores.values())
+    ok = delta <= args.gate
+    print(json.dumps({
+        "eval": args.eval_name,
+        "compare": {a: round(s, 4) for a, s in scores.items()},
+        "delta": round(delta, 4),
+        "gate": args.gate,
+        "pass": ok,
+    }))
+    if not ok:
+        sys.exit(1)
+    return scores
 
 
 if __name__ == "__main__":

@@ -89,3 +89,52 @@ class TestEvalServerSmoke:
             assert res.n == 2 and 0.0 <= res.score <= 1.0
         finally:
             kill_server(proc)
+
+
+class TestFP8CompareGate:
+    def test_compare_gate_mechanics_dummy_weights(self, capsys):
+        """--compare fp8,bf16 runs both in-process engines and emits the
+        gate verdict (dummy weights: scores are noise, so the gate is
+        opened to 1.0 — this asserts the MECHANICS, the real gate runs
+        with SFT_EVAL_MODEL_PATH below)."""
+        from tests.server_utils import write_tiny_tokenizer
+        from tests.utils import TINY_LLAMA_CFG, write_model_dir
+
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        write_tiny_tokenizer(model_dir, TINY_LLAMA_CFG["vocab_size"])
+        from sglang_fluentllm_tpu.evals.run_eval import main
+
+        scores = main([
+            "--eval-name", "mmlu",
+            "--data-path", os.path.join(DATA, "mmlu_sample.csv"),
+            "--num-examples", "2", "--max-tokens", "8",
+            "--compare", "fp8,bf16",
+            "--model-path", model_dir,
+            "--load-format", "dummy",
+            "--gate", "1.0",
+        ])
+        assert set(scores) == {"fp8", "bf16"}
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["pass"] is True
+        assert "delta" in out and "compare" in out
+
+    @pytest.mark.skipif(
+        not os.environ.get("SFT_EVAL_MODEL_PATH"),
+        reason="real-weights FP8 accuracy gate: set SFT_EVAL_MODEL_PATH "
+               "to an MLA checkpoint (BASELINE.md +-0.3 gate)",
+    )
+    def test_fp8_accuracy_gate_real_weights(self):
+        """The BASELINE.md accuracy gate, runnable the day checkpoints
+        are available: GSM8K fp8-KV vs bf16-KV within 0.3 points."""
+        from sglang_fluentllm_tpu.evals.run_eval import main
+
+        main([
+            "--eval-name", "gsm8k",
+            "--data-path", os.environ.get(
+                "SFT_EVAL_DATA_PATH",
+                os.path.join(DATA, "gsm8k_sample.jsonl")),
+            "--num-examples", os.environ.get("SFT_EVAL_N", "200"),
+            "--compare", "fp8,bf16",
+            "--model-path", os.environ["SFT_EVAL_MODEL_PATH"],
+            "--gate", "0.003",
+        ])  # exits 1 (test fails) when the gate is violated
