@@ -121,7 +121,7 @@ class ServerArgs:
     overlap_pipeline_depth: int = 4
 
     # ---- quantization ----
-    quantization: Optional[str] = None  # fp8 | w8a8_int8
+    quantization: Optional[str] = None  # fp8 | w8a8_int8 | w4a16
     weight_block_size: int = 128
 
     # ---- speculative decoding ----

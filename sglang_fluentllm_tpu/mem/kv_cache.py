@@ -399,10 +399,79 @@ class MLAWindowKV:
     """MLA fused-window KV view (see WindowKV): dense DEQUANTIZED latent
     history in the bf16 combined-row layout ([..., :r] = ckv,
     [..., r_pad:r_pad+dr] = rope). For FP8 pools the per-token dequant
-    happens ONCE at the window gather instead of per step per layer."""
+    happens ONCE at the window gather instead of per step per layer.
+
+    Pool writes are DEFERRED: in-window appends touch only the dense
+    buffer (new fp8 rows stash their two-bf16 scale at lanes
+    r_pad+dr, r_pad+dr+1 — zero-padding otherwise, unread by attention),
+    and ``mla_window_close`` scatters the window's rows into the paged
+    pool ONCE per window instead of L x k times."""
 
     pool: object          # MLAKVCache | MLAKVCacheFP8
     hlat: jax.Array       # [L, B, T_pad, r_pad + rope_pad] bf16
+
+
+def window_close(win: "WindowKV", positions: jax.Array,
+                 slots: jax.Array) -> "MHAKVCache":
+    """Scatter the window's NEW rows from the dense buffer into the paged
+    pool, once per fused window (deferred pool writes — the per-step
+    in-window appends touch only hk/hv). positions/slots: [B, k]."""
+    L, B = win.hk.shape[:2]
+    k = positions.shape[1]
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    pos = jnp.minimum(positions, win.hk.shape[2] - 1)
+    rows_k = win.hk[:, bidx, pos]       # [L, B, k, Hk, Dp]
+    rows_v = win.hv[:, bidx, pos]
+    flat = slots.reshape(-1)
+    Dp = rows_k.shape[-1]
+    Hk = rows_k.shape[-2]
+    rk = rows_k.reshape(L, B * k, Hk, Dp).swapaxes(1, 2)
+    rv = rows_v.reshape(L, B * k, Hk, Dp).swapaxes(1, 2)
+    pool = win.pool
+    return MHAKVCache(
+        k=pool.k.at[:, :, flat].set(rk.astype(pool.k.dtype)),
+        v=pool.v.at[:, :, flat].set(rv.astype(pool.v.dtype)),
+    )
+
+
+def mla_window_close(win: "MLAWindowKV", positions: jax.Array,
+                     slots: jax.Array, r: int, dr: int):
+    """MLA variant of window_close. For FP8 pools the quantized row is
+    recovered EXACTLY from the dense buffer: the append stored
+    dequant(q8)*s in the ckv lanes and the two-bf16 scale split at lanes
+    r_pad+dr, r_pad+dr+1, so q8 = (ckv_deq / s) is a lossless e4m3
+    round-trip and the tail row is the [rope | hi | lo] lane slice."""
+    L, B = win.hlat.shape[:2]
+    k = positions.shape[1]
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    pos = jnp.minimum(positions, win.hlat.shape[2] - 1)
+    rows = win.hlat[:, bidx, pos]       # [L, B, k, W]
+    flat = slots.reshape(-1)
+    pool = win.pool
+    if isinstance(pool, MLAKVCacheFP8):
+        r_pad = padded_head_dim(r)
+        tail_pad = pool.tail.shape[-1]
+        scale = (
+            rows[..., r_pad + dr].astype(jnp.float32)
+            + rows[..., r_pad + dr + 1].astype(jnp.float32)
+        )[..., None]
+        q8 = (
+            rows[..., :r].astype(jnp.float32)
+            / jnp.maximum(scale, 1e-20)
+        ).astype(jnp.float8_e4m3fn)
+        tail = rows[..., r_pad:r_pad + tail_pad]
+        return MLAKVCacheFP8(
+            ckv=pool.ckv.at[:, flat].set(q8.reshape(L, B * k, r)),
+            tail=pool.tail.at[:, flat].set(
+                tail.reshape(L, B * k, tail_pad).astype(pool.tail.dtype)
+            ),
+        )
+    W = rows.shape[-1]
+    return MLAKVCache(
+        lat=pool.lat.at[:, flat].set(
+            rows.reshape(L, B * k, W).astype(pool.lat.dtype)
+        )
+    )
 
 
 def mla_window_gather(pool, page_tables: jax.Array, page_size: int,
@@ -414,18 +483,18 @@ def mla_window_gather(pool, page_tables: jax.Array, page_size: int,
     ).reshape(B, P * page_size)
     if isinstance(pool, MLAKVCacheFP8):
         r_pad = padded_head_dim(r)
-        rope_pad = padded_head_dim(dr)
         ckv8 = pool.ckv[:, slots]                  # [L, B, T, r] fp8
         tail = pool.tail[:, slots]                 # [L, B, T, tail_pad]
-        krope, scale = fp8_tail_unpack(tail, dr)
+        _, scale = fp8_tail_unpack(tail, dr)
         L, _, T = ckv8.shape[:3]
         # single-concatenate build (a zeros buffer + two scatter-sets
-        # would stream the 0.5 GB-class window buffer three times)
+        # would stream the 0.5 GB-class window buffer three times). The
+        # raw tail rides along whole: rope at r_pad..r_pad+dr as the
+        # attention expects, and the scale hi/lo lanes stay available for
+        # the deferred-write mla_window_close requantization.
         parts = [(ckv8.astype(jnp.float32) * scale).astype(jnp.bfloat16)]
         if r_pad > r:
             parts.append(jnp.zeros((L, B, T, r_pad - r), jnp.bfloat16))
-        parts.append(krope.astype(jnp.bfloat16))
-        if rope_pad > dr:
-            parts.append(jnp.zeros((L, B, T, rope_pad - dr), jnp.bfloat16))
+        parts.append(tail)
         return MLAWindowKV(pool=pool, hlat=jnp.concatenate(parts, axis=-1))
     return MLAWindowKV(pool=pool, hlat=pool.lat[:, slots])

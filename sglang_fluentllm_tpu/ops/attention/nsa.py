@@ -235,13 +235,11 @@ class NSAAttentionBackend:
         loc = batch.out_cache_loc.reshape(-1)
         if isinstance(kv_cache, WindowKV):
             # fused-decode-window view (kv_cache.WindowKV): append the new
-            # token to BOTH the paged pool and the dense gathered history,
-            # then attend over the dense buffer — zero gathers in-window
+            # token to the dense gathered history and attend over it —
+            # zero gathers in-window; pool writes are deferred to
+            # window_close (one bulk scatter per window)
             assert S == 1 and batch.mode.is_decode()
-            pool = mha_write(
-                kv_cache.pool, layer_id, loc,
-                k_new.reshape(B, Hk, D), v_new.reshape(B, Hk, D),
-            )
+            pool = kv_cache.pool
             pos = jnp.minimum(batch.seq_lens - 1, kv_cache.hk.shape[2] - 1)
             Dp = kv_cache.hk.shape[-1]
             kn, vn = k_new, v_new

@@ -203,10 +203,9 @@ class RefAttentionBackend:
 
         B, S, Hk, D = k_new.shape
         assert S == 1 and batch.mode.is_decode()
-        pool = mha_write(
-            kv_cache.pool, layer_id, batch.out_cache_loc.reshape(-1),
-            k_new.reshape(B, Hk, D), v_new.reshape(B, Hk, D),
-        )
+        # pool writes are DEFERRED to window_close (one bulk scatter per
+        # fused window); appends touch only the dense buffer
+        pool = kv_cache.pool
         pos = jnp.minimum(
             batch.seq_lens - 1, kv_cache.hk.shape[2] - 1
         )
@@ -284,8 +283,6 @@ class RefMLABackend:
             MLAKVCacheFP8,
             MLAWindowKV,
             mla_pack_rows,
-            mla_write,
-            mla_write_fp8,
             padded_head_dim,
         )
 
@@ -294,21 +291,15 @@ class RefMLABackend:
         r = ckv_new.shape[-1]
         dr = kpe_new.shape[-1]
         r_pad = padded_head_dim(r)
-        loc = batch.out_cache_loc.reshape(-1)
+        # pool writes are DEFERRED to mla_window_close (one bulk scatter
+        # per fused window instead of L x k in-window scatters); appends
+        # touch only the dense buffer
         pool = kv_cache.pool
         if isinstance(pool, MLAKVCacheFP8):
-            pool = mla_write_fp8(
-                pool, layer_id, loc, ckv_new.reshape(B, r),
-                kpe_new.reshape(B, dr),
-            )
-        else:
-            pool = mla_write(
-                pool, layer_id, loc, ckv_new.reshape(B, r),
-                kpe_new.reshape(B, dr),
-            )
-        if isinstance(kv_cache.pool, MLAKVCacheFP8):
-            # store the dequant-of-quantized row so in-window reads see
-            # exactly what post-window paged reads will see
+            # append the dequant-of-quantized row (in-window reads see
+            # exactly what post-window paged reads will) with the raw
+            # tail — rope plus the scale hi/lo lanes the deferred close
+            # needs for its lossless requantization
             from sglang_fluentllm_tpu.mem.kv_cache import (
                 fp8_tail_unpack,
                 mla_pack_fp8_rows,
@@ -316,18 +307,18 @@ class RefMLABackend:
 
             q8, tail = mla_pack_fp8_rows(
                 ckv_new.reshape(B, r), kpe_new.reshape(B, dr),
-                kv_cache.pool.tail.shape[-1],
+                pool.tail.shape[-1],
             )
-            krope, scale = fp8_tail_unpack(tail, dr)
-            row = jnp.zeros(
-                (B, kv_cache.hlat.shape[-1]), kv_cache.hlat.dtype
+            _, scale = fp8_tail_unpack(tail, dr)
+            deq = (q8.astype(jnp.float32) * scale).astype(
+                kv_cache.hlat.dtype
             )
-            row = row.at[:, :r].set(
-                (q8.astype(jnp.float32) * scale).astype(row.dtype)
-            )
-            row = row.at[:, r_pad:r_pad + dr].set(
-                krope.astype(row.dtype)
-            )
+            parts = [deq]
+            if r_pad > r:
+                parts.append(jnp.zeros((B, r_pad - r),
+                                       kv_cache.hlat.dtype))
+            parts.append(tail.astype(kv_cache.hlat.dtype))
+            row = jnp.concatenate(parts, axis=-1)
         else:
             row = mla_pack_rows(
                 ckv_new.reshape(B, r), kpe_new.reshape(B, dr),

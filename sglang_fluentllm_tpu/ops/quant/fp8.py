@@ -159,11 +159,17 @@ def matmul(x: jax.Array, w) -> jax.Array:
     (DeepGEMM analog, reference ``layers/dense/gemms/fp8/fp8_kernel.py``)
     so FP8 weights halve HBM traffic in the production forward; the jnp
     dequant path serves CPU tests and non-128-aligned shapes."""
+    from sglang_fluentllm_tpu.ops.quant.int4 import (
+        QuantizedWeightInt4,
+        int4_matmul,
+    )
     from sglang_fluentllm_tpu.ops.quant.int8 import (
         QuantizedWeightInt8,
         int8_matmul,
     )
 
+    if isinstance(w, QuantizedWeightInt4):
+        return int4_matmul(x, w)
     if isinstance(w, QuantizedWeightInt8):
         return int8_matmul(x, w)
     if isinstance(w, QuantizedWeight):

@@ -62,9 +62,22 @@ def load_model_params(model, server_args, dtype):
     if server_args.load_format == "native":
         return load_native_params(model, server_args.model_path, dtype)
     logger.info("loading weights from %s", server_args.model_path)
-    return model.load_weights(
-        iterate_safetensors(server_args.model_path), dtype=dtype
+    it = iterate_safetensors(server_args.model_path)
+    from sglang_fluentllm_tpu.runtime.quant_ckpt import (
+        load_quant_config,
+        wrap_quantized_checkpoint,
     )
+
+    qcfg = load_quant_config(server_args.model_path)
+    if qcfg is not None:
+        # GPTQ/AWQ/compressed-tensors checkpoint: dequantize packed int4
+        # modules on load (pass --quantization w4a16 to re-quantize into
+        # the TPU-native kernel layout and keep the 4-bit HBM stream)
+        logger.info("quantized checkpoint (%s, %d-bit, group %d): "
+                    "dequantizing on load", qcfg["method"], qcfg["bits"],
+                    qcfg["group_size"])
+        it = wrap_quantized_checkpoint(it, qcfg)
+    return model.load_weights(it, dtype=dtype)
 
 
 def load_native_params(model, path: str, dtype):
