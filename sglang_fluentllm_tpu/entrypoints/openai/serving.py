@@ -7,7 +7,6 @@ streaming deltas) and ``serving_completions.py``, built on AsyncEngine.
 
 from __future__ import annotations
 
-import os
 
 import json
 import uuid
@@ -54,6 +53,20 @@ class OpenAIServing:
     def __init__(self, engine: AsyncEngine):
         self.engine = engine
         self.model_name = engine.server_args.served_model_name
+        # centralized template resolution (reference template_manager.py)
+        from sglang_fluentllm_tpu.parser.template_manager import TemplateManager
+
+        self.template_manager = TemplateManager()
+        ct = getattr(engine.server_args, "chat_template", None)
+        self.template_manager.initialize(
+            tokenizer=getattr(engine, "tokenizer", None),
+            # harmony/longcat have dedicated prompt builders below, not
+            # conversation templates
+            chat_template=(ct if ct not in (None, "harmony", "gpt-oss",
+                                            "longcat") else None),
+            completion_template=getattr(
+                engine.server_args, "completion_template", None),
+        )
         # responses-API store: response_id -> {response, messages, task}
         self._response_store: Dict[str, Dict[str, Any]] = {}
         # server-side tool execution (reference tool_server.py)
@@ -105,14 +118,13 @@ class OpenAIServing:
                              else request.tool_choice),
             )
             return tok.encode(text)
+        # named conversation template (built-in or loaded from .json)
+        rendered = self.template_manager.resolve_chat(messages)
+        if rendered is not None:
+            return tok.encode(rendered)
         kwargs: Dict[str, Any] = {}
-        ct = self.engine.server_args.chat_template
-        if ct and (ct.endswith(".jinja") or os.path.isfile(ct)):
-            # custom template file (reference template_manager.py role)
-            if not hasattr(self, "_custom_template"):
-                with open(ct) as fp:
-                    self._custom_template = fp.read()
-            kwargs["chat_template"] = self._custom_template
+        if self.template_manager.custom_jinja is not None:
+            kwargs["chat_template"] = self.template_manager.custom_jinja
         if request.tools:
             kwargs["tools"] = [t.model_dump() for t in request.tools]
         try:
@@ -406,6 +418,13 @@ class OpenAIServing:
     # ------------------------------------------------------------------
     def _normalize_prompts(self, request: CompletionRequest):
         p = request.prompt
+        if request.suffix and isinstance(p, (str, list)):
+            # FIM code completion (ref code_completion_parser.py:77-84)
+            fim = self.template_manager.fim_prompt
+            if isinstance(p, str):
+                p = fim(p, request.suffix)
+            elif p and isinstance(p[0], str):
+                p = [fim(x, request.suffix) for x in p]
         if isinstance(p, str):
             return [("text", p)]
         if isinstance(p, list) and p and isinstance(p[0], int):

@@ -27,13 +27,33 @@ def build_eval(name: str, data_path: str, few_shot: int):
         from sglang_fluentllm_tpu.evals.simple_eval_gsm8k import GSM8KEval
 
         return GSM8KEval(data_path, few_shot=few_shot)
+    if name == "gpqa":
+        from sglang_fluentllm_tpu.evals.simple_eval_gpqa import GPQAEval
+
+        return GPQAEval(data_path)
+    if name == "math":
+        from sglang_fluentllm_tpu.evals.simple_eval_math import MathEval
+
+        return MathEval(data_path)
+    if name == "mgsm":
+        from sglang_fluentllm_tpu.evals.simple_eval_mgsm import MGSMEval
+
+        return MGSMEval(data_path)
+    if name == "humaneval":
+        from sglang_fluentllm_tpu.evals.simple_eval_humaneval import (
+            HumanEvalEval,
+        )
+
+        return HumanEvalEval(data_path)
     raise ValueError(f"unknown eval {name}")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--base-url", default="http://127.0.0.1:30000")
-    p.add_argument("--eval-name", choices=["mmlu", "gsm8k"], required=True)
+    p.add_argument("--eval-name", required=True,
+                   choices=["mmlu", "gsm8k", "gpqa", "math", "mgsm",
+                            "humaneval"])
     p.add_argument("--data-path", required=True)
     p.add_argument("--num-examples", type=int, default=None)
     p.add_argument("--few-shot", type=int, default=0)

@@ -138,3 +138,147 @@ class TestFP8CompareGate:
             "--model-path", os.environ["SFT_EVAL_MODEL_PATH"],
             "--gate", "0.003",
         ])  # exits 1 (test fails) when the gate is violated
+
+
+class TestNewEvalFamilies:
+    """gpqa / math / mgsm / humaneval — reference simple_eval_* parity."""
+
+    def test_gpqa_permutes_and_scores(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_gpqa import GPQAEval
+
+        ev = GPQAEval(os.path.join(DATA, "gpqa_sample.csv"))
+        assert len(ev.examples()) == 2
+        ex = ev.examples()[0]
+        # the correct letter tracks the seeded permutation
+        letter = ex["Answer"]
+        assert ex[letter] == "0"
+        assert ev.score_one(ex, f"...\nAnswer: {letter}") == 1.0
+        wrong = "ABCD".replace(letter, "")[0]
+        assert ev.score_one(ex, f"Answer: {wrong}") == 0.0
+        # n_repeats multiplies examples with fresh permutations
+        ev3 = GPQAEval(os.path.join(DATA, "gpqa_sample.csv"), n_repeats=3)
+        assert len(ev3.examples()) == 6
+
+    def test_math_normalized_equality(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_math import (
+            MathEval,
+            answers_equal,
+        )
+
+        assert answers_equal("\\frac{3}{4}", "3/4")
+        assert answers_equal("\\frac{3}{4}", "0.75")
+        assert answers_equal("32", "32.0")
+        assert answers_equal("1,000", "1000")
+        assert answers_equal("\\boxed{5}", "5")
+        assert not answers_equal("5", "6")
+        assert not answers_equal("5", None)
+        ev = MathEval(os.path.join(DATA, "math_sample.csv"))
+        ex = ev.examples()[0]
+        assert ev.score_one(ex, "steps...\nAnswer: 3/4") == 1.0
+        assert ev.score_one(ex, "Answer: 0.75") == 1.0
+        assert ev.score_one(ex, "Answer: 1/2") == 0.0
+        assert "Answer:" in ev.build_prompt(ex)
+
+    def test_math_judge_fallback(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_math import MathEval
+
+        calls = []
+
+        def judge(target, got):
+            calls.append((target, got))
+            return True
+
+        ev = MathEval(os.path.join(DATA, "math_sample.csv"),
+                      equality_checker=judge)
+        ex = ev.examples()[0]
+        # normalizer can't equate "three quarters" -> judge decides
+        assert ev.score_one(ex, "Answer: three quarters") == 1.0
+        assert calls == [("\\frac{3}{4}", "three quarters")]
+
+    def test_mgsm_localized_extraction(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_mgsm import (
+            MGSMEval,
+            parse_answer,
+            score_mgsm,
+        )
+
+        assert parse_answer("denke...\nAntwort: 3", "Antwort") == "3"
+        assert parse_answer("Answer: 1,234.", "Answer") == "1234"
+        assert parse_answer("no prefix 7", "Answer") == ""
+        assert score_mgsm("7", "7.0")
+        assert not score_mgsm("7", "8")
+        ev = MGSMEval(DATA, languages=["en", "de"])
+        assert len(ev.examples()) == 3
+        de = [e for e in ev.examples() if e["lang"] == "de"][0]
+        assert "Antwort" in ev.build_prompt(de)
+        assert ev.score_one(de, "Antwort: 3") == 1.0
+        # English answer prefix accepted for non-English prompts
+        assert ev.score_one(de, "Answer: 3") == 1.0
+        en = ev.examples()[0]
+        assert ev.score_one(en, "3 + 4 = 7\nAnswer: 7") == 1.0
+
+    def test_mgsm_single_file(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_mgsm import MGSMEval
+
+        ev = MGSMEval(os.path.join(DATA, "mgsm_en.tsv"),
+                      num_examples_per_lang=1)
+        assert len(ev.examples()) == 1
+
+    def test_humaneval_executes_candidates(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_humaneval import (
+            HumanEvalEval,
+            estimate_pass_at_k,
+            find_code,
+        )
+
+        ev = HumanEvalEval(os.path.join(DATA, "humaneval_sample.jsonl"))
+        ex = ev.examples()[0]
+        good = "```python\ndef add(a, b):\n    return a + b\n```"
+        bad = "```python\ndef add(a, b):\n    return a - b\n```"
+        assert ev.score_one(ex, good) == 1.0
+        assert ev.score_one(ex, bad) == 0.0
+        # fenced block extraction strips the signature
+        assert "return a + b" in find_code(good)
+        # unbiased pass@k estimator
+        assert estimate_pass_at_k(5, 5, 1) == 1.0
+        assert estimate_pass_at_k(5, 0, 1) == 0.0
+        assert abs(estimate_pass_at_k(2, 1, 1) - 0.5) < 1e-9
+
+    def test_humaneval_timeout_fails_closed(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_humaneval import (
+            check_correctness,
+        )
+
+        sample = {"prompt": "def f():\n", "test": "def check(c):\n    c()\n",
+                  "entry_point": "f"}
+        assert not check_correctness(
+            sample, "    while True:\n        pass\n", timeout=2.0)
+
+    def test_humaneval_pass_at_k_multi_sample(self):
+        from sglang_fluentllm_tpu.evals.simple_eval_humaneval import (
+            HumanEvalEval,
+        )
+
+        ev = HumanEvalEval(os.path.join(DATA, "humaneval_sample.jsonl"),
+                           num_samples_per_task=2, ks_passes=[1, 2])
+        outs = iter([
+            "def add(a, b):\n    return a + b",      # task 0 sample 1: pass
+            "def add(a, b):\n    return a - b",      # task 0 sample 2: fail
+            "def is_even(n):\n    return n % 2 == 0",  # task 1 both pass
+            "def is_even(n):\n    return n % 2 == 0",
+        ])
+        agg = ev.run_pass_at_k(lambda prompt: next(outs))
+        assert agg["pass@1"] == pytest.approx(0.75)  # (0.5 + 1.0) / 2
+        assert agg["pass@2"] == pytest.approx(1.0)
+
+    def test_run_eval_registry_builds_all(self):
+        from sglang_fluentllm_tpu.evals.run_eval import build_eval
+
+        for name, path in [
+            ("gpqa", os.path.join(DATA, "gpqa_sample.csv")),
+            ("math", os.path.join(DATA, "math_sample.csv")),
+            ("mgsm", os.path.join(DATA, "mgsm_en.tsv")),
+            ("humaneval", os.path.join(DATA, "humaneval_sample.jsonl")),
+        ]:
+            ev = build_eval(name, path, few_shot=0)
+            assert ev.examples(), name
