@@ -79,6 +79,29 @@ class InFlightBatch:
     # DP-attention: device row index per req (group-major layout with
     # per-group padding); None = identity
     rows: Optional[List[int]] = None
+    # whether _resolve must fetch logprobs_dev (any return_logprob row or
+    # NaN detection); greedy windows carry an all-zero array that is never
+    # read — skipping it saves one D2H round trip per window (~25 ms fixed
+    # per array on tunneled backends)
+    lp_needed: bool = True
+
+    def __post_init__(self):
+        # start D2H transfers NOW: the device finishes this window while
+        # later windows queue, so the copies overlap their compute and
+        # _resolve's device_get finds the bytes already on host instead of
+        # paying the tunnel round trip per array serially at resolve time
+        arrays = [self.ids_dev, self.counts_dev]
+        if self.lp_needed:
+            arrays.append(self.logprobs_dev)
+        if self.extras_dev is not None:
+            arrays.extend(self.extras_dev)
+        for a in arrays:
+            if a is not None and getattr(a, "size", 0) and hasattr(
+                    a, "copy_to_host_async"):
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # noqa: BLE001 - committed arrays only
+                    pass
 
 
 # Max launched-but-unresolved batches. Depth 1 would idle the device during
@@ -1232,6 +1255,7 @@ class Scheduler:
             future_offset=offset,
             extras_dev=extras,
             rows=rows,
+            lp_needed=self._lp_needed(reqs),
         )
 
     def _launch_decode(self, reqs, items) -> InFlightBatch:
@@ -1270,16 +1294,27 @@ class Scheduler:
             future_offset=offset,
             extras_dev=extras,
             rows=rows,
+            lp_needed=self._lp_needed(reqs),
+        )
+
+    def _lp_needed(self, reqs) -> bool:
+        """Whether this launch's logprobs array is ever read on host."""
+        return self.server_args.enable_nan_detection or any(
+            r.sampling_params.return_logprob for r in reqs
         )
 
     # ------------------------------------------------------------------
     def _resolve(self, batch: InFlightBatch) -> List[StepOutput]:
         # host sync (behind by pipeline depth). jax.device_get, NOT
         # np.asarray: the buffer-protocol path costs ~24ms/array on
-        # tunneled TPU backends.
-        ids, logprobs = jax.device_get(
-            (batch.ids_dev, batch.logprobs_dev)
-        )
+        # tunneled TPU backends. The transfers were started at launch
+        # (InFlightBatch.__post_init__), so this mostly finds local bytes.
+        ids = jax.device_get(batch.ids_dev)
+        if batch.lp_needed:
+            logprobs = jax.device_get(batch.logprobs_dev)
+        else:
+            # greedy/no-logprob window: the device array is exact zeros
+            logprobs = np.zeros(ids.shape, np.float32)
         if batch.t_launch:
             from sglang_fluentllm_tpu.metrics import collector as _mc
 
