@@ -159,6 +159,13 @@ class ServerArgs:
     skip_tokenizer_init: bool = False
     enable_nan_detection: bool = False
     enable_custom_logit_processor: bool = False
+    # one-forward per-layer activation dump to <folder>/tensor_dump.npz for
+    # cross-impl numeric diffing (reference --debug-tensor-dump-* flags +
+    # distributed/model_tensor_tracer.py:20). Runs at engine init.
+    debug_tensor_dump_output_folder: Optional[str] = None
+    # prompt for the dump forward: comma-separated token ids, or a path to
+    # a .npy of int ids; default = deterministic 16-token ramp
+    debug_tensor_dump_input_ids: Optional[str] = None
     # startup micro-bench across hosts flagging slow chips (reference
     # utils/slow_rank_detector.py)
     enable_slow_host_check: bool = False

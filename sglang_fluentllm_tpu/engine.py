@@ -88,6 +88,83 @@ class Engine:
             Detokenizer(self.tokenizer) if self.tokenizer else None
         )
         self._grammar_backend = None
+        if server_args.debug_tensor_dump_output_folder:
+            self.debug_tensor_dump()
+
+    # ------------------------------------------------------------------
+    def debug_tensor_dump(self, input_ids=None, out_folder=None):
+        """One EXTEND forward; dump per-layer residual streams + final
+        hidden + logits to ``<folder>/tensor_dump.npz`` for cross-impl
+        numeric diffing (reference model_tensor_tracer.py:20 +
+        --debug-tensor-dump-* flags, server_args.py:228-230).
+
+        Per-layer capture uses the model's EAGLE-3 aux-capture tower
+        (``forward_with_aux``) with every layer id; models without it
+        dump only input/final/logits."""
+        import os
+
+        import jax
+        import numpy as np
+
+        from sglang_fluentllm_tpu.runtime.batch_builder import ExtendItem
+
+        sa = self.server_args
+        folder = out_folder or sa.debug_tensor_dump_output_folder
+        assert folder, "debug_tensor_dump needs an output folder"
+        if input_ids is None:
+            spec = sa.debug_tensor_dump_input_ids
+            if spec and os.path.exists(spec):
+                input_ids = np.load(spec).astype(np.int32).tolist()
+            elif spec:
+                input_ids = [int(x) for x in spec.split(",")]
+            else:
+                v = self.model_config.vocab_size
+                input_ids = [(7 * i + 3) % v for i in range(16)]
+        ids = np.asarray(input_ids, np.int32)
+        runner = self.runner
+        model = runner.model
+        idx = runner.req_pool.alloc()
+        assert idx is not None
+        slots = runner.allocator.alloc_extend(idx, 0, len(ids))
+        assert slots is not None, "no KV room for tensor dump"
+        try:
+            item = ExtendItem(
+                input_ids=ids,
+                prefix_len=0,
+                slots=slots,
+                pages=runner.allocator.req_pages(idx, len(ids)),
+            )
+            batch = runner.batch_builder.build_extend([item])
+            arrays = {"input_ids": ids}
+            L = self.model_config.num_hidden_layers
+            if hasattr(model, "forward_with_aux"):
+                cap = tuple(range(1, L + 1))  # INPUT residual of each layer
+                _, h, aux = model.forward_with_aux(
+                    runner.params, runner.kv_cache, batch, cap
+                )
+                # aux is [B, S, L*H] (layer-major last dim)
+                aux = np.asarray(jax.device_get(aux), np.float32)
+                aux = aux[0, : len(ids)].reshape(len(ids), len(cap), -1)
+                for li, lid in enumerate(cap):
+                    arrays[f"layer_{lid:03d}_input"] = aux[:, li]
+            else:
+                _, h = model.forward(runner.params, runner.kv_cache, batch)
+            arrays["final_hidden"] = np.asarray(
+                jax.device_get(h), np.float32
+            )[0, : len(ids)]
+            logits = runner.forward_logits(batch)  # [B, S, V]
+            arrays["logits"] = np.asarray(
+                jax.device_get(logits), np.float32
+            )[0, : len(ids)]
+            os.makedirs(folder, exist_ok=True)
+            path = os.path.join(folder, "tensor_dump.npz")
+            np.savez(path, **arrays)
+            logger.info("debug tensor dump written to %s (%d arrays)",
+                        path, len(arrays))
+            return path
+        finally:
+            runner.allocator.free_req_pages(idx, len(ids))
+            runner.req_pool.free(idx)
 
     @property
     def grammar_backend(self):

@@ -118,10 +118,15 @@ class OpenAIServing:
                              else request.tool_choice),
             )
             return tok.encode(text)
-        # named conversation template (built-in or loaded from .json)
-        rendered = self.template_manager.resolve_chat(messages)
-        if rendered is not None:
-            return tok.encode(rendered)
+        # named conversation template (built-in or loaded from .json).
+        # When tools are in play the named template cannot carry them
+        # (Conversation.render has no tool slots) — fall through to the
+        # tokenizer jinja path, which forwards tool definitions/results
+        # (reference serving_chat.py passes tools to apply_chat_template).
+        if self._named_template_applies(request):
+            rendered = self.template_manager.resolve_chat(messages)
+            if rendered is not None:
+                return tok.encode(rendered)
         kwargs: Dict[str, Any] = {}
         if self.template_manager.custom_jinja is not None:
             kwargs["chat_template"] = self.template_manager.custom_jinja
@@ -139,6 +144,37 @@ class OpenAIServing:
             return tok.encode(text)
 
     # ------------------------------------------------------------------
+    def _named_template_applies(self, request: ChatCompletionRequest) -> bool:
+        """A named conversation template handles this request only when
+        no tool context is present (tools / tool_calls / tool-role
+        messages have no slots in Conversation.render)."""
+        if self.template_manager.chat_template_name is None:
+            return False
+        if request.tools:
+            return False
+        return not any(
+            m.tool_calls or m.tool_call_id or m.role == "tool"
+            for m in request.messages
+        )
+
+    def _merge_template_stops(self, request, sp):
+        """Add the active conversation template's stop_str to the request
+        stops (reference serving_chat.py:376 copies conv.stop_str), so a
+        model whose tokenizer EOS differs from the template stop token
+        still terminates at the turn boundary."""
+        if not self._named_template_applies(request):
+            return sp
+        stops = self.template_manager.stop_strings()
+        if not stops:
+            return sp
+        cur = sp.get("stop") or []
+        if isinstance(cur, str):
+            cur = [cur]
+        merged = list(cur) + [s for s in stops if s not in cur]
+        sp = dict(sp)
+        sp["stop"] = merged
+        return sp
+
     def _apply_tool_constraint(self, request, sp):
         """tool_choice='required'/{function}: constrain sampling to a
         syntactically valid call of an allowed tool (reference
@@ -164,6 +200,7 @@ class OpenAIServing:
         sp = self._apply_tool_constraint(
             request, request.to_sampling_params()
         )
+        sp = self._merge_template_stops(request, sp)
         n = max(1, request.n)
         import asyncio
 
@@ -327,6 +364,7 @@ class OpenAIServing:
         sp = self._apply_tool_constraint(
             request, request.to_sampling_params()
         )
+        sp = self._merge_template_stops(request, sp)
         rid = f"chatcmpl-{uuid.uuid4().hex}"
         first = True
         last_meta = None

@@ -19,6 +19,13 @@ from sglang_fluentllm_tpu.evals.common import ChatSampler
 
 
 def build_eval(name: str, data_path: str, few_shot: int):
+    if few_shot and name not in ("gsm8k",):
+        import warnings
+
+        warnings.warn(
+            f"--few-shot is not supported for eval {name!r}; "
+            "running 0-shot", stacklevel=2,
+        )
     if name == "mmlu":
         from sglang_fluentllm_tpu.evals.simple_eval_mmlu import MMLUEval
 

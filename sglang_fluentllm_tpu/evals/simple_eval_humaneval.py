@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import re
 import subprocess
 import sys
@@ -64,6 +65,11 @@ def check_correctness(sample: Dict[str, Any], completion: str,
         return proc.returncode == 0
     except subprocess.TimeoutExpired:
         return False
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
 
 def estimate_pass_at_k(n: int, c: int, k: int) -> float:

@@ -120,7 +120,10 @@ def _int4_mm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
         x, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_ref[:] += part * s_ref[0]             # [1, Nb] per-channel scale
+    # s_ref holds the FULL [n_k, Nb] scale strip (a (1, Nb) block would
+    # violate Mosaic's 8-sublane block rule); row k is this group's
+    # per-channel scale
+    acc_ref[:] += part * s_ref[k]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -151,7 +154,7 @@ def int4_block_matmul(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HALF, block_n), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda m, n, k: (k, n),
+            pl.BlockSpec((n_k, block_n), lambda m, n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -1313,8 +1313,13 @@ class Scheduler:
         if batch.lp_needed:
             logprobs = jax.device_get(batch.logprobs_dev)
         else:
-            # greedy/no-logprob window: the device array is exact zeros
-            logprobs = np.zeros(ids.shape, np.float32)
+            # greedy/no-logprob window: skip the device fetch. NaN
+            # sentinel, NOT zeros: every surfaced consumer (meta_info
+            # logprobs, NaN detection) is gated on the same predicates
+            # as _lp_needed, so these values must never be read — a NaN
+            # poisons any accidental future reader loudly instead of
+            # silently yielding 0.0 per-token logprobs.
+            logprobs = np.full(ids.shape, np.nan, np.float32)
         if batch.t_launch:
             from sglang_fluentllm_tpu.metrics import collector as _mc
 

@@ -131,20 +131,16 @@ class TestCustomTemplateFile:
             OpenAIServing,
         )
 
-        class FakeAsync:
-            tokenizer = e.async_tokenizer if hasattr(e, "async_tokenizer") \
-                else None
-
         # use the underlying sync engine's tokenizer through a minimal
-        # serving shim
+        # serving shim; construct through __init__ so the real template
+        # resolution (TemplateManager on server_args.chat_template) runs
         class Shim:
             pass
 
         shim = Shim()
         shim.tokenizer = e.tokenizer
         shim.server_args = e.server_args
-        srv = OpenAIServing.__new__(OpenAIServing)
-        srv.engine = shim
+        srv = OpenAIServing(shim)
         req = ChatCompletionRequest(
             model="m",
             messages=[ChatMessage(role="user", content="<3> <5>")],

@@ -141,3 +141,87 @@ def test_force_reasoning_detection():
     assert not detect_force_reasoning(
         "<|im_start|>assistant\\n<think>\\n "
         "{% if enable_thinking | default(false) %}x{% endif %}")
+
+
+# ---------------------------------------------------------------------------
+# serving integration: tool fallthrough + stop-string merge (ADVICE r4)
+# ---------------------------------------------------------------------------
+def _serving_with_named_template(name="qwen"):
+    from sglang_fluentllm_tpu.entrypoints.openai.serving import OpenAIServing
+
+    class Tok:
+        def encode(self, s):
+            return [ord(c) % 101 for c in s]
+
+        def apply_chat_template(self, messages, add_generation_prompt=True,
+                                tokenize=True, **kw):
+            # records whether tools were forwarded (HF jinja path)
+            self.last_tools = kw.get("tools")
+            text = "".join(m["content"] or "" for m in messages) + "JINJA"
+            return self.encode(text)
+
+    class Args:
+        served_model_name = "m"
+        chat_template = name
+        completion_template = None
+        tool_server = None
+        tool_call_parser = None
+
+    class Shim:
+        tokenizer = Tok()
+        server_args = Args()
+
+    return OpenAIServing(Shim())
+
+
+def _chat_req(tools=None, messages=None):
+    from sglang_fluentllm_tpu.entrypoints.openai.protocol import (
+        ChatCompletionRequest,
+    )
+
+    return ChatCompletionRequest(
+        model="m",
+        messages=messages or [{"role": "user", "content": "hi"}],
+        tools=tools,
+    )
+
+
+def test_named_template_tools_fall_through_to_jinja():
+    """With a named template active, tool definitions must still reach
+    the model: serving falls through to tokenizer.apply_chat_template
+    (ref serving_chat.py forwards tools there)."""
+    srv = _serving_with_named_template("qwen")
+    tools = [{"type": "function",
+              "function": {"name": "f", "parameters": {}}}]
+    req = _chat_req(tools=tools)
+    assert not srv._named_template_applies(req)
+    srv._apply_chat_template(req)
+    assert srv.engine.tokenizer.last_tools is not None
+
+    # no tools -> named template owns rendering (CHATML framing)
+    req2 = _chat_req()
+    assert srv._named_template_applies(req2)
+
+
+def test_named_template_tool_role_messages_fall_through():
+    srv = _serving_with_named_template("qwen")
+    msgs = [
+        {"role": "user", "content": "hi"},
+        {"role": "tool", "content": "42", "tool_call_id": "x"},
+    ]
+    assert not srv._named_template_applies(_chat_req(messages=msgs))
+
+
+def test_named_template_stop_strings_merged():
+    """conv.stop_str must land in the sampling stop list (ref
+    serving_chat.py:376), so generation halts at the turn boundary even
+    when tokenizer EOS differs from the template stop token."""
+    srv = _serving_with_named_template("qwen")
+    req = _chat_req()
+    sp = srv._merge_template_stops(req, {"stop": ["foo"]})
+    assert sp["stop"] == ["foo", "<|im_end|>"]
+    # tools active -> named template not applied -> no merge
+    tools = [{"type": "function",
+              "function": {"name": "f", "parameters": {}}}]
+    sp2 = srv._merge_template_stops(_chat_req(tools=tools), {"stop": []})
+    assert sp2["stop"] == []

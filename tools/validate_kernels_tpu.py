@@ -164,6 +164,26 @@ def main():
         print(json.dumps({"check": f"mla_decode_{kind}",
                           "max_err": err, "ok": err < 0.05}), flush=True)
 
+    # ---- int4 dequant GEMM (w4a16 decode path) ----
+    from sglang_fluentllm_tpu.ops.quant.int4 import (
+        int4_block_matmul,
+        int4_matmul_ref,
+        quantize_weight_int4,
+    )
+
+    K4, N4 = 512, 512
+    w = rng.standard_normal((K4, N4)).astype(np.float32) * 0.02
+    qw = quantize_weight_int4(w)
+    x4 = jnp.asarray(rng.standard_normal((32, K4)), jnp.bfloat16)
+    y_pal = int4_block_matmul(x4, qw.w4, qw.scale, block_n=256)
+    y_ref = int4_matmul_ref(x4, qw)
+    scale4 = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) or 1.0
+    err = float(jnp.max(jnp.abs(
+        y_pal.astype(jnp.float32) - y_ref.astype(jnp.float32)
+    ))) / scale4
+    print(json.dumps({"check": "int4_gemm",
+                      "rel_err": err, "ok": err < 0.02}), flush=True)
+
 
 if __name__ == "__main__":
     main()
