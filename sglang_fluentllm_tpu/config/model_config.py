@@ -100,6 +100,15 @@ class ModelConfig:
         return self.is_mla and bool(self.hf_config.get("index_topk"))
 
     @property
+    def is_nsa(self) -> bool:
+        """Native sparse attention (compress/select/window branches;
+        reference qwen3_nsa / deepseek NSA configs carry the compression
+        geometry in the HF config)."""
+        return (not self.is_mla
+                and "kernel_size" in self.hf_config
+                and "select_size" in self.hf_config)
+
+    @property
     def use_over_embedding(self) -> bool:
         """LongCat OEP hashed n-gram embeddings present (reference
         ``configs/configuration_flash.py:177-196``: either

@@ -111,8 +111,39 @@ class OEPKVCache:
     ring: jax.Array  # [R+1, RING_W] i32 last tokens per request
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NSAKVCache:
+    """NSA (native sparse attention) pool: the paged full-KV pool PLUS
+    per-REQUEST compressed-KV rows (reference role: the NSA backend's
+    cached compress_kv buffers, ``native_sparse_attention/compress_kv.py``).
+
+    Compressed block ``b`` of a request summarizes tokens
+    ``[b*stride, b*stride + kernel)``; rows are indexed by
+    ``batch.state_idx`` (req_pool_idx) like the hybrid-linear state
+    pools, row ``max_reqs`` is the trash row. Maintained by the NSA
+    backend: refreshed in full on EXTEND/TARGET_VERIFY (where the dense
+    history is gathered anyway), appended incrementally on DECODE. The
+    sparse decode path reads ONLY these rows + the selected/window
+    tokens — the full history is never materialized."""
+
+    pool: MHAKVCache
+    ck: jax.Array   # [L, R+1, NBcap, Hk, D] compressed keys
+    cv: jax.Array   # [L, R+1, NBcap, Hk, D] compressed values
+
+    # the paged pool's arrays, so pool-shape probes (model_runner's
+    # dense-window sizing, hicache page views) see through the wrapper
+    @property
+    def k(self):
+        return self.pool.k
+
+    @property
+    def v(self):
+        return self.pool.v
+
+
 KVCache = (MHAKVCache | MLAKVCache | MLAKVCacheFP8 | MLAKVCacheDSA
-           | HybridKVCache | OEPKVCache)
+           | HybridKVCache | OEPKVCache | NSAKVCache)
 
 LANE = 128
 
@@ -194,7 +225,32 @@ def create_kv_cache(
                      v=jnp.zeros(shape, dtype=dtype))
     if config.is_hybrid_linear:
         return _hybrid_wrap(config, mha, dtype, max_reqs)
+    if config.is_nsa:
+        return _nsa_wrap(config, mha, dtype, num_slots, max_reqs)
     return mha
+
+
+def _nsa_wrap(config: ModelConfig, inner: MHAKVCache, dtype,
+              num_slots: int, max_reqs):
+    """Attach the per-request compressed-KV rows (see NSAKVCache). The
+    block capacity is bounded by the longest context one request can
+    actually hold: min(model context, pool size)."""
+    assert max_reqs is not None, "NSA pool needs max_reqs"
+    hf = config.hf_config
+    kernel = hf.get("kernel_size", 32)
+    stride = hf.get("stride", 16)
+    ctx_cap = min(
+        config.context_length or config.max_position_embeddings,
+        num_slots,
+    )
+    nb_cap = max((ctx_cap - kernel) // stride + 1, 1)
+    L, Hk = inner.k.shape[0], inner.k.shape[1]
+    D = config.head_dim
+    return NSAKVCache(
+        pool=inner,
+        ck=jnp.zeros((L, max_reqs + 1, nb_cap, Hk, D), dtype=dtype),
+        cv=jnp.zeros((L, max_reqs + 1, nb_cap, Hk, D), dtype=dtype),
+    )
 
 
 def _oep_wrap(config: ModelConfig, inner, max_reqs):
@@ -352,6 +408,14 @@ def kv_copy_rows(kv_cache, src: jax.Array, dst: jax.Array):
             inner=kv_copy_rows(kv_cache.inner, src, dst),
             ring=kv_cache.ring,
         )
+    if isinstance(kv_cache, NSAKVCache):
+        # compressed rows are (request, block)-indexed, not slot-indexed;
+        # blocks touched by moved rows are rewritten when they next
+        # complete (see NSA backend maintenance), so only the pool moves
+        return NSAKVCache(
+            pool=kv_copy_rows(kv_cache.pool, src, dst),
+            ck=kv_cache.ck, cv=kv_cache.cv,
+        )
     raise NotImplementedError(
         f"kv_copy_rows: {type(kv_cache).__name__}"
     )
@@ -379,10 +443,13 @@ class WindowKV:
     hv: jax.Array   # [L, B, T_pad, Hk, D]
 
 
-def window_kv_gather(pool: "MHAKVCache", page_tables: jax.Array,
+def window_kv_gather(pool, page_tables: jax.Array,
                      page_size: int) -> "WindowKV":
     """One gather of every layer's paged history into the dense window
-    buffer (slot ids broadcast across layers)."""
+    buffer (slot ids broadcast across layers). ``pool`` is an MHAKVCache
+    or an NSAKVCache (whose .k/.v see through to the paged pool; the
+    wrapper rides along as WindowKV.pool so in-window compressed-row
+    updates reach it)."""
     B, P = page_tables.shape
     slots = (
         page_tables[:, :, None] * page_size
@@ -428,10 +495,14 @@ def window_close(win: "WindowKV", positions: jax.Array,
     rk = rows_k.reshape(L, B * k, Hk, Dp).swapaxes(1, 2)
     rv = rows_v.reshape(L, B * k, Hk, Dp).swapaxes(1, 2)
     pool = win.pool
-    return MHAKVCache(
-        k=pool.k.at[:, :, flat].set(rk.astype(pool.k.dtype)),
-        v=pool.v.at[:, :, flat].set(rv.astype(pool.v.dtype)),
+    base = pool.pool if isinstance(pool, NSAKVCache) else pool
+    written = MHAKVCache(
+        k=base.k.at[:, :, flat].set(rk.astype(base.k.dtype)),
+        v=base.v.at[:, :, flat].set(rv.astype(base.v.dtype)),
     )
+    if isinstance(pool, NSAKVCache):
+        return NSAKVCache(pool=written, ck=pool.ck, cv=pool.cv)
+    return written
 
 
 def mla_window_close(win: "MLAWindowKV", positions: jax.Array,

@@ -215,10 +215,92 @@ def nsa_attend(
     return out.astype(q.dtype)
 
 
+# ----------------------------------------------------------------------
+# Compressed-cache maintenance (NSAKVCache.ck/cv; reference role:
+# native_sparse_attention/compress_kv.py cached compressed buffers)
+# ----------------------------------------------------------------------
+
+def _sanitize_sidx(state_idx: jax.Array, n_rows: int) -> jax.Array:
+    """Padded rows (state_idx < 0) target the trash row (last)."""
+    return jnp.where(state_idx < 0, n_rows - 1, state_idx)
+
+
+def nsa_refresh_blocks(ck, cv, layer_id, k_dense, v_dense, seq_lens,
+                       state_idx, params: NSAParams, kernel: int,
+                       stride: int):
+    """Recompute ALL complete compressed blocks from the gathered dense
+    history and write them into the per-request rows (EXTEND /
+    TARGET_VERIFY: the dense history is in hand anyway, and recompute-
+    from-scratch is what keeps radix-prefix reuse and spec rollback
+    correct — a prefix cached by another request never leaves stale
+    rows, see NSAKVCache docstring)."""
+    B, T = k_dense.shape[:2]
+    ckb = gated_compress(k_dense, params.gate_k, kernel, stride)
+    cvb = gated_compress(v_dense, params.gate_v, kernel, stride)
+    NB = ckb.shape[1]
+    if NB == 0:
+        return ck, cv
+    NB = min(NB, ck.shape[2])
+    ckb, cvb = ckb[:, :NB], cvb[:, :NB]
+    nb = jnp.where(seq_lens >= kernel, (seq_lens - kernel) // stride + 1, 0)
+    bidx = jnp.arange(NB, dtype=jnp.int32)[None, :]
+    # invalid blocks -> OOB index, dropped by the scatter
+    tgt = jnp.where(bidx < nb[:, None], bidx, ck.shape[2])
+    sidx = _sanitize_sidx(state_idx, ck.shape[1])[:, None]
+    Dc = ck.shape[-1]
+    ck = ck.at[layer_id, sidx, tgt].set(
+        ckb[..., :Dc].astype(ck.dtype), mode="drop")
+    cv = cv.at[layer_id, sidx, tgt].set(
+        cvb[..., :Dc].astype(cv.dtype), mode="drop")
+    return ck, cv
+
+
+def nsa_append_block(ck, cv, layer_id, tail_k, tail_v, seq_lens,
+                     state_idx, params: NSAParams, kernel: int,
+                     stride: int):
+    """DECODE single-step maintenance: when the step completes a block
+    (``(T - kernel) % stride == 0``), compress the last ``kernel`` tokens
+    (``tail_k/v [B, kernel, Hk, D]``, current token included) and write
+    row ``(T - kernel) // stride``."""
+    ckb = gated_compress(tail_k, params.gate_k, kernel, stride)[:, 0]
+    cvb = gated_compress(tail_v, params.gate_v, kernel, stride)[:, 0]
+    T = seq_lens
+    completes = (T >= kernel) & ((T - kernel) % stride == 0)
+    b_new = jnp.maximum((T - kernel) // stride, 0)
+    tgt = jnp.where(completes, b_new, ck.shape[2])  # OOB drop
+    sidx = _sanitize_sidx(state_idx, ck.shape[1])
+    Dc = ck.shape[-1]
+    ck = ck.at[layer_id, sidx, tgt].set(
+        ckb[..., :Dc].astype(ck.dtype), mode="drop")
+    cv = cv.at[layer_id, sidx, tgt].set(
+        cvb[..., :Dc].astype(cv.dtype), mode="drop")
+    return ck, cv
+
+
+def select_overlap_weights(NB, NSel, kernel, stride, select_size):
+    """[NSel, NB] select-score transform weights: per select-block score
+    = sum over overlapping compressed blocks of prob * overlap/stride
+    (compress_attn.py:103) — shared by dense and sparse paths."""
+    blk_start = jnp.arange(NB) * stride
+    sel_start = jnp.arange(NSel) * select_size
+    overlap = (
+        jnp.minimum((blk_start + kernel)[None, :],
+                    (sel_start + select_size)[:, None])
+        - jnp.maximum(blk_start[None, :], sel_start[:, None])
+    )
+    return jnp.maximum(overlap, 0).astype(jnp.float32) / stride
+
+
 class NSAAttentionBackend:
     """Attention backend for NSA models: scatter the new KV into the
     paged pool, gather the dense context, run the three-branch sparse
-    attention (role of the reference's NSA triton backend family)."""
+    attention (role of the reference's NSA triton backend family).
+
+    With an NSAKVCache (production pools), decode S=1 runs the SPARSE
+    path: compressed branch over the cached per-request rows, top-k
+    block selection, and attention over ONLY the selected + window
+    tokens — the full history is never materialized (reference
+    ``native_sparse_attention/select_attn.py`` role)."""
 
     name = "nsa"
 
@@ -226,13 +308,49 @@ class NSAAttentionBackend:
                  sm_scale, nsa: Optional[NSAParams] = None,
                  kernel=32, stride=16, select_size=64, top_n=16,
                  n_init=1, n_local=2, window=512, **kw):
-        from sglang_fluentllm_tpu.mem.kv_cache import WindowKV, mha_write
+        from sglang_fluentllm_tpu.mem.kv_cache import (
+            NSAKVCache,
+            WindowKV,
+            mha_write,
+        )
         from sglang_fluentllm_tpu.ops.attention.ref_backend import (
             page_gather_mha,
         )
 
         B, S, Hk, D = k_new.shape
         loc = batch.out_cache_loc.reshape(-1)
+        hyper = dict(kernel=kernel, stride=stride, select_size=select_size,
+                     top_n=top_n, n_init=n_init, n_local=n_local,
+                     window=window)
+        if isinstance(kv_cache, NSAKVCache):
+            if batch.mode.is_decode() and S == 1 \
+                    and batch.state_idx is not None:
+                return self._decode_sparse(
+                    kv_cache, layer_id, q, k_new, v_new, batch,
+                    sm_scale, nsa, **hyper)
+            # extend / verify: dense three-branch over the gathered
+            # history + full compressed-row refresh
+            pool = mha_write(
+                kv_cache.pool, layer_id, loc,
+                k_new.reshape(B * S, Hk, D), v_new.reshape(B * S, Hk, D),
+            )
+            k = page_gather_mha(
+                pool.k[layer_id], batch.page_tables, batch.page_size
+            )[..., :D]
+            v = page_gather_mha(
+                pool.v[layer_id], batch.page_tables, batch.page_size
+            )[..., :D]
+            out = nsa_attend(
+                q, k, v, batch.positions, batch.seq_lens, nsa,
+                sm_scale=sm_scale, **hyper,
+            )
+            ck, cv = kv_cache.ck, kv_cache.cv
+            if batch.state_idx is not None:
+                ck, cv = nsa_refresh_blocks(
+                    ck, cv, layer_id, k, v, batch.seq_lens,
+                    batch.state_idx, nsa, kernel, stride,
+                )
+            return out, NSAKVCache(pool=pool, ck=ck, cv=cv)
         if isinstance(kv_cache, WindowKV):
             # fused-decode-window view (kv_cache.WindowKV): append the new
             # token to the dense gathered history and attend over it —
@@ -257,6 +375,16 @@ class NSAAttentionBackend:
                 top_n=top_n, n_init=n_init, n_local=n_local,
                 window=window, sm_scale=sm_scale,
             )
+            if isinstance(pool, NSAKVCache) and batch.state_idx is not None:
+                # keep the compressed rows current so a later long-context
+                # window of the same request can take the sparse path
+                tk, tv = self._tail_from_dense(
+                    hk[layer_id], hv[layer_id], batch.seq_lens, kernel, D)
+                ck, cv = nsa_append_block(
+                    pool.ck, pool.cv, layer_id, tk, tv, batch.seq_lens,
+                    batch.state_idx, nsa, kernel, stride,
+                )
+                pool = NSAKVCache(pool=pool.pool, ck=ck, cv=cv)
             return out, WindowKV(pool=pool, hk=hk, hv=hv)
         kv_cache = mha_write(
             kv_cache, layer_id, loc,
@@ -275,3 +403,254 @@ class NSAAttentionBackend:
             window=window, sm_scale=sm_scale,
         )
         return out, kv_cache
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _tail_from_dense(hk_l, hv_l, seq_lens, kernel, D):
+        """Last ``kernel`` tokens [B, kernel, Hk, D] from the dense
+        window buffers (clamped to >= 0 for short rows; short rows never
+        complete a block so their values are dropped by the append)."""
+        B = hk_l.shape[0]
+        tidx = jnp.maximum(
+            seq_lens[:, None] - kernel + jnp.arange(kernel)[None, :], 0
+        )
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        return hk_l[bidx, tidx][..., :D], hv_l[bidx, tidx][..., :D]
+
+    def _decode_sparse(self, kv_cache, layer_id, q, k_new, v_new, batch,
+                       sm_scale, nsa: NSAParams, kernel, stride,
+                       select_size, top_n, n_init, n_local, window):
+        """Sparse decode over the paged pool (S=1).
+
+        Bandwidth per step: compressed rows (T/stride tokens-equivalent)
+        + top_n*select_size selected tokens + window tokens — never the
+        full history (reference select_attn.py / compress_attn.py role).
+        The sliding-window branch rides the fused-write multirow kernel
+        (which also commits the current token to the pool in-kernel,
+        keeping the layer scan an aliased-pallas chain); the select
+        branch reads the pool through the NSA select kernel, or a jnp
+        per-head gather off-TPU."""
+        from sglang_fluentllm_tpu.mem.kv_cache import NSAKVCache
+        from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
+            paged_decode_multirow,
+        )
+
+        pool, ck, cv = kv_cache.pool, kv_cache.ck, kv_cache.cv
+        B, S, Hq, D = q.shape
+        Hk = k_new.shape[2]
+        G = Hq // Hk
+        Dp = pool.k.shape[-1]
+        ps = batch.page_size
+        T = batch.seq_lens                       # includes current token
+        q_pos = T - 1
+
+        # ---- window branch + pool write ------------------------------
+        if jax.default_backend() == "tpu":
+            # fused-write multirow kernel: commits the current token to
+            # the pool IN-KERNEL (aliased chain, no per-layer pool copy)
+            # and computes the sliding-window branch in the same pass
+            q2 = q[:, 0]
+            kn2, vn2 = k_new[:, 0], v_new[:, 0]
+            if Dp != D:
+                pad3 = ((0, 0), (0, 0), (0, Dp - D))
+                q2 = jnp.pad(q2, pad3)
+                kn2 = jnp.pad(kn2, pad3)
+                vn2 = jnp.pad(vn2, pad3)
+            win_o, k2, v2 = paged_decode_multirow(
+                q2, pool.k, pool.v, layer_id,
+                batch.page_tables, T,
+                k_new=kn2, v_new=vn2,
+                new_slots=batch.out_cache_loc[:, 0],
+                window=window,
+                page_size=ps, sm_scale=sm_scale,
+                run_only=batch.pages_are_runs,
+            )
+            pool = type(pool)(k=k2, v=v2)
+            win_o = win_o[..., :D].reshape(B, Hk, G, D)
+        else:
+            # CPU/test fallback: scatter write + sparse gather of the
+            # last `window` tokens only (still never the full history)
+            from sglang_fluentllm_tpu.mem.kv_cache import mha_write
+
+            pool = mha_write(
+                pool, layer_id, batch.out_cache_loc.reshape(-1),
+                k_new.reshape(B * S, Hk, D),
+                v_new.reshape(B * S, Hk, D),
+            )
+            qf0 = (q.astype(jnp.float32) * sm_scale).reshape(B, Hk, G, D)
+            Wp = min(window, batch.page_tables.shape[1] * ps)
+            wk, wv = self._gather_tail(
+                pool, layer_id, batch, T, Wp, D)   # [B, Wp, Hk, D]
+            wpos = (T[:, None] - Wp
+                    + jnp.arange(Wp)[None, :])     # [B, Wp] token ids
+            wvalid = wpos >= jnp.maximum(T - window, 0)[:, None]
+            wvalid &= wpos >= 0
+            s = jnp.einsum("bhgd,bnhd->bhgn", qf0,
+                           wk.astype(jnp.float32))
+            s = jnp.where(wvalid[:, None, None, :], s, NEG)
+            p = jax.nn.softmax(s, axis=-1)
+            p = jnp.where(
+                jnp.any(wvalid, axis=-1)[:, None, None, None], p, 0.0)
+            win_o = jnp.einsum("bhgn,bnhd->bhgd", p,
+                               wv.astype(jnp.float32))
+
+        # ---- compressed-cache append (may complete one block) --------
+        tail_k, tail_v = self._gather_tail(
+            pool, layer_id, batch, T, kernel, D)
+        ck, cv = nsa_append_block(
+            ck, cv, layer_id, tail_k, tail_v, T, batch.state_idx,
+            nsa, kernel, stride,
+        )
+
+        # ---- compressed branch over the cached rows ------------------
+        Tcap = batch.page_tables.shape[1] * ps
+        NBcap = ck.shape[2]
+        NB = min(max((Tcap - kernel) // stride + 1, 0), NBcap)
+        sidx = _sanitize_sidx(batch.state_idx, ck.shape[1])
+        ckb = ck[layer_id, sidx, :NB]            # [B, NB, Hk, D]
+        cvb = cv[layer_id, sidx, :NB]
+        nb = jnp.where(T >= kernel, (T - kernel) // stride + 1, 0)
+        qf = (q.astype(jnp.float32) * sm_scale).reshape(B, Hk, G, D)
+        cs = jnp.einsum("bhgd,bnhd->bhgn", qf,
+                        ckb.astype(jnp.float32))  # [B, Hk, G, NB]
+        vis = jnp.arange(NB)[None, :] < nb[:, None]       # [B, NB]
+        cs = jnp.where(vis[:, None, None, :], cs, NEG)
+        any_vis = jnp.any(vis, axis=-1)[:, None, None, None]
+        cprobs = jax.nn.softmax(cs, axis=-1)
+        cprobs = jnp.where(any_vis, cprobs, 0.0)
+        cmp_o = jnp.einsum("bhgn,bnhd->bhgd", cprobs,
+                           cvb.astype(jnp.float32))       # [B, Hk, G, D]
+
+        # ---- select scores + top-k blocks ----------------------------
+        NSel = -(-Tcap // select_size)
+        w = select_overlap_weights(NB, NSel, kernel, stride, select_size)
+        sel_scores = jnp.einsum("bhgn,mn->bhgm", cprobs, w)
+        sel_scores = sel_scores.sum(2)                    # [B, Hk, NSel]
+        q_blk = q_pos // select_size                      # [B]
+        sel_ids = jnp.arange(NSel)[None, :]               # [1, NSel]
+        if n_init > 0:
+            init_mask = (sel_ids < n_init) & (sel_ids <= q_blk[:, None])
+            sel_scores = jnp.where(init_mask[:, None], KEEP, sel_scores)
+        if n_local > 0:
+            local_mask = (sel_ids > q_blk[:, None] - n_local) & (
+                sel_ids <= q_blk[:, None])
+            sel_scores = jnp.where(local_mask[:, None], KEEP, sel_scores)
+        causal_blk = sel_ids <= q_blk[:, None]
+        sel_scores = jnp.where(causal_blk[:, None], sel_scores, NEG)
+        Ksel = min(top_n, NSel)
+        _, top_blk = jax.lax.top_k(sel_scores, Ksel)      # [B, Hk, Ksel]
+        # mark blocks that only made top-k as NEG padding as invalid
+        blk_valid = jnp.take_along_axis(
+            jnp.broadcast_to(causal_blk[:, None], sel_scores.shape),
+            top_blk, axis=-1,
+        )
+        top_blk = jnp.where(blk_valid, top_blk, -1)
+
+        # ---- select branch over ONLY the chosen blocks ---------------
+        slc_o = self._select_attend(
+            pool, layer_id, qf, top_blk, batch, T, select_size, Dp, D,
+        )                                                  # [B, Hk, G, D]
+
+        # ---- gate fusion (qwen3_nsa.py:810) --------------------------
+        feats = jnp.stack([
+            cmp_o.reshape(B, 1, Hq, D)[:, 0],
+            slc_o.reshape(B, 1, Hq, D)[:, 0],
+            win_o.astype(jnp.float32).reshape(B, 1, Hq, D)[:, 0],
+        ], axis=-2)                                        # [B, Hq, 3, D]
+        flat = feats.reshape(B, Hq, 3 * D)
+        gates = jax.nn.sigmoid(jnp.einsum(
+            "bhf,hgf->bhg", flat, nsa.fusion_w.astype(jnp.float32)
+        ))                                                 # [B, Hq, 3]
+        out = jnp.einsum("bhg,bhgd->bhd", gates, feats)
+        out = out[:, None].astype(q.dtype)                 # [B, 1, Hq, D]
+        return out, NSAKVCache(pool=pool, ck=ck, cv=cv)
+
+    @staticmethod
+    def _gather_tail(pool, layer_id, batch, T, kernel, D):
+        """Last ``kernel`` tokens of each row from the paged pool
+        ([B, kernel, Hk, D]); reads AFTER the fused write, so the
+        current token is present. Combined (layer, head, slot) index
+        gather on the STACKED pool — ``pool.k[layer_id]`` would
+        dynamic-slice-copy a whole layer per call."""
+        ps = batch.page_size
+        B = T.shape[0]
+        Hk = pool.k.shape[1]
+        tidx = jnp.maximum(
+            T[:, None] - kernel + jnp.arange(kernel)[None, :], 0
+        )                                         # [B, kernel] token ids
+        pt = batch.page_tables
+        slot = jnp.take_along_axis(pt, tidx // ps, axis=1) * ps + tidx % ps
+        lidx = jnp.broadcast_to(
+            jnp.asarray(layer_id, jnp.int32), (B, kernel, Hk))
+        hidx = jnp.broadcast_to(
+            jnp.arange(Hk, dtype=jnp.int32), (B, kernel, Hk))
+        sidx = jnp.broadcast_to(slot[:, :, None], (B, kernel, Hk))
+        k = pool.k[lidx, hidx, sidx]              # [B, kernel, Hk, Dp]
+        v = pool.v[lidx, hidx, sidx]
+        return k[..., :D], v[..., :D]
+
+    @staticmethod
+    def _select_attend(pool, layer_id, qf, top_blk, batch, T,
+                       select_size, Dp, D):
+        """Attention over the union of the selected blocks' tokens.
+
+        jnp per-head gather formulation (CPU / fallback): bandwidth is
+        already sparse (only selected tokens move), but it pays a
+        dynamic-slice copy of one layer; the Pallas kernel path
+        (pallas_nsa_select.py) reads the stacked pool in place."""
+        import os
+
+        B, Hk, G, _ = qf.shape
+        Ksel = top_blk.shape[-1]
+        ss = select_size
+        ps = batch.page_size
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and ss % 8 == 0
+            and (ss % ps == 0 or ps % ss == 0)
+            and os.environ.get("SFT_NSA_SELECT_KERNEL", "1") == "1"
+        )
+        if use_kernel:
+            from sglang_fluentllm_tpu.ops.attention.pallas_nsa_select import (
+                nsa_select_decode,
+            )
+
+            out, _, _ = nsa_select_decode(
+                qf.astype(jnp.bfloat16), pool.k, pool.v, layer_id,
+                batch.page_tables, T, top_blk,
+                select_size=ss, page_size=ps,
+                run_only=batch.pages_are_runs,
+            )
+            return out[..., :D].astype(jnp.float32)
+        # token ids of the selected blocks (invalid block -> token cap)
+        tok = (
+            top_blk[..., None] * ss
+            + jnp.arange(ss)[None, None, None, :]
+        ).reshape(B, Hk, Ksel * ss)               # [B, Hk, N]
+        valid = (top_blk[..., None] >= 0) & (
+            (top_blk[..., None] * ss
+             + jnp.arange(ss)[None, None, None, :]) < T[:, None, None, None]
+        )
+        valid = valid.reshape(B, Hk, Ksel * ss)
+        tok = jnp.clip(tok, 0, batch.page_tables.shape[1] * ps - 1)
+        pt = batch.page_tables                    # [B, P]
+        N = Ksel * ss
+        slot = (
+            jnp.take_along_axis(
+                pt, (tok // ps).reshape(B, Hk * N), axis=1,
+            ) * ps + (tok % ps).reshape(B, Hk * N)
+        ).reshape(B, Hk, N)
+        # combined (layer, head, slot) gather on the stacked pool — no
+        # per-layer dynamic-slice copy
+        lidx = jnp.broadcast_to(
+            jnp.asarray(layer_id, jnp.int32), (B, Hk, N))
+        hidx = jnp.broadcast_to(
+            jnp.arange(Hk, dtype=jnp.int32)[None, :, None], (B, Hk, N))
+        ksel = pool.k[lidx, hidx, slot][..., :D]   # [B, Hk, N, D]
+        vsel = pool.v[lidx, hidx, slot][..., :D]
+        s = jnp.einsum("bhgd,bhnd->bhgn", qf, ksel.astype(jnp.float32))
+        s = jnp.where(valid[:, :, None, :], s, NEG)
+        p = jax.nn.softmax(s, axis=-1)
+        p = jnp.where(
+            jnp.any(valid, axis=-1)[:, :, None, None], p, 0.0)
+        return jnp.einsum("bhgn,bhnd->bhgd", p, vsel.astype(jnp.float32))

@@ -401,6 +401,7 @@ class ModelRunner:
         )
 
         num_slots = (num_pages + 1 + RUN_SLACK_PAGES) * sa.page_size
+        self.num_kv_slots = num_slots
         kv_cache = create_kv_cache(
             mc, num_slots, dtype=self.dtype,
             kv_cache_dtype=sa.kv_cache_dtype, max_reqs=self.max_reqs,
@@ -495,6 +496,15 @@ class ModelRunner:
             else:  # MLA inner (Kimi-linear): replicated latents
                 inner_spec = jax.tree.map(lambda _: P(), inner)
             return HybridKVCache(mha=inner_spec, conv=P(), rec=P())
+        from sglang_fluentllm_tpu.mem.kv_cache import NSAKVCache
+
+        if isinstance(kv_cache, NSAKVCache):
+            # compressed rows shard on kv heads like the pool (dim 3)
+            return NSAKVCache(
+                pool=self._kv_spec(kv_cache.pool),
+                ck=P(None, None, None, "tp", None),
+                cv=P(None, None, None, "tp", None),
+            )
         if hasattr(kv_cache, "k"):
             return type(kv_cache)(
                 k=P(None, "tp", None, None), v=P(None, "tp", None, None)
@@ -516,9 +526,11 @@ class ModelRunner:
             RefMLABackend as _RefMLA,
         )
 
+        from sglang_fluentllm_tpu.mem.kv_cache import NSAKVCache as _NSA
+
         self._dense_window_ok = self.dp_attn_size == 1 and (
             (isinstance(self.attn_backend, _RefMHA)
-             and isinstance(self.kv_cache, _MHA))
+             and isinstance(self.kv_cache, (_MHA, _NSA)))
             or (isinstance(self.attn_backend, _RefMLA)
                 and isinstance(self.kv_cache, (_MLA, _MLA8)))
         )
@@ -1047,16 +1059,23 @@ class ModelRunner:
     # HiCache page movement (role of jit_kernel/hicache.cuh batched copies)
     # ------------------------------------------------------------------
     def _page_views(self, kv):
-        """Per-array (reshaped-to-pages view, page_axis) descriptors."""
+        """Per-array (reshaped-to-pages view, page_axis) descriptors.
+        Leaves that are not slot-indexed (per-request state rows: hybrid
+        conv/rec, OEP ring, NSA compressed rows) yield (None, None) and
+        are skipped by the hicache page movers — host tiers hold paged
+        token KV only, per-request state is recomputed on re-extend."""
         ps = self.server_args.page_size
+        slots = self.num_kv_slots
         out = []
         for leaf in jax.tree.leaves(kv):
-            if leaf.ndim == 4:     # MHA [L, H, slots, D]
-                L, H, S, D = leaf.shape
+            if leaf.ndim == 4 and leaf.shape[2] == slots:
+                L, H, S, D = leaf.shape   # MHA [L, H, slots, D]
                 out.append((leaf.reshape(L, H, S // ps, ps, D), 2))
-            else:                  # MLA [L, slots, dims]
-                L, S, D = leaf.shape
+            elif leaf.ndim == 3 and leaf.shape[1] == slots:
+                L, S, D = leaf.shape      # MLA [L, slots, dims]
                 out.append((leaf.reshape(L, S // ps, ps, D), 1))
+            else:
+                out.append((None, None))
         return out
 
     def extract_pages_device(self, pages):
@@ -1075,6 +1094,8 @@ class ModelRunner:
         def gather(kv, ids):
             outs = []
             for view, axis in self._page_views(kv):
+                if view is None:   # per-request state leaf, not paged
+                    continue
                 g = jnp.take(view, ids, axis=axis)
                 # move page axis to position 1
                 g = jnp.moveaxis(g, axis, 1)
@@ -1124,9 +1145,12 @@ class ModelRunner:
         def scatter(kv, ids, vals):
             leaves, treedef = jax.tree.flatten(kv)
             new_leaves = []
-            for leaf, (view, axis), val in zip(
-                leaves, self._page_views(kv), vals
-            ):
+            vals_it = iter(vals)
+            for leaf, (view, axis) in zip(leaves, self._page_views(kv)):
+                if view is None:   # per-request state leaf, not paged
+                    new_leaves.append(leaf)
+                    continue
+                val = next(vals_it)
                 v = jnp.moveaxis(val, 1, axis)
                 idx = [slice(None)] * view.ndim
                 idx[axis] = ids

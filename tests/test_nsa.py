@@ -196,3 +196,58 @@ class TestDeepseekMhaNsa:
             sampling_params={"max_new_tokens": 1, "temperature": 0.0},
         )
         assert out2["output_ids"][0] == toks[4]
+
+
+class TestNsaSparseDecode:
+    """The paged sparse decode path (_decode_sparse over NSAKVCache:
+    cached compressed rows + selected/window token gathers only) must
+    match the dense three-branch path bit-for-decision (same greedy
+    ids). ``decode_dense_window_bytes=0`` disables the dense-window
+    regime so every decode step takes the sparse path."""
+
+    def test_sparse_matches_dense_window_path(self):
+        dense = tiny_engine(TINY_NSA_CFG)
+        o_dense = dense.generate(input_ids=PROMPT, sampling_params=SP)
+        sparse = tiny_engine(TINY_NSA_CFG, decode_dense_window_bytes=0)
+        o_sparse = sparse.generate(input_ids=PROMPT, sampling_params=SP)
+        assert o_dense["output_ids"] == o_sparse["output_ids"]
+
+    def test_sparse_long_context(self):
+        long_prompt = [int(x) for x in
+                       np.random.RandomState(1).randint(1, 127, 80)]
+        dense = tiny_engine(TINY_NSA_CFG)
+        o_dense = dense.generate(input_ids=long_prompt, sampling_params=SP)
+        sparse = tiny_engine(TINY_NSA_CFG, decode_dense_window_bytes=0)
+        o_sparse = sparse.generate(input_ids=long_prompt,
+                                   sampling_params=SP)
+        assert o_dense["output_ids"] == o_sparse["output_ids"]
+
+    def test_sparse_decode_matches_prefill(self):
+        e = tiny_engine(TINY_NSA_CFG, decode_dense_window_bytes=0)
+        out = e.generate(input_ids=PROMPT, sampling_params=SP)
+        toks = out["output_ids"]
+        e.flush_cache()
+        out2 = e.generate(
+            input_ids=PROMPT + toks[:4],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        assert out2["output_ids"][0] == toks[4]
+
+    def test_radix_prefix_reuse_keeps_sparse_correct(self):
+        """A second request reusing a radix-cached prefix gets correct
+        compressed rows (refresh-on-extend recomputes from the pool)."""
+        e = tiny_engine(TINY_NSA_CFG, decode_dense_window_bytes=0)
+        o1 = e.generate(input_ids=PROMPT, sampling_params=SP)
+        # same prompt again: radix hit -> prefix_len > 0 on extend
+        o2 = e.generate(input_ids=PROMPT, sampling_params=SP)
+        assert o1["output_ids"] == o2["output_ids"]
+        assert o2["meta_info"].get("cached_tokens", 0) > 0
+
+    def test_compressed_rows_populated(self):
+        e = tiny_engine(TINY_NSA_CFG, decode_dense_window_bytes=0)
+        e.generate(input_ids=PROMPT, sampling_params=SP)
+        kv = e.runner.kv_cache
+        from sglang_fluentllm_tpu.mem.kv_cache import NSAKVCache
+
+        assert isinstance(kv, NSAKVCache)
+        assert float(np.abs(np.asarray(kv.ck)).sum()) > 0
