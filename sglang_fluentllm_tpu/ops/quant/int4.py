@@ -104,28 +104,39 @@ def int4_matmul_ref(x: jax.Array, qw: QuantizedWeightInt4) -> jax.Array:
 # Pallas dequant GEMM: stream packed bytes, unpack + dequant in VMEM
 # ----------------------------------------------------------------------
 
-def _int4_mm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+def _int4_mm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                    n_steps: int, kblk: int):
+    """One grid step processes ``kblk`` quant groups.
+
+    Measured round 5 (tools/bench_int4_gemm.py): the first-cut kernel
+    (one group/step, in-kernel jnp.concatenate of the lo/hi nibble
+    halves, 256-wide N blocks) ran 0.78x of bf16 — dominated by the
+    concat relayout and tiny per-step DMAs. This version: (a) split-dot
+    — lo/hi halves multiply their own x column slices, no relayout;
+    (b) kblk groups per step -> 4x larger weight DMAs and fewer grid
+    steps; (c) scale rows come from the full strip (Mosaic forbids
+    (1, N) blocks)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = w_ref[:].astype(jnp.int32)            # [HALF, Nb] packed
-    lo = (jnp.left_shift(b, 28) >> 28).astype(jnp.bfloat16)
-    hi = (jnp.left_shift(b, 24) >> 28).astype(jnp.bfloat16)
-    w = jnp.concatenate([lo, hi], axis=0)     # [GROUP, Nb] original order
-    x = x_ref[:].astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # s_ref holds the FULL [n_k, Nb] scale strip (a (1, Nb) block would
-    # violate Mosaic's 8-sublane block rule); row k is this group's
-    # per-channel scale
-    acc_ref[:] += part * s_ref[k]
+    for i in range(kblk):
+        b = w_ref[i * HALF:(i + 1) * HALF, :].astype(jnp.int32)
+        lo = (jnp.left_shift(b, 28) >> 28).astype(jnp.bfloat16)
+        hi = (jnp.left_shift(b, 24) >> 28).astype(jnp.bfloat16)
+        x = x_ref[:, i * GROUP:(i + 1) * GROUP].astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            x[:, :HALF], lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            x[:, HALF:], hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += part * s_ref[k * kblk + i]
 
-    @pl.when(k == n_k - 1)
+    @pl.when(k == n_steps - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
@@ -136,25 +147,29 @@ def int4_block_matmul(
     w4: jax.Array,         # [K//2, N] int8 packed
     scale: jax.Array,      # [K//GROUP, N] f32
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: int = 0,      # 0 = auto (512 when N allows)
 ) -> jax.Array:
     M, K = x.shape
     N = w4.shape[1]
+    if block_n <= 0:
+        block_n = 512 if N % 512 == 0 else 256
     assert K % GROUP == 0 and N % block_n == 0
     Mp = -(-M // block_m) * block_m
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    n_k = K // GROUP
-    grid = (Mp // block_m, N // block_n, n_k)
+    n_groups = K // GROUP
+    kblk = next(b for b in (8, 4, 2, 1) if n_groups % b == 0)
+    n_steps = n_groups // kblk
+    grid = (Mp // block_m, N // block_n, n_steps)
     out = pl.pallas_call(
-        functools.partial(_int4_mm_kernel, n_k=n_k),
+        functools.partial(_int4_mm_kernel, n_steps=n_steps, kblk=kblk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, GROUP), lambda m, n, k: (m, k),
+            pl.BlockSpec((block_m, kblk * GROUP), lambda m, n, k: (m, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HALF, block_n), lambda m, n, k: (k, n),
+            pl.BlockSpec((kblk * HALF, block_n), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_k, block_n), lambda m, n, k: (0, n),
+            pl.BlockSpec((n_groups, block_n), lambda m, n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -251,3 +251,91 @@ class TestNsaSparseDecode:
 
         assert isinstance(kv, NSAKVCache)
         assert float(np.abs(np.asarray(kv.ck)).sum()) > 0
+
+
+class TestNsaSelectKernel:
+    """Pallas select-branch kernel vs the jnp sparse gather formulation
+    (kernel-vs-jnp parity; on CPU the kernel runs in TPU interpret
+    mode). Reference contract: native_sparse_attention/select_attn.py."""
+
+    def _mk(self, B=5, Hk=2, G=2, D=64, ss=8, ps=8, Ksel=3, T_max=64,
+            seed=0):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(seed)
+        L = 2
+        P = T_max // ps
+        slots = (1 + B * P + 2) * ps
+        k_pool = jnp.asarray(
+            rng.standard_normal((L, Hk, slots, D)) * 0.3, jnp.bfloat16)
+        v_pool = jnp.asarray(
+            rng.standard_normal((L, Hk, slots, D)) * 0.3, jnp.bfloat16)
+        pages = np.zeros((B, P), np.int32)
+        for b in range(B):
+            pages[b] = 1 + b * P + np.arange(P)
+        # scatter pages for one row to exercise the fixup path
+        if P >= 2:
+            pages[0, 0], pages[0, 1] = pages[0, 1], pages[0, 0]
+        T = np.asarray(
+            [T_max, T_max - 3, ss + 1, 1, T_max // 2], np.int32)[:B]
+        NSel = T_max // ss
+        top = np.full((B, Hk, Ksel), -1, np.int32)
+        for b in range(B):
+            nsel_b = max(1, -(-int(T[b]) // ss))
+            for h in range(Hk):
+                picks = rng.permutation(nsel_b)[:Ksel]
+                top[b, h, :len(picks)] = picks
+        q = jnp.asarray(
+            rng.standard_normal((B, Hk, G, D)) * 0.3, jnp.bfloat16)
+        return (q, k_pool, v_pool, jnp.asarray(pages),
+                jnp.asarray(T), jnp.asarray(top), ss, ps)
+
+    def _jnp_ref(self, q, k_pool, v_pool, pages, T, top, ss, ps, lid):
+        import jax
+        import jax.numpy as jnp
+
+        B, Hk, G, D = q.shape
+        Ksel = top.shape[-1]
+        NEG = -1e30
+        tok = (top[..., None] * ss
+               + jnp.arange(ss)[None, None, None, :])
+        valid = (top[..., None] >= 0) & (tok < T[:, None, None, None])
+        tokf = jnp.clip(tok, 0, pages.shape[1] * ps - 1)
+        tokf = tokf.reshape(B, Hk * Ksel * ss)
+        slot = (jnp.take_along_axis(pages, tokf // ps, axis=1) * ps
+                + tokf % ps).reshape(B, Hk, Ksel * ss)
+        lidx = jnp.full((B, Hk, Ksel * ss), lid, jnp.int32)
+        hidx = jnp.broadcast_to(
+            jnp.arange(Hk)[None, :, None], (B, Hk, Ksel * ss))
+        ksel = k_pool[lidx, hidx, slot]
+        vsel = v_pool[lidx, hidx, slot]
+        s = jnp.einsum("bhgd,bhnd->bhgn", q.astype(jnp.float32),
+                       ksel.astype(jnp.float32))
+        s = jnp.where(valid.reshape(B, Hk, 1, -1), s, NEG)
+        p = jax.nn.softmax(s, axis=-1)
+        p = jnp.where(
+            jnp.any(valid.reshape(B, Hk, -1), -1)[:, :, None, None],
+            p, 0.0)
+        return jnp.einsum("bhgn,bhnd->bhgd", p, vsel.astype(jnp.float32))
+
+    @pytest.mark.parametrize("ss,ps", [(8, 8), (16, 8), (8, 16)])
+    def test_kernel_matches_jnp(self, ss, ps):
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sglang_fluentllm_tpu.ops.attention.pallas_nsa_select import (
+            nsa_select_decode,
+        )
+
+        args = self._mk(ss=ss, ps=ps, T_max=64)
+        q, k_pool, v_pool, pages, T, top = args[:6]
+        ref = np.asarray(self._jnp_ref(q, k_pool, v_pool, pages, T, top,
+                                       ss, ps, lid=1))
+        with pltpu.force_tpu_interpret_mode():
+            out, _, _ = nsa_select_decode(
+                q, k_pool, v_pool, 1, pages, T, top,
+                select_size=ss, page_size=ps, run_only=False,
+            )
+        out = np.asarray(out.astype(jax.numpy.float32))
+        np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
