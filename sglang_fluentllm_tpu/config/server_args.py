@@ -136,6 +136,10 @@ class ServerArgs:
     disaggregation_bootstrap_port: int = 8998
     disaggregation_transfer_backend: str = "fake"  # fake | tcp
     disaggregation_decode_radix_cache: bool = True
+    # KV-transfer piece size (pages): chunks split into pieces so wire
+    # time pipelines with the decode-side install chain (the token-axis
+    # analog of the reference's layer-wise transfer; disagg/pd.py)
+    pd_transfer_piece_pages: int = 16
 
     # ---- server / network ----
     host: str = "127.0.0.1"

@@ -70,9 +70,14 @@ class NextNDraftModel:
         }
 
     def param_specs(self):
+        """Replicated draft params. Shape leaves are TUPLES, which
+        jax.tree.map would otherwise descend into — producing a specs
+        tree that mismatches the params tree under tp>1 (caught by the
+        dryrun NEXTN-tree-under-tp=4 arm, round 5)."""
         from jax.sharding import PartitionSpec as P
 
-        return jax.tree.map(lambda _: P(), self.param_shapes())
+        return jax.tree.map(lambda _: P(), self.param_shapes(),
+                            is_leaf=lambda x: isinstance(x, tuple))
 
     def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
         rng = np.random.RandomState(seed)

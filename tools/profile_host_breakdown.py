@@ -1,0 +1,131 @@
+"""Host-side decode overhead attribution (round 5, VERDICT #2).
+
+profile_window measured 3.60 ms/step DEVICE time at the bench geometry
+while bench.py sees 4.58 ms/step end-to-end: ~1 ms/step (~31 ms/window)
+of host + dispatch cost that the depth-4 overlap pipeline evidently does
+NOT hide. This tool runs the REAL bench engine decode flow with timing
+wrappers around the scheduler's launch / resolve / dispatch stages and
+prints where the host milliseconds go:
+
+  dispatch   runner.forward_batch_generation (pack + jnp.asarray + jit
+             call through the axon tunnel)
+  build      _launch_next minus the dispatch inside it
+  resolve    _resolve (device_get + per-token python bookkeeping)
+  other      wall - device - accounted host
+
+Usage: python tools/profile_host_breakdown.py   (real chip)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench.py)
+
+
+def main():
+    engine = bench.build_engine()
+    sched = engine.scheduler
+    runner = engine.runner
+    rng = np.random.RandomState(0)
+    vocab = bench.QWEN25_05B["vocab_size"]
+
+    def prompts(seed):
+        r = np.random.RandomState(seed)
+        return [
+            [int(x) for x in r.randint(0, vocab, bench.PREFILL_LEN)]
+            for _ in range(bench.BATCH_SIZE)
+        ]
+
+    acc = {"dispatch": 0.0, "launch": 0.0, "resolve": 0.0,
+           "n_dispatch": 0, "n_resolve": 0, "step_wall": 0.0,
+           "n_step": 0}
+
+    orig_fwd = runner.forward_batch_generation
+    orig_launch = sched._launch_next
+    orig_resolve = sched._resolve
+    orig_step = sched.step
+
+    def fwd(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_fwd(*a, **kw)
+        acc["dispatch"] += time.perf_counter() - t0
+        acc["n_dispatch"] += 1
+        return out
+
+    def launch():
+        t0 = time.perf_counter()
+        out = orig_launch()
+        acc["launch"] += time.perf_counter() - t0
+        return out
+
+    def resolve(b):
+        t0 = time.perf_counter()
+        out = orig_resolve(b)
+        acc["resolve"] += time.perf_counter() - t0
+        acc["n_resolve"] += 1
+        return out
+
+    def step():
+        t0 = time.perf_counter()
+        out = orig_step()
+        acc["step_wall"] += time.perf_counter() - t0
+        acc["n_step"] += 1
+        return out
+
+    runner.forward_batch_generation = fwd
+    sched._launch_next = launch
+    sched._resolve = resolve
+    sched.step = step
+
+    sp = {"max_new_tokens": bench.SHORT_NEW, "temperature": 0.0,
+          "ignore_eos": True}
+    # warmup/compile
+    engine.generate(input_ids=prompts(99), sampling_params=sp)
+    engine.flush_cache()
+    engine.generate(
+        input_ids=prompts(98),
+        sampling_params=dict(sp, max_new_tokens=bench.LONG_NEW))
+    engine.flush_cache()
+
+    for k in acc:
+        acc[k] = 0.0 if isinstance(acc[k], float) else 0
+
+    t0 = time.perf_counter()
+    engine.generate(
+        input_ids=prompts(1),
+        sampling_params=dict(sp, max_new_tokens=bench.LONG_NEW))
+    wall = time.perf_counter() - t0
+
+    n_tokens = bench.BATCH_SIZE * bench.LONG_NEW
+    build = acc["launch"] - acc["dispatch"]
+    print(json.dumps({
+        "metric": "host_breakdown",
+        "wall_s": round(wall, 3),
+        "tok_s": round(n_tokens / wall, 0),
+        "dispatch_ms_total": round(acc["dispatch"] * 1e3, 1),
+        "build_ms_total": round(build * 1e3, 1),
+        "resolve_ms_total": round(acc["resolve"] * 1e3, 1),
+        "step_wall_ms_total": round(acc["step_wall"] * 1e3, 1),
+        "n_dispatch": acc["n_dispatch"],
+        "n_resolve": acc["n_resolve"],
+        "per_window_ms": {
+            "dispatch": round(acc["dispatch"] / max(acc["n_dispatch"], 1)
+                              * 1e3, 2),
+            "resolve": round(acc["resolve"] / max(acc["n_resolve"], 1)
+                             * 1e3, 2),
+        },
+        "outside_step_ms": round(
+            (wall - acc["step_wall"]) * 1e3, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
