@@ -148,17 +148,21 @@ def main():
     run(engine, prompts(98), LONG_NEW)
     engine.flush_cache()
 
-    # the tunneled chip is shared: run the pair several times and take
-    # the BEST decode delta (contention only ever inflates timings)
-    best_delta = float("inf")
+    # the tunneled chip is shared: run the pair several times. Contention
+    # only ever INFLATES a timing, so min() of each phase is the clean
+    # estimate; min of per-rep (t_long - t_short) would be biased LOW
+    # whenever contention hit the short phase of one rep (an inflated
+    # t_short fakes a small delta — caught round 5).
     t_short_best = float("inf")
+    t_long_best = float("inf")
     for rep in range(3):
         t_short = run(engine, prompts(1 + 10 * rep), SHORT_NEW)
         engine.flush_cache()
         t_long = run(engine, prompts(2 + 10 * rep), LONG_NEW)
         engine.flush_cache()
-        best_delta = min(best_delta, t_long - t_short)
         t_short_best = min(t_short_best, t_short)
+        t_long_best = min(t_long_best, t_long)
+    best_delta = t_long_best - t_short_best
 
     n_decode_tokens = BATCH_SIZE * (LONG_NEW - SHORT_NEW)
     decode_tps = n_decode_tokens / best_delta

@@ -3,23 +3,20 @@
 Reads ONLY the selected blocks' tokens from the paged pool — the sparse
 NSA contract (reference ``native_sparse_attention/select_attn.py``, 494
 LoC Triton): per (row, kv-head), the top-k select blocks chosen from the
-compressed-branch probabilities are DMA'd from HBM and attended with a
-streaming softmax. Bandwidth per (row, head) = top_n * select_size
-tokens, independent of context length.
+compressed-branch probabilities are DMA'd from HBM and attended.
 
-Design follows ``pallas_decode_multirow.py`` (same scalar-prefetch /
-double-buffered DMA / aliased-pool conventions): one grid cell owns
-``rows`` batch rows; work items are (row, kv head, select block); the
-pool flows through as an aliased passthrough so the layer scan stays a
-copy-free chain. The current token is already in the pool — the sparse
-decode path runs the fused-write multirow (window-branch) kernel first.
+Work decomposition (round-5 v2): ONE work item per (row, kv head) that
+issues ALL Ksel block-pair DMAs at once and runs a single softmax over
+the [G_PAD, Ksel*ss] score tile. The v1 kernel used one work item per
+(row, head, block) with a streaming softmax — 512 sequential small
+items at the 8k bench geometry, whose per-item fixed cost (DMA latency
++ tiny vector ops) made the sparse path 12x SLOWER than dense
+(perf/nsa_decode_r5.log). Fewer, fatter items put every DMA in flight
+together and feed the MXU one fat tile.
 
-Block DMA shapes: ``select_size`` consecutive tokens. With
-``select_size >= page_size`` the block covers whole pages — fetched as
-one coalesced run DMA plus per-page fixups (allocator hands out
-sequential pages; see multirow's big_dmas). With ``page_size >
-select_size`` the block sits inside one page — a single strided DMA.
-Caller guarantees ``select_size % 8 == 0`` (sublane tile) and one of
+Invalid block slots (id < 0, top-k padding) DMA page 0 (the pool's
+scratch page) so start/wait counts stay unconditional; their columns are
+masked in the score tile. Requires ``select_size % 8 == 0`` and one of
 ``select_size % page_size == 0`` / ``page_size % select_size == 0``.
 """
 
@@ -52,11 +49,8 @@ def _sel_kernel(
     k_out,             # aliased passthrough
     v_out,
     # scratch
-    k_buf,             # [nbuf, ss, D] VMEM
+    k_buf,             # [nbuf, Ksel, ss, D] VMEM
     v_buf,
-    acc_ref,           # [G_PAD, D] f32
-    m_ref,             # [G_PAD, 128] f32
-    l_ref,             # [G_PAD, 128] f32
     sem,               # DMA sems [nbuf, 2]
     *,
     rows: int,
@@ -72,84 +66,76 @@ def _sel_kernel(
     ps = page_size
     ss = select_size
     Hk = num_kv_heads
-    per_row = Hk * ksel
-    n_work = rows * per_row
+    n_work = rows * Hk
 
     def row_of(t):
-        return blk * rows + t // per_row
+        return blk * rows + t // Hk
 
     def head_of(t):
-        return (t // ksel) % Hk
+        return t % Hk
 
-    def j_of(t):
-        return t % ksel
-
-    def blk_of(t):
-        return top_blk_ref[row_of(t), head_of(t), j_of(t)]
-
-    def valid(t):
-        return blk_of(t) >= 0
-
-    def big_dmas(slot, t):
+    def block_start(t, j):
+        """First pool slot of select block j (clamped for invalid)."""
         b = row_of(t)
-        h = head_of(t)
-        ts = jnp.maximum(blk_of(t), 0) * ss
+        ts = jnp.maximum(top_blk_ref[b, head_of(t), j], 0) * ss
         if ss >= ps:
-            first = page_tables_ref[b, ts // ps]
-            start = first * ps
-        else:
-            page = page_tables_ref[b, ts // ps]
-            start = page * ps + ts % ps
-        return [
-            pltpu.make_async_copy(
+            return page_tables_ref[b, ts // ps] * ps
+        page = page_tables_ref[b, ts // ps]
+        return page * ps + ts % ps
+
+    def all_dmas(slot, t):
+        h = head_of(t)
+        out = []
+        for j in range(ksel):
+            start = block_start(t, j)
+            out.append(pltpu.make_async_copy(
                 k_hbm.at[layer, h, pl.ds(start, ss), :],
-                k_buf.at[slot], sem.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
+                k_buf.at[slot, j], sem.at[slot, 0],
+            ))
+            out.append(pltpu.make_async_copy(
                 v_hbm.at[layer, h, pl.ds(start, ss), :],
-                v_buf.at[slot], sem.at[slot, 1],
-            ),
-        ]
+                v_buf.at[slot, j], sem.at[slot, 1],
+            ))
+        return out
 
     def fixup_dmas(slot, t):
-        """Per-page patches when the block's pages are not a physical
-        run (ss >= ps case only)."""
-        if ss < ps:
+        """Per-page patches when a block's pages are not a physical run
+        (ss >= ps case only)."""
+        if ss < ps or run_only:
             return []
         b = row_of(t)
         h = head_of(t)
-        ts = jnp.maximum(blk_of(t), 0) * ss
-        first = page_tables_ref[b, ts // ps]
         npg = ss // ps
         n_pages = pl.cdiv(seq_lens_ref[b], ps)
         out = []
-        for i in range(npg):
-            page = page_tables_ref[b, ts // ps + i]
-            bad = (page != first + i) & (ts // ps + i < n_pages)
-            grp = [
-                pltpu.make_async_copy(
-                    k_hbm.at[layer, h, pl.ds(page * ps, ps), :],
-                    k_buf.at[slot, pl.ds(i * ps, ps), :],
-                    sem.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    v_hbm.at[layer, h, pl.ds(page * ps, ps), :],
-                    v_buf.at[slot, pl.ds(i * ps, ps), :],
-                    sem.at[slot, 1],
-                ),
-            ]
-            out.append((bad, grp))
+        for j in range(ksel):
+            ts = jnp.maximum(top_blk_ref[b, h, j], 0) * ss
+            first = page_tables_ref[b, ts // ps]
+            for i in range(npg):
+                page = page_tables_ref[b, ts // ps + i]
+                bad = (page != first + i) & (ts // ps + i < n_pages)
+                grp = [
+                    pltpu.make_async_copy(
+                        k_hbm.at[layer, h, pl.ds(page * ps, ps), :],
+                        k_buf.at[slot, j, pl.ds(i * ps, ps), :],
+                        sem.at[slot, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        v_hbm.at[layer, h, pl.ds(page * ps, ps), :],
+                        v_buf.at[slot, j, pl.ds(i * ps, ps), :],
+                        sem.at[slot, 1],
+                    ),
+                ]
+                out.append((bad, grp))
         return out
 
     def start(slot, t):
-        for dma in big_dmas(slot, t):
+        for dma in all_dmas(slot, t):
             dma.start()
 
     def wait_and_fixup(slot, t):
-        for dma in big_dmas(slot, t):
+        for dma in all_dmas(slot, t):
             dma.wait()
-        if run_only or ss < ps:
-            return
         fixes = fixup_dmas(slot, t)
         for cond, grp in fixes:
             @pl.when(cond)
@@ -162,67 +148,53 @@ def _sel_kernel(
                 for dma in grp:
                     dma.wait()
 
-    o_ref[:] = jnp.zeros_like(o_ref)
-
     for t0 in range(min(nbuf - 1, n_work)):
-        @pl.when(valid(t0))
-        def _(t0=t0):
-            start(t0 % nbuf, t0)
+        start(t0 % nbuf, t0)
 
     def body(t, carry):
-        r = t // per_row
+        r = t // Hk
         h = head_of(t)
-        j = j_of(t)
-        slot = jax.lax.rem(t, nbuf)
         b = row_of(t)
+        slot = jax.lax.rem(t, nbuf)
 
-        t_ahead = jnp.minimum(t + nbuf - 1, n_work - 1)
+        t_ahead = t + nbuf - 1
 
-        @pl.when((t + nbuf - 1 < n_work) & valid(t_ahead))
+        @pl.when(t_ahead < n_work)
         def _():
             start(jax.lax.rem(t_ahead, nbuf), t_ahead)
 
-        @pl.when(j == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-            l_ref[:] = jnp.zeros_like(l_ref)
-
-        @pl.when(valid(t))
-        def _():
-            wait_and_fixup(slot, t)
-            ts = blk_of(t) * ss
-            seq_len = seq_lens_ref[b]
-            qh = q_ref[r, h]                     # [G_PAD, D]
-            k = k_buf[slot]                      # [ss, D]
-            v = v_buf[slot]
-            s = jax.lax.dot_general(
-                qh, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                    # [G_PAD, ss]
-            col = ts + jax.lax.broadcasted_iota(
-                jnp.int32, (G_PAD, ss), 1)
-            s = jnp.where(col < seq_len, s, NEG_INF)
-            m_prev = m_ref[:, :1]
-            l_prev = l_ref[:, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        wait_and_fixup(slot, t)
+        seq_len = seq_lens_ref[b]
+        qh = q_ref[r, h]                         # [G_PAD, D]
+        D = qh.shape[-1]
+        k = k_buf[slot].reshape(ksel * ss, D)
+        v = v_buf[slot].reshape(ksel * ss, D)
+        s = jax.lax.dot_general(
+            qh, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # [G_PAD, ksel*ss]
+        # mask per block: invalid block or token >= seq_len
+        iota = jax.lax.broadcasted_iota(jnp.int32, (G_PAD, ksel * ss), 1)
+        col_in_blk = jax.lax.rem(iota, ss)
+        mask = jnp.zeros((G_PAD, ksel * ss), jnp.bool_)
+        for j in range(ksel):
+            bj = top_blk_ref[b, h, j]
+            mj = (
+                (iota >= j * ss) & (iota < (j + 1) * ss)
+                & (bj >= 0)
+                & (bj * ss + col_in_blk < seq_len)
             )
-            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-
-        @pl.when(j == ksel - 1)
-        def _():
-            l = l_ref[:, :1]
-            o_ref[r, h] = (
-                acc_ref[:] / jnp.maximum(l, 1e-20)
-            ).astype(o_ref.dtype)
-
+            mask = mask | mj
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = jnp.where(mask, p, 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(l, 1e-20)
+        o_ref[r, h] = o.astype(o_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, n_work, body, 0)
@@ -269,10 +241,10 @@ def nsa_select_decode(
         )
     qs = qs.astype(k_cache.dtype)
 
-    nbuf = 8
-    buf_bytes = select_size * Dp * k_cache.dtype.itemsize * 2
-    while nbuf > 2 and nbuf * buf_bytes > 8 * 1024 * 1024:
-        nbuf //= 2
+    nbuf = 2
+    buf_bytes = Ksel * select_size * Dp * k_cache.dtype.itemsize * 2
+    while nbuf > 1 and nbuf * buf_bytes > 16 * 1024 * 1024:
+        nbuf -= 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -294,11 +266,8 @@ def nsa_select_decode(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, select_size, Dp), k_cache.dtype),
-            pltpu.VMEM((nbuf, select_size, Dp), v_cache.dtype),
-            pltpu.VMEM((G_PAD, Dp), jnp.float32),
-            pltpu.VMEM((G_PAD, 128), jnp.float32),
-            pltpu.VMEM((G_PAD, 128), jnp.float32),
+            pltpu.VMEM((nbuf, Ksel, select_size, Dp), k_cache.dtype),
+            pltpu.VMEM((nbuf, Ksel, select_size, Dp), v_cache.dtype),
             pltpu.SemaphoreType.DMA((nbuf, 2)),
         ],
     )

@@ -146,11 +146,14 @@ def int4_block_matmul(
     x: jax.Array,          # [M, K] bf16/f32 (K multiple of GROUP)
     w4: jax.Array,         # [K//2, N] int8 packed
     scale: jax.Array,      # [K//GROUP, N] f32
-    block_m: int = 128,
+    block_m: int = 0,      # 0 = auto (M rounded to 8, capped at 128 —
+                           # padding decode-sized M up to 128 wastes MXU)
     block_n: int = 0,      # 0 = auto (512 when N allows)
 ) -> jax.Array:
     M, K = x.shape
     N = w4.shape[1]
+    if block_m <= 0:
+        block_m = min(128, -(-M // 8) * 8)
     if block_n <= 0:
         block_n = 512 if N % 512 == 0 else 256
     assert K % GROUP == 0 and N % block_n == 0

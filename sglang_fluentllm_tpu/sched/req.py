@@ -113,6 +113,25 @@ class Req:
         return self.status in (ReqStatus.FINISHED, ReqStatus.ABORTED)
 
     # ------------------------------------------------------------------
+    def stop_ids_array(self):
+        """np array of tokens that end the request mid-window (eos unless
+        ignore_eos + stop_token_ids), or None; cached per request for the
+        scheduler's vectorized resolve fast path."""
+        cached = getattr(self, "_stop_ids_np", False)
+        if cached is not False:
+            return cached
+        import numpy as np
+
+        sp = self.sampling_params
+        ids = []
+        if not sp.ignore_eos and self.eos_token_ids:
+            ids.extend(self.eos_token_ids)
+        if sp.stop_token_ids:
+            ids.extend(sp.stop_token_ids)
+        arr = np.asarray(sorted(set(ids)), np.int64) if ids else None
+        self._stop_ids_np = arr
+        return arr
+
     def check_finished(self):
         """Reference req.py:523 check_finished semantics."""
         if self.finished():

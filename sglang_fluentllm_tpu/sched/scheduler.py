@@ -1406,35 +1406,63 @@ class Scheduler:
                     self._finalize_req(req)
                 outputs.append(self._make_output(req))
                 continue
-            tokens = (
-                [(int(ids[j, row]), float(logprobs[j, row]), j)
-                 for j in range(ids.shape[0])]
-                if multi
-                else [(int(ids[row]), float(logprobs[row]), None)]
-            )
             want_topk = (
                 tk_vals is not None
                 and req.sampling_params.top_logprobs_num > 0
             )
-            for token, lp, j in tokens:
-                if len(req.output_ids) >= req.sampling_params.max_new_tokens:
-                    break
-                req.output_ids.append(token)
-                req.output_token_logprobs.append(lp)
-                if want_topk:
-                    tv = tk_vals[j, row] if j is not None else tk_vals[row]
-                    ti = tk_ids[j, row] if j is not None else tk_ids[row]
-                    kk = req.sampling_params.top_logprobs_num
-                    req.output_top_logprobs.append(
-                        [(float(v), int(t))
-                         for v, t in zip(tv[:kk], ti[:kk])]
+            if multi and req.grammar is None and not want_topk:
+                # vectorized fast path: the per-token python loop cost
+                # ~10 ms/window at bench scale (64 reqs x 32 steps) —
+                # bulk-extend and find the first stop/eos with numpy.
+                # Semantics identical to the loop below: truncate at
+                # max_new_tokens, stop after the first eos/stop token,
+                # one check_finished on the final state.
+                sp_i2 = req.sampling_params
+                n = min(ids.shape[0],
+                        max(sp_i2.max_new_tokens - len(req.output_ids), 0))
+                if n > 0:
+                    toks = np.asarray(ids[:n, row])
+                    stops = req.stop_ids_array()
+                    if stops is not None:
+                        hit = np.isin(toks, stops)
+                        if hit.any():
+                            n = int(hit.argmax()) + 1
+                            toks = toks[:n]
+                    req.output_ids.extend(toks.tolist())
+                    req.output_token_logprobs.extend(
+                        np.asarray(logprobs[:n, row], np.float64).tolist()
                     )
-                self.num_generated_tokens += 1
-                if req.grammar is not None:
-                    req.grammar.accept(token)
-                req.check_finished()
-                if req.finished():
-                    break
+                    self.num_generated_tokens += n
+                    req.check_finished()
+            else:
+                tokens = (
+                    [(int(ids[j, row]), float(logprobs[j, row]), j)
+                     for j in range(ids.shape[0])]
+                    if multi
+                    else [(int(ids[row]), float(logprobs[row]), None)]
+                )
+                for token, lp, j in tokens:
+                    if len(req.output_ids) >= \
+                            req.sampling_params.max_new_tokens:
+                        break
+                    req.output_ids.append(token)
+                    req.output_token_logprobs.append(lp)
+                    if want_topk:
+                        tv = (tk_vals[j, row] if j is not None
+                              else tk_vals[row])
+                        ti = (tk_ids[j, row] if j is not None
+                              else tk_ids[row])
+                        kk = req.sampling_params.top_logprobs_num
+                        req.output_top_logprobs.append(
+                            [(float(v), int(t))
+                             for v, t in zip(tv[:kk], ti[:kk])]
+                        )
+                    self.num_generated_tokens += 1
+                    if req.grammar is not None:
+                        req.grammar.accept(token)
+                    req.check_finished()
+                    if req.finished():
+                        break
             if req.first_token_time is None:
                 req.first_token_time = time.monotonic()
             if (

@@ -11,12 +11,14 @@ import httpx as _httpx
 import pytest
 
 
-class _HttpxWith300sDefault:
-    """httpx proxy: 300 s default timeout on every call in this file.
+class _HttpxWithLongDefault:
+    """httpx proxy: 20 min default timeout on every call in this file.
 
     httpx's 5 s library default produced spurious ReadTimeouts whenever
-    the box was loaded (VERDICT r4 weak #2); explicit per-call timeouts
-    were easy to miss on new tests, so the default is set centrally.
+    the box was loaded (VERDICT r4 weak #2), and even 300 s per-call
+    timeouts tripped when score/rerank shapes jit-compiled under full-
+    suite load — the default is set centrally and generously; pytest
+    timeouts, not client timeouts, are the hang backstop.
     """
 
     _VERBS = ("get", "post", "put", "delete", "stream", "request")
@@ -28,13 +30,13 @@ class _HttpxWith300sDefault:
 
         @functools.wraps(attr)
         def call(*a, **kw):
-            kw.setdefault("timeout", 300.0)
+            kw.setdefault("timeout", 1200.0)
             return attr(*a, **kw)
 
         return call
 
 
-httpx = _HttpxWith300sDefault()
+httpx = _HttpxWithLongDefault()
 
 from tests.server_utils import kill_server, popen_launch_server, write_tiny_tokenizer
 from tests.utils import TINY_LLAMA_CFG, write_model_dir
@@ -57,7 +59,7 @@ class TestBasicEndpoints:
         assert httpx.get(server + "/health").status_code == 200
 
     def test_health_generate(self, server):
-        r = httpx.get(server + "/health_generate", timeout=300)
+        r = httpx.get(server + "/health_generate")
         assert r.status_code == 200
 
     def test_server_info(self, server):
@@ -73,7 +75,7 @@ class TestBasicEndpoints:
         r = httpx.post(server + "/generate", json={
             "input_ids": PROMPT_IDS,
             "sampling_params": {"max_new_tokens": 6, "temperature": 0.0},
-        }, timeout=300)
+        })
         assert r.status_code == 200
         out = r.json()
         assert len(out["output_ids"]) == 6
@@ -83,7 +85,7 @@ class TestBasicEndpoints:
         r = httpx.post(server + "/generate", json={
             "text": PROMPT_TEXT,
             "sampling_params": {"max_new_tokens": 4, "temperature": 0.0},
-        }, timeout=300)
+        })
         out = r.json()
         assert len(out["output_ids"]) == 4
         assert isinstance(out["text"], str) and out["text"]
@@ -92,7 +94,7 @@ class TestBasicEndpoints:
         r = httpx.post(server + "/generate", json={
             "input_ids": [PROMPT_IDS, [1, 2, 3]],
             "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
-        }, timeout=300)
+        })
         outs = r.json()
         assert len(outs) == 2
         assert all(len(o["output_ids"]) == 3 for o in outs)
@@ -103,7 +105,7 @@ class TestBasicEndpoints:
             "input_ids": PROMPT_IDS,
             "sampling_params": {"max_new_tokens": 5, "temperature": 0.0},
             "stream": True,
-        }, timeout=300) as r:
+        }) as r:
             assert r.status_code == 200
             assert "text/event-stream" in r.headers["content-type"]
             for line in r.iter_lines():
@@ -118,7 +120,7 @@ class TestBasicEndpoints:
             "input_ids": PROMPT_IDS,
             "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
             "return_logprob": True,
-        }, timeout=300)
+        })
         lps = r.json()["meta_info"]["output_token_logprobs"]
         assert len(lps) == 3
         assert all(lp <= 0 for lp, _tid in lps)
@@ -127,23 +129,23 @@ class TestBasicEndpoints:
         r = httpx.post(server + "/generate", json={
             "input_ids": PROMPT_IDS,
             "sampling_params": {"top_p": 0.0},
-        }, timeout=60)
+        })
         assert r.status_code == 400
 
     def test_error_on_missing_input(self, server):
         r = httpx.post(server + "/generate", json={
-            "sampling_params": {}}, timeout=60)
+            "sampling_params": {}})
         assert r.status_code == 400
 
     def test_error_on_too_long(self, server):
         r = httpx.post(server + "/generate", json={
             "input_ids": list(range(100)) * 50,
             "sampling_params": {"max_new_tokens": 4},
-        }, timeout=60)
+        })
         assert r.status_code == 400
 
     def test_flush_cache(self, server):
-        r = httpx.post(server + "/flush_cache", timeout=60)
+        r = httpx.post(server + "/flush_cache")
         assert r.status_code in (200, 503)
 
     def test_pause_continue(self, server):
@@ -160,7 +162,7 @@ class TestOpenAIEndpoints:
         r = httpx.post(server + "/v1/completions", json={
             "model": "test", "prompt": PROMPT_TEXT, "max_tokens": 5,
             "temperature": 0,
-        }, timeout=300)
+        })
         out = r.json()
         assert out["object"] == "text_completion"
         assert out["choices"][0]["text"]
@@ -170,7 +172,7 @@ class TestOpenAIEndpoints:
         r = httpx.post(server + "/v1/completions", json={
             "model": "test", "prompt": PROMPT_TEXT, "max_tokens": 2,
             "temperature": 0, "echo": True,
-        }, timeout=300)
+        })
         assert r.json()["choices"][0]["text"].startswith(PROMPT_TEXT)
 
     def test_completions_stream(self, server):
@@ -179,7 +181,7 @@ class TestOpenAIEndpoints:
             "model": "test", "prompt": PROMPT_TEXT, "max_tokens": 4,
             "temperature": 0, "stream": True,
             "stream_options": {"include_usage": True},
-        }, timeout=300) as r:
+        }) as r:
             for line in r.iter_lines():
                 if line == "data: [DONE]":
                     saw_done = True
@@ -194,7 +196,7 @@ class TestOpenAIEndpoints:
             "model": "test",
             "messages": [{"role": "user", "content": PROMPT_TEXT}],
             "max_tokens": 5, "temperature": 0,
-        }, timeout=300)
+        })
         out = r.json()
         assert out["object"] == "chat.completion"
         assert out["choices"][0]["message"]["role"] == "assistant"
@@ -206,7 +208,7 @@ class TestOpenAIEndpoints:
             "model": "test",
             "messages": [{"role": "user", "content": PROMPT_TEXT}],
             "max_tokens": 4, "temperature": 0, "stream": True,
-        }, timeout=300) as r:
+        }) as r:
             for line in r.iter_lines():
                 if line.startswith("data: ") and line != "data: [DONE]":
                     c = json.loads(line[6:])
@@ -222,7 +224,7 @@ class TestOpenAIEndpoints:
         r = httpx.post(server + "/v1/completions", json={
             "model": "test", "prompt": PROMPT_TEXT, "max_tokens": 3,
             "temperature": 0.8, "n": 2, "seed": 3,
-        }, timeout=300)
+        })
         out = r.json()
         assert len(out["choices"]) == 2
         assert [c["index"] for c in out["choices"]] == [0, 1]
@@ -233,7 +235,7 @@ class TestOpenAIEndpoints:
             "model": "test",
             "messages": [{"role": "user", "content": PROMPT_TEXT}],
             "max_tokens": 3, "temperature": 0.8, "n": 3,
-        }, timeout=300)
+        })
         out = r.json()
         assert len(out["choices"]) == 3
         assert [c["index"] for c in out["choices"]] == [0, 1, 2]
@@ -247,7 +249,7 @@ class TestScoreRerankResponses:
             "items": [[7], [19], [88]],
             "label_token_ids": [5, 9],
             "apply_softmax": True,
-        }, timeout=300)
+        })
         assert r.status_code == 200, r.text
         out = r.json()
         assert len(out["scores"]) == 3
@@ -261,7 +263,7 @@ class TestScoreRerankResponses:
             "query": [3, 11, 42],
             "items": [[7]],
             "label_token_ids": [5, 9, 23],
-        }, timeout=300)
+        })
         out = r.json()
         row = out["scores"][0]
         assert all(0.0 <= p <= 1.0 for p in row)
@@ -272,14 +274,14 @@ class TestScoreRerankResponses:
         r = httpx.post(server + "/v1/score", json={
             "model": "test", "query": [3], "items": [[7]],
             "label_token_ids": [99999],
-        }, timeout=300)
+        })
         assert r.status_code == 400
 
     def test_rerank(self, server):
         r = httpx.post(server + "/v1/rerank", json={
             "query": PROMPT_TEXT,
             "documents": ["<3> <11>", "<88> <90>", "<42> <7>"],
-        }, timeout=300)
+        })
         assert r.status_code == 200, r.text
         out = r.json()
         assert len(out) == 3
@@ -290,14 +292,14 @@ class TestScoreRerankResponses:
     def test_rerank_empty_doc(self, server):
         r = httpx.post(server + "/v1/rerank", json={
             "query": PROMPT_TEXT, "documents": ["ok", "  "],
-        }, timeout=300)
+        })
         assert r.status_code == 400
 
     def test_responses_basic_and_retrieve(self, server):
         r = httpx.post(server + "/v1/responses", json={
             "model": "test", "input": PROMPT_TEXT,
             "max_output_tokens": 4, "temperature": 0,
-        }, timeout=300)
+        })
         assert r.status_code == 200, r.text
         out = r.json()
         assert out["object"] == "response"
@@ -314,19 +316,19 @@ class TestScoreRerankResponses:
         r1 = httpx.post(server + "/v1/responses", json={
             "model": "test", "input": PROMPT_TEXT,
             "max_output_tokens": 3, "temperature": 0,
-        }, timeout=300).json()
+        }).json()
         r2 = httpx.post(server + "/v1/responses", json={
             "model": "test", "input": "<5> <9>",
             "previous_response_id": r1["id"],
             "max_output_tokens": 3, "temperature": 0,
-        }, timeout=300)
+        })
         assert r2.status_code == 200, r2.text
         assert r2.json()["previous_response_id"] == r1["id"]
         # unknown previous id -> 400
         bad = httpx.post(server + "/v1/responses", json={
             "model": "test", "input": "x",
             "previous_response_id": "resp_nope",
-        }, timeout=300)
+        })
         assert bad.status_code == 400
 
     def test_responses_stream(self, server):
@@ -334,7 +336,7 @@ class TestScoreRerankResponses:
         with httpx.stream("POST", server + "/v1/responses", json={
             "model": "test", "input": PROMPT_TEXT,
             "max_output_tokens": 4, "temperature": 0, "stream": True,
-        }, timeout=300) as r:
+        }) as r:
             assert r.status_code == 200
             for line in r.iter_lines():
                 if line.startswith("event: "):

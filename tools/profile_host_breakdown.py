@@ -46,7 +46,25 @@ def main():
 
     acc = {"dispatch": 0.0, "launch": 0.0, "resolve": 0.0,
            "n_dispatch": 0, "n_resolve": 0, "step_wall": 0.0,
-           "n_step": 0}
+           "n_step": 0, "devget": 0.0, "n_devget": 0}
+
+    # split the device_get (blocking fetch) out of resolve: wrap jax's
+    # device_get while a resolve is on the stack
+    import jax as _jax
+
+    in_resolve = {"v": False}
+    orig_devget = _jax.device_get
+
+    def devget(x):
+        if not in_resolve["v"]:
+            return orig_devget(x)
+        t0 = time.perf_counter()
+        out = orig_devget(x)
+        acc["devget"] += time.perf_counter() - t0
+        acc["n_devget"] += 1
+        return out
+
+    _jax.device_get = devget
 
     orig_fwd = runner.forward_batch_generation
     orig_launch = sched._launch_next
@@ -68,7 +86,11 @@ def main():
 
     def resolve(b):
         t0 = time.perf_counter()
-        out = orig_resolve(b)
+        in_resolve["v"] = True
+        try:
+            out = orig_resolve(b)
+        finally:
+            in_resolve["v"] = False
         acc["resolve"] += time.perf_counter() - t0
         acc["n_resolve"] += 1
         return out
@@ -121,7 +143,13 @@ def main():
                               * 1e3, 2),
             "resolve": round(acc["resolve"] / max(acc["n_resolve"], 1)
                              * 1e3, 2),
+            "resolve_devget": round(
+                acc["devget"] / max(acc["n_resolve"], 1) * 1e3, 2),
+            "resolve_python": round(
+                (acc["resolve"] - acc["devget"])
+                / max(acc["n_resolve"], 1) * 1e3, 2),
         },
+        "n_devget": acc["n_devget"],
         "outside_step_ms": round(
             (wall - acc["step_wall"]) * 1e3, 1),
     }), flush=True)
