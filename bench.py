@@ -79,13 +79,13 @@ def measure_hbm_bw() -> float:
 
     jrun = jax.jit(run)
     best = 0.0
-    for B in (64, 256):
+    for B in (64, 256, 512):
         x = jnp.asarray(
             np.random.RandomState(1).standard_normal((B, K)),
             jnp.bfloat16,
         )
         jax.device_get(jrun(x, w))  # compile + settle
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             jax.device_get(jrun(x, w))
             dt = (time.perf_counter() - t0) / R
