@@ -136,10 +136,17 @@ class ServerArgs:
     disaggregation_bootstrap_port: int = 8998
     disaggregation_transfer_backend: str = "fake"  # fake | tcp
     disaggregation_decode_radix_cache: bool = True
-    # KV-transfer piece size (pages): chunks split into pieces so wire
-    # time pipelines with the decode-side install chain (the token-axis
-    # analog of the reference's layer-wise transfer; disagg/pd.py)
-    pd_transfer_piece_pages: int = 16
+    # KV-transfer piece size (pages): 0 = ship whole chunked-prefill
+    # chunks (default). Splitting chunks into pieces pipelines wire time
+    # against the decode-side install chain (the token-axis analog of
+    # the reference's layer-wise transfer) — worth it ONLY when wire
+    # time dominates; measured on this rig's loopback HTTP transport the
+    # ~35 ms fixed cost per transfer dominates and 16-page pieces made
+    # the TTFT tail 6x WORSE (perf/pd_ttft_piped2_r5.log vs
+    # pd_ttft_r5.log), so finer-than-chunk granularity (incl. the
+    # reference's layer-wise scheme) is a net loss here. Set to e.g. 16
+    # on high-bandwidth DCN where bytes dominate.
+    pd_transfer_piece_pages: int = 0
 
     # ---- server / network ----
     host: str = "127.0.0.1"

@@ -120,8 +120,10 @@ class PDManager:
         sent = {"pages": dpl // ps}
         runner = self.engine.runner
 
-        piece = max(1, int(getattr(
-            self.engine.server_args, "pd_transfer_piece_pages", 16)))
+        piece = int(getattr(
+            self.engine.server_args, "pd_transfer_piece_pages", 0))
+        if piece <= 0:
+            piece = 1 << 30  # chunk-granular (see server_args comment)
 
         def on_chunk(req, aligned, pages, final):
             # scheduler thread: async device gather only; the sender's

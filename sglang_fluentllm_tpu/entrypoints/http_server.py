@@ -852,6 +852,15 @@ def launch_server(server_args: ServerArgs):
     from sglang_fluentllm_tpu.utils import configure_logger
 
     configure_logger(server_args.log_level)
+    # SIGUSR1 -> all-thread stack dump to stderr (reference engine.py:654
+    # installs a SIGQUIT handler for the same hang-diagnosis purpose)
+    import faulthandler
+    import signal as _signal
+
+    try:
+        faulthandler.register(_signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass
     if server_args.nnodes > 1 and server_args.node_rank > 0:
         # non-entry ranks replay rank 0's step stream (multi-host SPMD;
         # parallel/multihost.py)

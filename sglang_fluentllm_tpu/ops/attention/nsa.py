@@ -604,11 +604,17 @@ class NSAAttentionBackend:
         Ksel = top_blk.shape[-1]
         ss = select_size
         ps = batch.page_size
+        # default = jnp gather: measured on the axon v5e
+        # (perf/nsa_decode_v2_r5.log vs _jnpsel), the XLA gather path
+        # runs the 8k sparse step in 13.5 ms while the Pallas select
+        # kernel takes 56 ms — its ~1024 small DMA issues per call are
+        # the cost, not the bytes. The kernel stays available
+        # (SFT_NSA_SELECT_KERNEL=1) for runtimes with cheap DMA issue.
         use_kernel = (
             jax.default_backend() == "tpu"
             and ss % 8 == 0
             and (ss % ps == 0 or ps % ss == 0)
-            and os.environ.get("SFT_NSA_SELECT_KERNEL", "1") == "1"
+            and os.environ.get("SFT_NSA_SELECT_KERNEL", "0") == "1"
         )
         if use_kernel:
             from sglang_fluentllm_tpu.ops.attention.pallas_nsa_select import (

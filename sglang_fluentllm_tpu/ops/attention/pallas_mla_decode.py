@@ -43,6 +43,30 @@ from sglang_fluentllm_tpu.ops.attention.pallas_decode_multirow import (
 NEG_INF = -1e30
 
 
+def _e4m3_to_bf16(x):
+    """fp8 latent -> bf16 for the MXU via manual integer widening
+    (bf16_bits = s<<15 | (e+120)<<7 | m<<4, denormals -> signed zero).
+
+    Mosaic's native e4m3 convert was THE fp8-KV kernel bottleneck:
+    0.58x of bf16-KV at 8k ctx with astype, 0.92x with this path
+    (perf/mla_kernel_longctx_r5.log vs mla_kernel_bitcast_r5.log).
+    Denormal flush loses values < 2^-6 * scale — <= 1.4e-2 absolute on
+    unit-scaled latents, below the kernel's parity tolerance.
+    SFT_MLA_FP8_BITCAST=0 restores the exact native convert."""
+    import os
+
+    if os.environ.get("SFT_MLA_FP8_BITCAST", "1") == "0":
+        return x.astype(jnp.bfloat16)
+    u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    s = jnp.left_shift(jnp.right_shift(u, 7) & 1, 15)
+    e = jnp.right_shift(u, 3) & 0xF
+    m = u & 7
+    bits = s | jnp.left_shift(e + 120, 7) | jnp.left_shift(m, 4)
+    bits = jnp.where(e == 0, s, bits)  # denormals -> signed zero
+    return jax.lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.bfloat16)
+
+
 def _mla_kernel(
     # scalar prefetch
     layer_ref,         # [1] int32
@@ -242,7 +266,7 @@ def _mla_kernel(
                 # exact e4m3->bf16 cast replaces the f32 dequant chain
                 # (was ~2x decode-kernel slowdown vs bf16 KV, the
                 # opposite of the SnapMLA intent)
-                k8b = ckv8.astype(jnp.bfloat16)      # exact cast
+                k8b = _e4m3_to_bf16(ckv8)            # exact cast
                 s = jax.lax.dot_general(
                     q[:, :r_dim], k8b, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -98,6 +98,36 @@ def main():
         cv=mk(L, B + 1, NB, Hk, D),
     )
 
+    def nsa_dense_step(kv, _):
+        """The ACTUAL alternative for an NSA model: the old paged path —
+        full history gathered per layer + dense three-branch attention
+        (what the sparse path replaces; the plain-dense arm below is the
+        no-NSA floor no NSA implementation can reach)."""
+        def layer(kv, lid):
+            from sglang_fluentllm_tpu.mem.kv_cache import mha_write
+            from sglang_fluentllm_tpu.ops.attention.nsa import nsa_attend
+            from sglang_fluentllm_tpu.ops.attention.ref_backend import (
+                page_gather_mha,
+            )
+
+            pool = mha_write(
+                kv.pool, lid, fb.out_cache_loc.reshape(-1),
+                kn.reshape(B, Hk, D), vn.reshape(B, Hk, D))
+            kd = page_gather_mha(
+                pool.k[lid], fb.page_tables, PS)[..., :D]
+            vd = page_gather_mha(
+                pool.v[lid], fb.page_tables, PS)[..., :D]
+            out = nsa_attend(
+                q, kd, vd, fb.positions, fb.seq_lens, nsa_p,
+                kernel=KERNEL, stride=STRIDE, select_size=SS,
+                top_n=TOPN, n_init=1, n_local=2, window=WIN,
+                sm_scale=sm)
+            return NSAKVCache(pool=pool, ck=kv.ck, cv=kv.cv), \
+                jnp.sum(out.astype(jnp.float32))
+        kv, outs = jax.lax.scan(
+            layer, kv, jnp.arange(L, dtype=jnp.int32))
+        return kv, jnp.sum(outs)
+
     def dense_step(kv, _):
         def layer(kv, lid):
             out, k2, v2 = paged_decode_multirow(
@@ -133,11 +163,19 @@ def main():
         kv, outs = jax.lax.scan(sparse_step, kv, None, length=R)
         return jnp.sum(outs)
 
-    res = {}
-    for name, fn, kv in (
+    @jax.jit
+    def run_nsa_dense(kv):
+        kv, outs = jax.lax.scan(nsa_dense_step, kv, None, length=R)
+        return jnp.sum(outs)
+
+    arms = [
         ("dense", run_dense, MHAKVCache(k=kpool, v=vpool)),
         ("nsa_sparse", run_sparse, nsakv),
-    ):
+    ]
+    if os.environ.get("NSA_BENCH_DENSE_NSA", "1") == "1":
+        arms.append(("nsa_dense_gather", run_nsa_dense, nsakv))
+    res = {}
+    for name, fn, kv in arms:
         t0 = time.time()
         jax.device_get(fn(kv))
         print(f"{name} compile+first {time.time()-t0:.1f}s", flush=True)
@@ -159,6 +197,9 @@ def main():
         "ctx": CTX,
         "dense_ms": round(res["dense"], 3),
         "sparse_ms": round(res["nsa_sparse"], 3),
+        "vs_nsa_dense_gather": (
+            round(res["nsa_dense_gather"] / res["nsa_sparse"], 3)
+            if "nsa_dense_gather" in res else None),
     }), flush=True)
 
 
