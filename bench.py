@@ -110,6 +110,8 @@ def build_engine():
         max_running_requests=2 * BATCH_SIZE,
         decode_steps_per_launch=int(
             os.environ.get("SFT_BENCH_DECODE_STEPS", "32")),
+        overlap_pipeline_depth=int(
+            os.environ.get("SFT_BENCH_PIPELINE_DEPTH", "4")),
         random_seed=0,
         quantization=os.environ.get("SFT_BENCH_QUANT") or None,
         kv_cache_dtype=os.environ.get("SFT_BENCH_KV_DTYPE", "auto"),
