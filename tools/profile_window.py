@@ -58,13 +58,31 @@ def main():
 
     # back-to-back dispatches, one sync at the end: successive windows
     # chain on the donated kv_cache, so device execution is serial and
-    # wall/REPEAT is true device window time (+ negligible queueing)
+    # wall/REPEAT is true device window time (+ negligible queueing).
+    # PW_FETCH=1 mimics the ENGINE's loop instead: device_get the ids of
+    # window n-LAG while later windows are in flight — the delta vs the
+    # no-fetch mode is the per-window fetch-serialization cost the
+    # scheduler pays (round-5 decode-gap attribution).
+    fetch_lag = int(os.environ.get("PW_FETCH_LAG", "3"))
+    do_fetch = os.environ.get("PW_FETCH", "0") == "1"
     best = float("inf")
     for trial in range(3):
+        pending = []
         t0 = time.perf_counter()
         for _ in range(REPEAT):
             ids, lp, _ = runner.forward_batch_generation(
                 batch, sampling, 0)
+            if do_fetch:
+                try:
+                    ids.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append(ids)
+                if len(pending) > fetch_lag:
+                    jax.device_get(pending.pop(0))
+        if do_fetch:
+            for x in pending:
+                jax.device_get(x)
         jax.block_until_ready((ids, lp))
         dt = (time.perf_counter() - t0) / REPEAT
         best = min(best, dt)
@@ -72,7 +90,8 @@ def main():
               f"per-step {1000*dt/pd.K_STEPS:6.3f} ms  "
               f"({pd.B/(dt/pd.K_STEPS):8.0f} tok/s)", flush=True)
     print(f"BEST per-step {1000*best/pd.K_STEPS:6.3f} ms "
-          f"({pd.B/(best/pd.K_STEPS):8.0f} tok/s)", flush=True)
+          f"({pd.B/(best/pd.K_STEPS):8.0f} tok/s)  fetch={do_fetch}",
+          flush=True)
 
 
 if __name__ == "__main__":
