@@ -96,10 +96,15 @@ class BatchBuilder:
 
     def _pages_bucket(self, max_pages: int) -> int:
         # finer-than-pow2 buckets below 64 pages: dense-window attention
-        # reads the WHOLE padded bucket, so a pow2 jump (e.g. 10 -> 16
-        # pages) costs up to 60% wasted KV traffic per step; multiples of
-        # 4 cap the waste at ~one page-quad per row (a few extra jit
-        # shapes, compiled once)
+        # re-reads the WHOLE padded bucket EVERY in-window step, so each
+        # pad page costs B * page_size * kv_cell bytes PER STEP (~0.13
+        # ms/step per two pages at the bench geometry — round-5 step-byte
+        # accounting closed the engine-vs-harness gap on exactly this).
+        # Multiples of 2 up to 32 pages cap the waste at one page-pair
+        # per row; of 4 up to 64; pow2 beyond (a few extra jit shapes,
+        # compiled once).
+        if max_pages <= 32:
+            return max(self.min_pages_bucket, -(-max_pages // 2) * 2)
         if max_pages <= 64:
             return max(self.min_pages_bucket, -(-max_pages // 4) * 4)
         return next_power_of_2(max_pages)
