@@ -71,6 +71,37 @@ def main():
     orig_resolve = sched._resolve
     orig_step = sched.step
 
+    # count + time is_ready polls (the sync generate loop spins on
+    # step() -> head.ids_dev.is_ready(); if each poll is a tunnel RPC
+    # the spin itself serializes the transport)
+    acc["isready"] = 0.0
+    acc["n_isready"] = 0
+    import sglang_fluentllm_tpu.sched.scheduler as _sched_mod
+
+    class _Probe:
+        pass
+
+    orig_step_inner = sched._step_inner
+
+    def step_inner():
+        # monkeypatch is awkward on array methods; sample by wrapping
+        # the pending heads' is_ready through a timing shim
+        pending = sched.pending
+        if pending:
+            head = pending[0]
+            ids = head.ids_dev
+            real = type(ids).is_ready
+
+            t0 = time.perf_counter()
+            try:
+                real(ids)
+            finally:
+                acc["isready"] += time.perf_counter() - t0
+                acc["n_isready"] += 1
+        return orig_step_inner()
+
+    sched._step_inner = step_inner
+
     def fwd(*a, **kw):
         t0 = time.perf_counter()
         out = orig_fwd(*a, **kw)
@@ -150,6 +181,8 @@ def main():
                 / max(acc["n_resolve"], 1) * 1e3, 2),
         },
         "n_devget": acc["n_devget"],
+        "isready_ms_total": round(acc["isready"] * 1e3, 1),
+        "n_isready": acc["n_isready"],
         "outside_step_ms": round(
             (wall - acc["step_wall"]) * 1e3, 1),
     }), flush=True)
