@@ -394,4 +394,6 @@ class Engine:
         }
 
     def shutdown(self):
-        pass
+        pool = getattr(self.scheduler, "_fetch_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)

@@ -839,3 +839,6 @@ class AsyncEngine:
     def shutdown(self):
         self._shutdown.set()
         self._thread.join(timeout=5)
+        pool = getattr(self.scheduler, "_fetch_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)

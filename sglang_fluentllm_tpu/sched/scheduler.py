@@ -84,6 +84,28 @@ class InFlightBatch:
     # read — skipping it saves one D2H round trip per window (~25 ms fixed
     # per array on tunneled backends)
     lp_needed: bool = True
+    # background fetch result (scheduler's fetch thread; round 5: a
+    # blocking device_get costs ~60 ms flat through the tunnel and
+    # stalls the DISPATCH stream while it waits — profiled in
+    # perf/jaxprof_try_r5.log — so the fetch runs off-thread and the
+    # loop only joins a finished future)
+    host_future: Any = None
+
+    def fetch_host(self):
+        """All host-side arrays this batch's resolve needs (runs on the
+        fetch thread; single worker keeps FIFO order)."""
+        out = {"ids": jax.device_get(self.ids_dev)}
+        if self.lp_needed:
+            out["logprobs"] = jax.device_get(self.logprobs_dev)
+        if self.counts_dev is not None:
+            out["counts"] = jax.device_get(self.counts_dev)
+        if self.extras_dev is not None:
+            tv, ti, il = self.extras_dev
+            if tv.size:
+                out["tk"] = jax.device_get((tv, ti))
+            if il.size:
+                out["inp_lp"] = jax.device_get(il)
+        return out
 
     def __post_init__(self):
         # start D2H transfers NOW: the device finishes this window while
@@ -163,6 +185,13 @@ class Scheduler:
             server_args.overlap_pipeline_depth if self.overlap else 1
         )
         self._launch_seq = 0
+        # single-worker fetch thread: D2H joins happen off the dispatch
+        # path (see InFlightBatch.fetch_host); one worker preserves FIFO
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._fetch_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="d2h-fetch"
+        )
         # Speculative windows PIPELINE (spec x overlap): accept lengths and
         # last-accepted tokens stay device-resident in the runner's future
         # rings, so window n+1 launches while window n is unresolved
@@ -769,6 +798,9 @@ class Scheduler:
                 self._launch_seq += 1
                 launched.seq = self._launch_seq
                 launched.t_launch = time.monotonic()
+                launched.host_future = self._fetch_pool.submit(
+                    launched.fetch_host
+                )
                 self.pending.append(launched)
             else:
                 # nothing launchable RIGHT NOW (e.g. every waiting request
@@ -789,7 +821,9 @@ class Scheduler:
             stalled = False
             draining = not self._has_launchable_work()
             try:
-                ready = bool(head.ids_dev.is_ready())
+                ready = (head.host_future.done()
+                         if head.host_future is not None
+                         else bool(head.ids_dev.is_ready()))
             except Exception:
                 ready = True
             if not (ready or full or draining):
@@ -1305,13 +1339,20 @@ class Scheduler:
 
     # ------------------------------------------------------------------
     def _resolve(self, batch: InFlightBatch) -> List[StepOutput]:
-        # host sync (behind by pipeline depth). jax.device_get, NOT
+        # host sync (behind by pipeline depth). The arrays were fetched
+        # by the d2h-fetch thread starting at launch time, so this join
+        # normally finds finished results; jax.device_get (NOT
         # np.asarray: the buffer-protocol path costs ~24ms/array on
-        # tunneled TPU backends. The transfers were started at launch
-        # (InFlightBatch.__post_init__), so this mostly finds local bytes.
-        ids = jax.device_get(batch.ids_dev)
+        # tunneled TPU backends) is the fallback for hand-built batches.
+        fetched = (batch.host_future.result()
+                   if batch.host_future is not None else None)
+        if fetched is not None:
+            ids = fetched["ids"]
+        else:
+            ids = jax.device_get(batch.ids_dev)
         if batch.lp_needed:
-            logprobs = jax.device_get(batch.logprobs_dev)
+            logprobs = (fetched["logprobs"] if fetched is not None
+                        else jax.device_get(batch.logprobs_dev))
         else:
             # greedy/no-logprob window: skip the device fetch. NaN
             # sentinel, NOT zeros: every surfaced consumer (meta_info
@@ -1332,9 +1373,11 @@ class Scheduler:
         if batch.extras_dev is not None:
             tv, ti, il = batch.extras_dev
             if tv.size:
-                tk_vals, tk_ids = jax.device_get((tv, ti))
+                tk_vals, tk_ids = (fetched["tk"] if fetched is not None
+                                   else jax.device_get((tv, ti)))
             if il.size:
-                inp_lp = jax.device_get(il)
+                inp_lp = (fetched["inp_lp"] if fetched is not None
+                          else jax.device_get(il))
         if self.server_args.enable_nan_detection and np.isnan(
             logprobs
         ).any():
@@ -1501,7 +1544,10 @@ class Scheduler:
     def _resolve_spec(self, batch: InFlightBatch, ids, logprobs):
         """Consume one speculative window: accept_count tokens per request
         (reference scheduler.py:1602-1612 accept-length handling)."""
-        counts = jax.device_get(batch.counts_dev)
+        if batch.host_future is not None:
+            counts = batch.host_future.result()["counts"]
+        else:
+            counts = jax.device_get(batch.counts_dev)
         outputs: List[StepOutput] = []
         for i, req in enumerate(batch.reqs):
             n_window = batch.this_extends[i]
