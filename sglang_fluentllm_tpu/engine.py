@@ -56,7 +56,8 @@ def load_eos_ids(model_path: str, tokenizer) -> set:
 
 
 class Engine:
-    def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
+    def __init__(self, server_args: Optional[ServerArgs] = None,
+                 mesh=None, **kwargs):
         if server_args is None:
             server_args = ServerArgs(**kwargs)
         self.server_args = server_args
@@ -82,7 +83,8 @@ class Engine:
             )
             self.runner = self.scheduler.runner
         else:
-            self.runner = ModelRunner(server_args, self.model_config)
+            self.runner = ModelRunner(server_args, self.model_config,
+                                      mesh=mesh)
             self.scheduler = Scheduler(server_args, self.runner)
         self.detokenizer = (
             Detokenizer(self.tokenizer) if self.tokenizer else None
@@ -187,8 +189,10 @@ class Engine:
         sampling_params: Optional[Union[Dict, List[Dict]]] = None,
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         return_logprob: bool = False,
+        rid: Optional[str] = None,
     ) -> Union[Dict, List[Dict]]:
-        """Synchronous offline generation (batch ok)."""
+        """Synchronous offline generation (batch ok). ``rid`` names the
+        FIRST request (PD chunk listeners key on it)."""
         single, prompts, ids_list = self._normalize_inputs(prompt, input_ids)
         n = len(ids_list)
         if isinstance(sampling_params, list):
@@ -207,9 +211,9 @@ class Engine:
                 sp.return_logprob = True
 
         reqs = []
-        for ids, sp in zip(ids_list, sps):
+        for i, (ids, sp) in enumerate(zip(ids_list, sps)):
             req = Req(
-                rid=uuid.uuid4().hex,
+                rid=(rid if rid and i == 0 else uuid.uuid4().hex),
                 input_ids=ids,
                 sampling_params=sp,
                 eos_token_ids=self.eos_token_ids,
@@ -244,6 +248,53 @@ class Engine:
             self._make_result(r, texts[r.rid]) for r in reqs
         ]
         return out_dicts[0] if single else out_dicts
+
+    def generate_continuation(
+        self,
+        input_ids: List[int],
+        first_tokens: List[int],
+        sampling_params: Optional[Dict] = None,
+        rid: Optional[str] = None,
+    ) -> Dict:
+        """Synchronous PD decode continuation (sync twin of
+        AsyncEngine.generate_continuation): the prompt KV arrived by
+        transfer, ``first_tokens`` were produced by the prefill peer.
+        When the transferred KV covers the page-aligned prompt the
+        scheduler admits the request straight into decode (reference
+        decode.py:220 PreallocQueue prebuilt entry)."""
+        sp = SamplingParams.from_dict(sampling_params)
+        resolve_think_end_id(sp, self.tokenizer)
+        req = Req(
+            rid=rid or uuid.uuid4().hex,
+            input_ids=list(input_ids),
+            sampling_params=sp,
+            eos_token_ids=self.eos_token_ids,
+        )
+        req.output_ids = list(first_tokens)
+        req.pd_prebuilt = bool(first_tokens)
+        req.check_finished()
+        text = ""
+        if not req.finished():
+            self.scheduler.add_request(req)
+            while not req.finished():
+                outputs = self.scheduler.step()
+                if not outputs and not self.scheduler.has_work():
+                    break
+                for out in outputs:
+                    if out.rid != req.rid:
+                        continue
+                    if self.detokenizer is not None and out.new_token_ids:
+                        delta, stop = (
+                            self.detokenizer.detokenize_incremental(
+                                out.rid, out.new_token_ids, out.finished,
+                                sp.skip_special_tokens, sp.stop,
+                            )
+                        )
+                        text += delta
+                        if stop is not None and not req.finished():
+                            req.set_finished_by_stop_str(stop)
+                            self.scheduler.finish_request(req)
+        return self._make_result(req, text)
 
     def _normalize_inputs(self, prompt, input_ids):
         if input_ids is not None:
