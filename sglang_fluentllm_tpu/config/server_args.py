@@ -132,7 +132,9 @@ class ServerArgs:
     speculative_num_draft_tokens: int = 4
 
     # ---- PD disaggregation ----
-    disaggregation_mode: str = "null"  # null | prefill | decode
+    # null | prefill | decode | colocated (one-process 1P1D pair on
+    # disjoint submeshes with device-to-device KV transfer)
+    disaggregation_mode: str = "null"
     disaggregation_bootstrap_port: int = 8998
     disaggregation_transfer_backend: str = "fake"  # fake | tcp
     disaggregation_decode_radix_cache: bool = True
@@ -241,7 +243,8 @@ class ServerArgs:
         if self.speculative_algorithm is not None:
             assert self.speculative_algorithm in (
                 "EAGLE", "EAGLE3", "NEXTN", "PLD", "STANDALONE")
-        assert self.disaggregation_mode in ("null", "prefill", "decode")
+        assert self.disaggregation_mode in (
+            "null", "prefill", "decode", "colocated")
         if self.chunked_prefill_size > 0:
             assert self.chunked_prefill_size % self.page_size == 0, (
                 "chunked_prefill_size must be page-aligned"

@@ -72,6 +72,43 @@ class DeviceKVTransfer:
         return staged
 
 
+def install_staged_pages(runner, tree, input_ids: List[int],
+                         start_page: int, n: int, staged,
+                         page_size: int) -> bool:
+    """Decode-side install of device-transferred pages: same semantics
+    as the HTTP receiver (``pd.py`` receive_kv _install) minus the
+    deserialize. Must run on the thread that owns the decode runner
+    (scheduler thread in served mode)."""
+    ps = page_size
+    pages = runner.allocator.alloc_pages(n)
+    if pages is None:
+        tree.evict(
+            n - runner.allocator.available_pages(),
+            runner.allocator.release_pages,
+        )
+        pages = runner.allocator.alloc_pages(n)
+    if pages is None:
+        raise RuntimeError("no KV pages for PD transfer")
+    m = tree.match_prefix(input_ids[: start_page * ps])
+    if m.prefix_len < start_page * ps:
+        # advertised prefix was evicted between handshake and transfer;
+        # keying after a shorter prefix would attach the pages to the
+        # wrong chunks — drop, the tail re-extends
+        runner.allocator.release_pages(list(pages))
+        logger.warning(
+            "colocated pd: decode prefix shrank (%d < %d); dropping "
+            "%d pages", m.prefix_len, start_page * ps, n,
+        )
+        return False
+    runner.insert_staged(pages, staged)
+    end = (start_page + n) * ps
+    dup_tokens = tree.insert(input_ids[:end], m.page_ids + list(pages))
+    n_dup_fresh = max(0, (dup_tokens - start_page * ps) // ps)
+    if n_dup_fresh > 0:
+        runner.allocator.release_pages(list(pages[:n_dup_fresh]))
+    return True
+
+
 class ColocatedPDEngine:
     """A 1P1D pair in one process with a device-native KV data plane.
 
@@ -124,40 +161,10 @@ class ColocatedPDEngine:
     # ------------------------------------------------------------------
     def _install(self, input_ids: List[int], start_page: int, n: int,
                  staged) -> bool:
-        """Decode-side install: same semantics as the HTTP receiver
-        (``pd.py`` receive_kv _install) minus the deserialize."""
-        runner = self.decode.runner
-        tree = self.decode.scheduler.tree_cache
-        ps = self.page_size
-        pages = runner.allocator.alloc_pages(n)
-        if pages is None:
-            tree.evict(
-                n - runner.allocator.available_pages(),
-                runner.allocator.release_pages,
-            )
-            pages = runner.allocator.alloc_pages(n)
-        if pages is None:
-            raise RuntimeError("no KV pages for PD transfer")
-        m = tree.match_prefix(input_ids[: start_page * ps])
-        if m.prefix_len < start_page * ps:
-            # advertised prefix was evicted between handshake and
-            # transfer; keying after a shorter prefix would attach the
-            # pages to the wrong chunks — drop, the tail re-extends
-            runner.allocator.release_pages(list(pages))
-            logger.warning(
-                "colocated pd: decode prefix shrank (%d < %d); dropping "
-                "%d pages", m.prefix_len, start_page * ps, n,
-            )
-            return False
-        runner.insert_staged(pages, staged)
-        end = (start_page + n) * ps
-        dup_tokens = tree.insert(
-            input_ids[:end], m.page_ids + list(pages)
+        return install_staged_pages(
+            self.decode.runner, self.decode.scheduler.tree_cache,
+            input_ids, start_page, n, staged, self.page_size,
         )
-        n_dup_fresh = max(0, (dup_tokens - start_page * ps) // ps)
-        if n_dup_fresh > 0:
-            runner.allocator.release_pages(list(pages[:n_dup_fresh]))
-        return True
 
     # ------------------------------------------------------------------
     def generate(
@@ -209,6 +216,117 @@ class ColocatedPDEngine:
         result["meta_info"]["pd"] = {
             "pages_sent": sent["pages"] - skipped,
             "pages_skipped_cached": skipped,
+            "transfer_bytes": self.transfer.bytes_sent,
+            "latency": time.time() - t0,
+        }
+        return result
+
+    def shutdown(self):
+        for e in (self.prefill, self.decode):
+            try:
+                e.shutdown()
+            except Exception:  # noqa: BLE001
+                pass
+
+
+class ColocatedPDManager:
+    """Served-mode orchestration of the device data plane
+    (``--disaggregation-mode colocated``): ONE server process hosts a
+    prefill AsyncEngine and a decode AsyncEngine on disjoint submeshes;
+    /generate runs prefill -> device transfer -> decode continuation.
+
+    Thread/ordering model: the chunk listener fires on the PREFILL
+    scheduler thread (which owns the prefill runner), dispatches the
+    cross-mesh device_put (async), and enqueues the install as an RPC on
+    the DECODE engine's queue — RPCs drain in order on the decode
+    scheduler thread, giving the same ordered-install guarantee as the
+    HTTP receiver's per-room chain (``pd.py`` receive_kv).
+    """
+
+    def __init__(self, prefill_engine, decode_engine):
+        self.prefill = prefill_engine
+        self.decode = decode_engine
+        self.transfer = DeviceKVTransfer(decode_engine.runner)
+        self.page_size = decode_engine.server_args.page_size
+
+    async def generate(
+        self,
+        input_ids: List[int],
+        sampling_params: Optional[Dict[str, Any]] = None,
+        rid: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        import asyncio
+        import uuid
+
+        ps = self.page_size
+        ids = list(input_ids)
+        sp = dict(sampling_params or {})
+        max_page = len(ids) // ps
+        loop = asyncio.get_running_loop()
+
+        def _match():
+            m = self.decode.scheduler.tree_cache.match_prefix(
+                ids[: max_page * ps]
+            )
+            return m.prefix_len
+        ok, dpl = await self.decode._run_rpc(_match)
+        skipped = (dpl // ps) if ok else 0
+        sent = {"pages": skipped}
+        installs: List[Any] = []
+
+        def on_chunk(req, aligned, pages, final):
+            # prefill scheduler thread
+            start = sent["pages"]
+            end = min(aligned // ps, max_page)
+            if end <= start:
+                return
+            dev, _ = self.prefill.runner.extract_pages_device(
+                pages[start:end]
+            )
+            staged = self.transfer.send(dev)
+            n, s0 = end - start, start
+
+            def _install():
+                return install_staged_pages(
+                    self.decode.runner,
+                    self.decode.scheduler.tree_cache,
+                    ids, s0, n, staged, ps,
+                )
+
+            installs.append(asyncio.run_coroutine_threadsafe(
+                self.decode._run_rpc(_install), loop
+            ))
+            sent["pages"] = end
+
+        prid = rid or f"pdc-{uuid.uuid4().hex}"
+        sched = self.prefill.scheduler
+        await self.prefill._run_rpc(
+            lambda: sched.chunk_listeners.__setitem__(prid, on_chunk)
+        )
+        t0 = time.time()
+        try:
+            out = await self.prefill.generate(
+                input_ids=ids,
+                sampling_params=dict(sp, max_new_tokens=1),
+                rid=prid,
+            )
+        finally:
+            await self.prefill._run_rpc(
+                lambda: sched.chunk_listeners.pop(prid, None)
+            )
+        first = out["output_ids"][:1]
+        for fut in installs:
+            ok, res = await asyncio.wrap_future(fut)
+            if not ok or res is False:
+                logger.warning("colocated pd install dropped: %s", res)
+
+        result = await self.decode.generate_continuation(
+            ids, first, sampling_params=sp
+        )
+        result["meta_info"]["pd"] = {
+            "pages_sent": sent["pages"] - skipped,
+            "pages_skipped_cached": skipped,
+            "decode_prefix_len": skipped * ps,
             "transfer_bytes": self.transfer.bytes_sent,
             "latency": time.time() - t0,
         }

@@ -46,7 +46,7 @@ class _ReqState:
 class AsyncEngine:
     """Owns tokenizer + scheduler thread; exposes async generate APIs."""
 
-    def __init__(self, server_args: ServerArgs):
+    def __init__(self, server_args: ServerArgs, mesh=None):
         t_init0 = time.time()
         self.server_args = server_args
         self.tokenizer = None
@@ -57,7 +57,8 @@ class AsyncEngine:
         )
         self.model_config = ModelConfig.from_server_args(server_args)
         t_w0 = time.time()
-        self.runner = ModelRunner(server_args, self.model_config)
+        self.runner = ModelRunner(server_args, self.model_config,
+                                  mesh=mesh)
         t_weights = time.time() - t_w0
         self.scheduler = Scheduler(server_args, self.runner)
         self.detokenizer = (
@@ -86,10 +87,12 @@ class AsyncEngine:
 
         # PD disaggregation (reference disaggregation/ stack)
         self.pd = None
-        if server_args.disaggregation_mode != "null":
+        if server_args.disaggregation_mode in ("prefill", "decode"):
             from sglang_fluentllm_tpu.disagg.pd import PDManager
 
             self.pd = PDManager(self)
+        # set by http_server main in --disaggregation-mode colocated
+        self.colocated_pd = None
 
         # request tracing (reference srt/tracing/trace.py)
         self.tracer = None

@@ -235,6 +235,22 @@ class HttpServer:
                 return _error(str(e))
             return web.json_response([self._strip(o) for o in outs])
 
+        cpd = getattr(self.engine, "colocated_pd", None)
+        if cpd is not None and not stream and session_params is None:
+            # colocated PD flow: prefill submesh -> device transfer ->
+            # decode continuation. Streaming/session requests fall
+            # through to the decode engine (prompt KV computes there).
+            try:
+                if input_ids is None:
+                    assert self.engine.tokenizer is not None
+                    input_ids = self.engine.tokenizer.encode(prompt)
+                out = await cpd.generate(
+                    input_ids, sampling_params=sp, rid=rid
+                )
+                return web.json_response(self._strip(out))
+            except ValueError as e:
+                return _error(str(e))
+
         try:
             if stream:
                 resp = _sse_response()
@@ -868,7 +884,50 @@ def launch_server(server_args: ServerArgs):
 
         run_follower(server_args)
         return
-    engine = AsyncEngine(server_args)
+    if server_args.disaggregation_mode == "colocated":
+        # one-process 1P1D pair on disjoint submeshes; /generate runs
+        # prefill -> device-to-device KV transfer -> decode continuation
+        # (disagg/colocated.py). The decode engine is the primary: all
+        # non-generate surfaces (OpenAI routes, admin, metrics) serve
+        # from it.
+        import dataclasses
+
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        from sglang_fluentllm_tpu.disagg.colocated import (
+            ColocatedPDManager,
+        )
+
+        devs = jax.devices()
+        # --tp-size is the PER-ENGINE width: prefill takes the first tp
+        # devices, decode the next tp (same device on a 1-chip box)
+        tp = server_args.tp_size
+        if len(devs) >= 2 * tp:
+            p_devs, d_devs = devs[:tp], devs[tp:2 * tp]
+        else:
+            assert tp <= len(devs), (
+                f"colocated PD needs tp={tp} devices, have {len(devs)}")
+            p_devs = d_devs = devs[:tp]
+            logger.warning(
+                "colocated PD: %d device(s) < 2*tp — prefill and decode "
+                "share a mesh (transfer still exercises the device path)",
+                len(devs))
+
+        def _mk(ds):
+            return _Mesh(_np.asarray(ds).reshape(1, len(ds)),
+                         ("dp", "tp"))
+
+        sa_d = dataclasses.replace(
+            server_args, disaggregation_mode="null")
+        sa_p = dataclasses.replace(
+            server_args, disaggregation_mode="null")
+        engine = AsyncEngine(sa_d, mesh=_mk(d_devs))
+        prefill_engine = AsyncEngine(sa_p, mesh=_mk(p_devs))
+        engine.colocated_pd = ColocatedPDManager(prefill_engine, engine)
+    else:
+        engine = AsyncEngine(server_args)
     server = HttpServer(engine)
 
     async def _on_startup(app):
@@ -893,4 +952,7 @@ def launch_server(server_args: ServerArgs):
             handle_signals=True,
         )
     finally:
-        engine.shutdown()
+        if engine.colocated_pd is not None:
+            engine.colocated_pd.shutdown()  # both engines of the pair
+        else:
+            engine.shutdown()

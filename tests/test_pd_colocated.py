@@ -92,6 +92,46 @@ class TestColocatedPD:
         base = pair.decode.generate(input_ids=prompt, sampling_params=sp)
         assert out["output_ids"] == base["output_ids"]
 
+    def test_served_colocated_mode(self):
+        """--disaggregation-mode colocated: ONE server hosts the pair;
+        /generate runs prefill -> device transfer -> decode continuation
+        and reports pd meta. Output must match a plain server."""
+        import httpx
+
+        from tests.server_utils import kill_server, popen_launch_server
+
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        body = {"input_ids": PROMPT, "sampling_params": SP}
+        proc, url = popen_launch_server(
+            model_dir,
+            other_args=["--disaggregation-mode", "colocated",
+                        "--tp-size", "2",
+                        "--skip-tokenizer-init"],
+        )
+        try:
+            r = httpx.post(url + "/generate", json=body, timeout=300)
+            assert r.status_code == 200, r.text
+            out = r.json()
+            pd = out["meta_info"]["pd"]
+            assert pd["pages_sent"] == 3 and pd["transfer_bytes"] > 0
+            # repeat: decode-side radix cache skips the transfer
+            r2 = httpx.post(url + "/generate", json=body, timeout=300)
+            pd2 = r2.json()["meta_info"]["pd"]
+            assert pd2["pages_sent"] == 0
+            assert pd2["pages_skipped_cached"] == 3
+            assert r2.json()["output_ids"] == out["output_ids"]
+        finally:
+            kill_server(proc)
+        # same ids from a plain (non-PD) server with the same seed
+        proc, url = popen_launch_server(
+            model_dir, other_args=["--tp-size", "2",
+                                   "--skip-tokenizer-init"])
+        try:
+            r = httpx.post(url + "/generate", json=body, timeout=300)
+            assert r.json()["output_ids"] == out["output_ids"]
+        finally:
+            kill_server(proc)
+
     def test_unaligned_tail_recomputes(self, pair):
         """Sub-page prompt tail isn't transferred; the decode side
         re-extends it (prebuilt entry requires page alignment)."""
