@@ -132,6 +132,54 @@ class TestColocatedPD:
         finally:
             kill_server(proc)
 
+    def test_served_concurrent_requests(self):
+        """Three different prompts in flight at once: per-request chunk
+        listeners and the ordered install queue must not cross wires."""
+        import concurrent.futures
+
+        import httpx
+
+        from tests.server_utils import kill_server, popen_launch_server
+
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        prompts = [
+            [3, 11, 42, 7, 19, 88, 5, 23],
+            [9, 1, 4, 16, 25, 36, 49, 64, 81, 100, 2, 3],
+            [7, 7, 7, 7, 5, 5, 5, 5],
+        ]
+        sp = {"max_new_tokens": 5, "temperature": 0.0}
+        proc, url = popen_launch_server(
+            model_dir,
+            other_args=["--disaggregation-mode", "colocated",
+                        "--tp-size", "2", "--skip-tokenizer-init"],
+        )
+        try:
+            def post(ids):
+                r = httpx.post(url + "/generate", json={
+                    "input_ids": ids, "sampling_params": sp,
+                }, timeout=300)
+                assert r.status_code == 200, r.text
+                return r.json()
+            with concurrent.futures.ThreadPoolExecutor(3) as ex:
+                outs = list(ex.map(post, prompts))
+            for ids, out in zip(prompts, outs):
+                assert len(out["output_ids"]) == 5
+                assert out["meta_info"]["pd"]["pages_sent"] == len(ids) // 4
+        finally:
+            kill_server(proc)
+        # cross-check each against a plain server (same seed)
+        proc, url = popen_launch_server(
+            model_dir, other_args=["--tp-size", "2",
+                                   "--skip-tokenizer-init"])
+        try:
+            for ids, out in zip(prompts, outs):
+                r = httpx.post(url + "/generate", json={
+                    "input_ids": ids, "sampling_params": sp,
+                }, timeout=300)
+                assert r.json()["output_ids"] == out["output_ids"], ids
+        finally:
+            kill_server(proc)
+
     def test_unaligned_tail_recomputes(self, pair):
         """Sub-page prompt tail isn't transferred; the decode side
         re-extends it (prebuilt entry requires page alignment)."""
