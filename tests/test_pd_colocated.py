@@ -180,6 +180,35 @@ class TestColocatedPD:
         finally:
             kill_server(proc)
 
+    def test_composes_with_spec_decode(self):
+        """PD decode side running speculative decoding (the production
+        PD pairing: transfer-fed prompts, spec-accelerated TPOT) — the
+        prebuilt decode entry must feed the spec worker losslessly."""
+        from sglang_fluentllm_tpu.disagg.colocated import (
+            ColocatedPDEngine,
+        )
+
+        devs = jax.devices()
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        pair = ColocatedPDEngine(
+            prefill_devices=devs[:1], decode_devices=devs[1:2],
+            model_path=model_dir, load_format="dummy",
+            skip_tokenizer_init=True, dtype="float32",
+            max_total_tokens=4096, page_size=4, random_seed=7,
+            disable_jit_warmup=True,
+            speculative_algorithm="PLD", speculative_num_steps=3,
+        )
+        try:
+            out = pair.generate(PROMPT, SP)
+            assert out["meta_info"]["pd"]["pages_sent"] == 3
+            assert pair.decode.flush_cache()
+            base = pair.decode.generate(
+                input_ids=PROMPT, sampling_params=SP
+            )
+            assert out["output_ids"] == base["output_ids"]
+        finally:
+            pair.shutdown()
+
     def test_unaligned_tail_recomputes(self, pair):
         """Sub-page prompt tail isn't transferred; the decode side
         re-extends it (prebuilt entry requires page alignment)."""
