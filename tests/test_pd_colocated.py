@@ -180,6 +180,18 @@ class TestColocatedPD:
         finally:
             kill_server(proc)
 
+    def test_subpage_prompt_no_transfer(self, pair):
+        """Prompt shorter than one page: nothing to transfer; the decode
+        side re-extends the whole prompt after the preset first token."""
+        prompt = [9, 8, 7]
+        sp = {"max_new_tokens": 4, "temperature": 0.0}
+        out = pair.generate(prompt, sp)
+        assert len(out["output_ids"]) == 4
+        assert out["meta_info"]["pd"]["pages_sent"] == 0
+        assert pair.decode.flush_cache()
+        base = pair.decode.generate(input_ids=prompt, sampling_params=sp)
+        assert out["output_ids"] == base["output_ids"]
+
     def test_composes_with_spec_decode(self):
         """PD decode side running speculative decoding (the production
         PD pairing: transfer-fed prompts, spec-accelerated TPOT) — the
