@@ -186,6 +186,7 @@ class ColocatedPDEngine:
         )
         sent = {"pages": m.prefix_len // ps}
         skipped = sent["pages"]
+        bytes0 = self.transfer.bytes_sent
         t0 = time.time()
 
         def on_chunk(req, aligned, pages, final):
@@ -216,7 +217,7 @@ class ColocatedPDEngine:
         result["meta_info"]["pd"] = {
             "pages_sent": sent["pages"] - skipped,
             "pages_skipped_cached": skipped,
-            "transfer_bytes": self.transfer.bytes_sent,
+            "transfer_bytes": self.transfer.bytes_sent - bytes0,
             "latency": time.time() - t0,
         }
         return result
@@ -272,6 +273,7 @@ class ColocatedPDManager:
         ok, dpl = await self.decode._run_rpc(_match)
         skipped = (dpl // ps) if ok else 0
         sent = {"pages": skipped}
+        bytes0 = self.transfer.bytes_sent
         installs: List[Any] = []
 
         def on_chunk(req, aligned, pages, final):
@@ -327,7 +329,7 @@ class ColocatedPDManager:
             "pages_sent": sent["pages"] - skipped,
             "pages_skipped_cached": skipped,
             "decode_prefix_len": skipped * ps,
-            "transfer_bytes": self.transfer.bytes_sent,
+            "transfer_bytes": self.transfer.bytes_sent - bytes0,
             "latency": time.time() - t0,
         }
         return result
