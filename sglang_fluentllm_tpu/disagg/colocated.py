@@ -325,13 +325,23 @@ class ColocatedPDManager:
         result = await self.decode.generate_continuation(
             ids, first, sampling_params=sp
         )
+        moved = self.transfer.bytes_sent - bytes0
+        dt = time.time() - t0
         result["meta_info"]["pd"] = {
             "pages_sent": sent["pages"] - skipped,
             "pages_skipped_cached": skipped,
             "decode_prefix_len": skipped * ps,
-            "transfer_bytes": self.transfer.bytes_sent - bytes0,
-            "latency": time.time() - t0,
+            "transfer_bytes": moved,
+            "latency": dt,
         }
+        if moved > 0:
+            from sglang_fluentllm_tpu.metrics import collector as _mc
+
+            if _mc.ACTIVE is not None:
+                lb = _mc.ACTIVE._labels
+                _mc.ACTIVE.kv_transfer_speed_gb_s.labels(**lb).set(
+                    moved / max(dt, 1e-6) / 1e9
+                )
         return result
 
     def shutdown(self):

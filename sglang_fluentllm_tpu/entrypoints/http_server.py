@@ -921,8 +921,12 @@ def launch_server(server_args: ServerArgs):
 
         sa_d = dataclasses.replace(
             server_args, disaggregation_mode="null")
+        # metrics register process-global Prometheus series; only the
+        # primary (decode) engine owns them — a second registration from
+        # the prefill engine would collide
         sa_p = dataclasses.replace(
-            server_args, disaggregation_mode="null")
+            server_args, disaggregation_mode="null",
+            enable_metrics=False)
         engine = AsyncEngine(sa_d, mesh=_mk(d_devs))
         prefill_engine = AsyncEngine(sa_p, mesh=_mk(p_devs))
         engine.colocated_pd = ColocatedPDManager(prefill_engine, engine)
