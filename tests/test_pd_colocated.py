@@ -132,6 +132,34 @@ class TestColocatedPD:
         finally:
             kill_server(proc)
 
+    def test_served_with_metrics(self):
+        """--enable-metrics must not collide between the pair's engines
+        (process-global Prometheus registry), and the device transfer
+        must feed the kv_transfer_speed_gb_s gauge."""
+        import httpx
+
+        from tests.server_utils import kill_server, popen_launch_server
+
+        model_dir = write_model_dir(TINY_LLAMA_CFG)
+        proc, url = popen_launch_server(
+            model_dir,
+            other_args=["--disaggregation-mode", "colocated",
+                        "--tp-size", "2", "--skip-tokenizer-init",
+                        "--enable-metrics"],
+        )
+        try:
+            r = httpx.post(url + "/generate", json={
+                "input_ids": PROMPT, "sampling_params": SP,
+            }, timeout=300)
+            assert r.status_code == 200, r.text
+            m = httpx.get(url + "/metrics", timeout=30).text
+            lines = [l for l in m.splitlines()
+                     if "kv_transfer_speed" in l
+                     and not l.startswith("#")]
+            assert lines and float(lines[0].rsplit(" ", 1)[1]) > 0
+        finally:
+            kill_server(proc)
+
     def test_served_concurrent_requests(self):
         """Three different prompts in flight at once: per-request chunk
         listeners and the ordered install queue must not cross wires."""
